@@ -1,0 +1,177 @@
+"""Text-pipeline queries over `documents` — the reference's keyword jobs
+(SURVEY.md §2 A13-A25) completed with the aggregations they never had.
+
+The DuckDB oracle SQL is generated from the SAME rule tables
+(CLEAN_PASSES, STOPWORDS, lemma rules) as the Spark Column expressions, so
+both engines execute identical semantics.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mrc_spark_jobs_pubmed_spark.functions.stopwords import STOPWORDS
+from mrc_spark_jobs_pubmed_spark.functions.text import (
+    clean_text,
+    clean_text_sql,
+    keywords,
+    lemma_sql,
+    tokenize,
+)
+from mrc_spark_jobs_pubmed_spark.plans.registry import register
+from mrc_spark_jobs_pubmed_spark.sources.catalog import load_table
+
+_STOPLIST_SQL = ", ".join(f"'{w}'" for w in STOPWORDS)
+
+# Long-format keyword extraction shared by the queries below: the SQL mirror
+# of clean → tokenize → stopword-diff → lemmatize → per-doc distinct.
+_KEYWORDS_CTE = f"""
+  toks AS (
+    SELECT doc_id, unnest(string_split_regex({clean_text_sql('text')}, '\\s+')) AS tok
+    FROM documents
+  ),
+  kw AS (
+    SELECT DISTINCT doc_id, {lemma_sql('tok')} AS word
+    FROM toks
+    WHERE length(tok) > 0 AND tok NOT IN ({_STOPLIST_SQL})
+  )
+"""
+
+
+def _keywords_long(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents → (doc_id, word) long format, the engine-side kw table."""
+    docs = load_table(spark, "documents", sf_dir)
+    return docs.select("doc_id", F.explode(keywords(F.col("text"))).alias("word"))
+
+
+@register(
+    "text_word_topk",
+    oracle=f"""
+WITH {_KEYWORDS_CTE}
+SELECT word, count(*) AS n_docs
+FROM kw
+GROUP BY word
+ORDER BY n_docs DESC, word
+LIMIT 20
+""",
+    doc="Flagship: word_count.py pipeline completed with the count+top-k it "
+    "deferred downstream (SURVEY.md §7 minimum slice). "
+    "scan→clean→tokenize→stopwords→lemmatize→distinct→explode→agg→sort→limit.",
+)
+def text_word_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _keywords_long(spark, sf_dir)
+        .groupBy("word")
+        .agg(F.count("*").alias("n_docs"))
+        .orderBy(F.desc("n_docs"), F.asc("word"))
+        .limit(20)
+    )
+
+
+@register(
+    "text_keyword_pairs",
+    oracle=f"""
+WITH {_KEYWORDS_CTE}
+SELECT doc_id, word FROM kw
+""",
+    doc="A25: the reference's exact output shape — (word, pmid) pairs "
+    "(word_count.py:63-65) as explode() of the keyword array; full result, "
+    "order-insensitive.",
+)
+def text_keyword_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _keywords_long(spark, sf_dir).select("doc_id", "word")
+
+
+@register(
+    "text_inverted_index",
+    oracle=f"""
+WITH {_KEYWORDS_CTE}
+SELECT word,
+       count(*) AS n_docs,
+       min(doc_id) AS min_doc,
+       max(doc_id) AS max_doc
+FROM kw
+GROUP BY word
+""",
+    doc="The inverted index word→docs (SURVEY.md §1.4) summarized with "
+    "deterministic aggregates (collect_set order is engine-specific, so the "
+    "oracle checks cardinality + extrema per posting list).",
+)
+def text_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _keywords_long(spark, sf_dir)
+        .groupBy("word")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min("doc_id").alias("min_doc"),
+            F.max("doc_id").alias("max_doc"),
+        )
+    )
+
+
+@register(
+    "text_token_stats",
+    oracle=f"""
+SELECT doc_id,
+       length(text) AS n_chars_raw,
+       len(list_filter(string_split_regex({clean_text_sql('text')}, '\\s+'),
+                        t -> length(t) > 0)) AS n_tokens,
+       len(list_distinct(list_filter(string_split_regex({clean_text_sql('text')}, '\\s+'),
+                        t -> length(t) > 0))) AS n_distinct_tokens
+FROM documents
+""",
+    doc="A17/A24 as per-doc stats: token count and distinct-token count from "
+    "the cleaned text, all native expressions.",
+)
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    toks = tokenize(clean_text(F.col("text")))
+    return docs.select(
+        "doc_id",
+        F.length("text").alias("n_chars_raw"),
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_distinct_tokens"),
+    )
+
+
+@register(
+    "text_tfidf_top_terms",
+    oracle=f"""
+WITH {_KEYWORDS_CTE},
+  tf AS (
+    SELECT doc_id, word, 1.0 AS tf
+    FROM kw
+  ),
+  df_t AS (
+    SELECT word, count(*) AS df
+    FROM kw
+    GROUP BY word
+  ),
+  n AS (SELECT count(*) AS n_docs_total FROM documents)
+SELECT tf.doc_id, tf.word,
+       round(ln((n.n_docs_total + 1.0) / (df_t.df + 1.0)), 6) AS idf
+FROM tf JOIN df_t USING (word) CROSS JOIN n
+WHERE df_t.df >= 5
+""",
+    doc="TF-IDF-style scoring (SURVEY.md §2 Part B text analysis): "
+    "smoothed IDF per (doc, word) for terms with df>=5; presence-TF since "
+    "the keyword table is per-doc distinct. Exercises groupBy + join + "
+    "cross-join of a 1-row aggregate (broadcast).",
+)
+def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    kw = _keywords_long(spark, sf_dir)
+    docs = load_table(spark, "documents", sf_dir)
+    df_t = kw.groupBy("word").agg(F.count("*").alias("df")).filter(F.col("df") >= 5)
+    n_total = docs.agg(F.count("*").alias("n_docs_total"))
+    return (
+        kw.join(F.broadcast(df_t), "word")
+        .crossJoin(F.broadcast(n_total))
+        .select(
+            "doc_id",
+            "word",
+            F.round(
+                F.log((F.col("n_docs_total") + F.lit(1.0)) / (F.col("df") + F.lit(1.0))), 6
+            ).alias("idf"),
+        )
+    )

@@ -1,0 +1,58 @@
+"""SparkSession factory.
+
+The reference hand-tuned parallelism with ``repartition(12)`` ("3x cores",
+spark-pubmed/job_pubmed_submit.py:84,96) and debugged skew with driver-side
+``glom`` dumps (job_pubmed_submit.py:92,98). The engine replaces all of that
+with AQE: runtime partition coalescing, skew-join splitting, and
+broadcast-join conversion. Arrow is enabled so every pandas_udf seam is
+vectorized batch transfer, and the session timezone is pinned to UTC so
+timestamp semantics match the DuckDB correctness oracle.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def get_session(
+    app_name: str = "mrc-spark-jobs-pubmed-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession tuned for this engine.
+
+    On a real cluster the same builder is used without ``master`` so
+    spark-submit supplies it; locally we default to ``local[N]`` with
+    N = SPARK_GRAFT_CPUS. Shuffle partitions default to the core count —
+    AQE coalesces down when partitions are small and splits skewed ones,
+    so this is an upper bound, not a hand-tuned constant.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config(
+            "spark.sql.shuffle.partitions",
+            str(shuffle_partitions or DEFAULT_SHUFFLE_PARTITIONS),
+        )
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.ui.enabled", "false")
+    )
+    if master is not None:
+        builder = builder.master(master)
+    elif not os.environ.get("SPARK_MASTER"):
+        builder = builder.master(f"local[{cpus}]")
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
