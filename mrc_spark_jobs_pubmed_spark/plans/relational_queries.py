@@ -1,1 +1,619 @@
-"""Placeholder — populated in this round."""
+"""Relational query surface over the star schema + events (SURVEY.md §2 Part B).
+
+The reference has no joins/aggregations/windows at all (SURVEY.md §2 Part A
+tail note) — this module supplies the full relational surface as
+Catalyst-native plans. Scale notes per query:
+
+* dimension joins broadcast explicitly (`F.broadcast`) — at 100 TB the fact
+  side never shuffles for a dim join;
+* aggregates are partial+final automatically (map-side combine);
+* top-k goes through TakeOrderedAndProject (orderBy+limit), never a full
+  global sort of the fact table;
+* floats that cross the DuckDB oracle are rounded/aliased identically on
+  both sides (summation order differs between engines).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from mrc_spark_jobs_pubmed_spark.plans.registry import register
+from mrc_spark_jobs_pubmed_spark.sources.catalog import load_table
+
+
+def _revenue():
+    return F.col("l_extendedprice") * (1 - F.col("l_discount"))
+
+
+@register(
+    "rel_q1_pricing_summary",
+    oracle="""
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+       round(avg(l_quantity), 4) AS avg_qty,
+       round(avg(l_extendedprice), 4) AS avg_price,
+       round(avg(l_discount), 4) AS avg_disc,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+""",
+    doc="TPC-H Q1 shape: scan→filter(pushdown)→hash agg with 8 aggregates. "
+    "Partial aggregation map-side; no join.",
+)
+def rel_q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, "lineitem", sf_dir)
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(_revenue()), 2).alias("sum_disc_price"),
+            F.round(F.sum(_revenue() * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+@register(
+    "rel_q3_shipping_priority",
+    oracle="""
+SELECT l_orderkey,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       o_orderdate, o_orderpriority
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-03-15'
+  AND l_shipdate > TIMESTAMP '1995-03-15'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, l_orderkey
+LIMIT 10
+""",
+    doc="TPC-H Q3 shape: filtered dim (customer) broadcast to orders, "
+    "result joined to lineitem, agg + deterministic top-10.",
+)
+def rel_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, "customer", sf_dir).filter(F.col("c_mktsegment") == "BUILDING")
+    orders = load_table(spark, "orders", sf_dir).filter(
+        F.col("o_orderdate") < F.lit("1998-03-15").cast("timestamp")
+    )
+    li = load_table(spark, "lineitem", sf_dir).filter(
+        F.col("l_shipdate") > F.lit("1995-03-15").cast("timestamp")
+    )
+    return (
+        li.join(
+            F.broadcast(orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)),
+            li.l_orderkey == F.col("o_orderkey"),
+        )
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.round(F.sum(_revenue()), 2).alias("revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+@register(
+    "rel_q5_region_revenue",
+    oracle="""
+SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1998-01-01'
+GROUP BY n_name
+""",
+    doc="TPC-H Q5 shape: 6-table star join, all dimensions broadcast, one "
+    "shuffle for the final small agg.",
+)
+def rel_q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, "customer", sf_dir)
+    orders = load_table(spark, "orders", sf_dir).filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    li = load_table(spark, "lineitem", sf_dir)
+    supp = load_table(spark, "supplier", sf_dir)
+    nation = load_table(spark, "nation", sf_dir)
+    region = load_table(spark, "region", sf_dir).filter(F.col("r_name") == "ASIA")
+    return (
+        li.join(F.broadcast(orders), li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), F.col("o_custkey") == cust.c_custkey)
+        .join(
+            F.broadcast(supp),
+            (F.col("l_suppkey") == supp.s_suppkey)
+            & (F.col("c_nationkey") == supp.s_nationkey),
+        )
+        .join(F.broadcast(nation), F.col("s_nationkey") == nation.n_nationkey)
+        .join(F.broadcast(region), F.col("n_regionkey") == region.r_regionkey)
+        .groupBy("n_name")
+        .agg(F.round(F.sum(_revenue()), 2).alias("revenue"))
+    )
+
+
+@register(
+    "rel_topk_orders",
+    oracle="""
+SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS total
+FROM orders
+ORDER BY total DESC, o_orderkey
+LIMIT 25
+""",
+    doc="Global top-k without global sort: Catalyst plans "
+    "TakeOrderedAndProject (per-partition heap + driver merge of k rows).",
+)
+def rel_topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load_table(spark, "orders", sf_dir)
+        .select("o_orderkey", "o_custkey", F.round("o_totalprice", 2).alias("total"))
+        .orderBy(F.desc("total"), F.asc("o_orderkey"))
+        .limit(25)
+    )
+
+
+@register(
+    "rel_window_running_total",
+    oracle="""
+SELECT o_custkey, o_orderkey,
+       round(sum(o_totalprice) OVER (
+         PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_total
+FROM orders
+""",
+    doc="Framed window aggregate: per-customer running revenue. One shuffle "
+    "on the partition key; deterministic frame via (date, key) ordering.",
+)
+def rel_window_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return load_table(spark, "orders", sf_dir).select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.sum("o_totalprice").over(w), 2).alias("running_total"),
+    )
+
+
+@register(
+    "rel_window_topn_per_group",
+    oracle="""
+SELECT * FROM (
+  SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS total,
+         row_number() OVER (
+           PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn
+  FROM orders
+) WHERE rn <= 3
+""",
+    doc="Per-group top-N: row_number window + filter — the scalable "
+    "replacement for per-group sorts.",
+)
+def rel_window_topn_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        load_table(spark, "orders", sf_dir)
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            F.round("o_totalprice", 2).alias("total"),
+            F.row_number().over(w).alias("rn"),
+        )
+        .filter(F.col("rn") <= 3)
+    )
+
+
+@register(
+    "rel_window_lag_delta",
+    oracle="""
+SELECT user_id, event_id,
+       round(value - lag(value) OVER (
+         PARTITION BY user_id ORDER BY ts, event_id), 4) AS delta
+FROM events
+""",
+    doc="Analytic window: lag() per user over event time; delta of "
+    "consecutive event values (NULL for each user's first event).",
+)
+def rel_window_lag_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ev = load_table(spark, "events", sf_dir)
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.round(F.col("value") - F.lag("value").over(w), 4).alias("delta"),
+    )
+
+
+@register(
+    "rel_rollup_sales",
+    oracle="""
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty, count(*) AS n
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+""",
+    doc="Hierarchical totals via rollup: (flag,status), (flag), () levels.",
+)
+def rel_rollup_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load_table(spark, "lineitem", sf_dir)
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"), F.count("*").alias("n"))
+    )
+
+
+@register(
+    "rel_cube_sales",
+    oracle="""
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)
+""",
+    doc="All grouping combinations via cube.",
+)
+def rel_cube_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load_table(spark, "lineitem", sf_dir)
+        .cube("l_returnflag", "l_linestatus")
+        .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"))
+    )
+
+
+@register(
+    "rel_grouping_sets",
+    oracle="""
+SELECT l_returnflag, l_linestatus, count(*) AS n
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+""",
+    doc="Explicit GROUPING SETS through the SQL surface (spark.sql over a "
+    "parquet path table — no temp-view state).",
+)
+def rel_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.sql(
+        f"""
+        SELECT l_returnflag, l_linestatus, count(*) AS n
+        FROM parquet.`{sf_dir}/lineitem.parquet`
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+        """
+    )
+
+
+@register(
+    "rel_semi_join",
+    oracle="""
+SELECT c_custkey, c_name
+FROM customer
+WHERE EXISTS (SELECT 1 FROM orders
+              WHERE o_custkey = c_custkey AND o_totalprice > 50000)
+""",
+    doc="Left-semi join (EXISTS): customers having a >50k order. The "
+    "engine-native form of the reference's membership checks (A5/A23).",
+)
+def rel_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, "customer", sf_dir)
+    big = load_table(spark, "orders", sf_dir).filter(F.col("o_totalprice") > 50000)
+    return cust.join(big, cust.c_custkey == big.o_custkey, "left_semi").select(
+        "c_custkey", "c_name"
+    )
+
+
+@register(
+    "rel_anti_join",
+    oracle="""
+SELECT c_custkey, c_nationkey
+FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+""",
+    doc="Left-anti join (NOT EXISTS): customers with no orders — the "
+    "skip-if-done idiom (A5) done declaratively.",
+)
+def rel_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, "customer", sf_dir)
+    orders = load_table(spark, "orders", sf_dir)
+    return cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti").select(
+        "c_custkey", "c_nationkey"
+    )
+
+
+@register(
+    "rel_set_ops",
+    oracle="""
+SELECT 'both' AS tag, n FROM (
+  SELECT c_nationkey AS n FROM customer
+  INTERSECT
+  SELECT s_nationkey AS n FROM supplier WHERE s_acctbal > 5000)
+UNION ALL
+SELECT 'cust_only' AS tag, n FROM (
+  SELECT c_nationkey AS n FROM customer
+  EXCEPT
+  SELECT s_nationkey AS n FROM supplier WHERE s_acctbal > 5000)
+""",
+    doc="INTERSECT / EXCEPT (set semantics: subtract) / UNION ALL in one "
+    "plan over nation keys; supplier side filtered so EXCEPT is non-empty.",
+)
+def rel_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, "customer", sf_dir).select(F.col("c_nationkey").alias("n"))
+    supp = (
+        load_table(spark, "supplier", sf_dir)
+        .filter(F.col("s_acctbal") > 5000)
+        .select(F.col("s_nationkey").alias("n"))
+    )
+    both = cust.intersect(supp).select(F.lit("both").alias("tag"), "n")
+    only = cust.subtract(supp).select(F.lit("cust_only").alias("tag"), "n")
+    return both.unionByName(only)
+
+
+@register(
+    "rel_string_funcs",
+    oracle="""
+SELECT p_partkey,
+       upper(p_brand) AS brand_u,
+       length(p_name) AS name_len,
+       substr(p_type, 1, 5) AS type5,
+       concat_ws('|', p_brand, p_type) AS brand_type,
+       replace(p_name, ' ', '_') AS name_us,
+       lpad(CAST(p_size AS VARCHAR), 4, '0') AS size4,
+       levenshtein(p_brand, 'Brand#11') AS lev
+FROM part
+""",
+    doc="Scalar string catalog (A12-A17 generalized): upper/length/substr/"
+    "concat_ws/replace/lpad/levenshtein — all codegen'd, zero Python.",
+)
+def rel_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, "part", sf_dir)
+    return p.select(
+        "p_partkey",
+        F.upper("p_brand").alias("brand_u"),
+        F.length("p_name").alias("name_len"),
+        F.substring("p_type", 1, 5).alias("type5"),
+        F.concat_ws("|", "p_brand", "p_type").alias("brand_type"),
+        F.regexp_replace("p_name", " ", "_").alias("name_us"),
+        F.lpad(F.col("p_size").cast("string"), 4, "0").alias("size4"),
+        F.levenshtein("p_brand", F.lit("Brand#11")).alias("lev"),
+    )
+
+
+@register(
+    "rel_date_funcs",
+    oracle="""
+SELECT o_orderkey,
+       year(o_orderdate) AS o_year,
+       month(o_orderdate) AS o_month,
+       day(o_orderdate) AS o_day,
+       CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month_start,
+       date_diff('day', TIMESTAMP '1995-01-01', o_orderdate) AS days_since_epoch95
+FROM orders
+""",
+    doc="Temporal scalar catalog: year/month/day, date_trunc, day diffs — "
+    "the typed replacement of the reference's filename-prefix dates (A12).",
+)
+def rel_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, "orders", sf_dir)
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("o_year"),
+        F.month("o_orderdate").alias("o_month"),
+        F.dayofmonth("o_orderdate").alias("o_day"),
+        F.date_trunc("month", "o_orderdate").alias("month_start"),
+        F.datediff(F.col("o_orderdate"), F.lit("1995-01-01").cast("date")).alias(
+            "days_since_epoch95"
+        ),
+    )
+
+
+@register(
+    "rel_math_case",
+    oracle="""
+SELECT l_orderkey, l_linenumber,
+       l_extendedprice * (1 - l_discount) AS revenue,
+       sqrt(l_quantity) AS qty_sqrt,
+       pow(l_discount, 2) AS disc_sq,
+       abs(l_tax - l_discount) AS tax_gap,
+       CASE WHEN l_quantity > 25 THEN 'bulk'
+            WHEN l_quantity > 10 THEN 'mid'
+            ELSE 'small' END AS qty_band,
+       coalesce(nullif(l_returnflag, 'N'), 'none') AS flag_or_none
+FROM lineitem
+""",
+    doc="Math + conditional catalog: arithmetic, sqrt/pow/abs, CASE bands, "
+    "coalesce/nullif. Per-row float results are left unrounded on purpose: "
+    "IEEE ops are bit-identical across engines, while decimal rounding of "
+    "binary doubles at .xx5 midpoints is not (Spark HALF_UP on the shortest "
+    "decimal repr vs DuckDB scaled-double rounding). Rounding is reserved "
+    "for aggregates, where summation order forces it.",
+)
+def rel_math_case(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, "lineitem", sf_dir)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        _revenue().alias("revenue"),
+        F.sqrt("l_quantity").alias("qty_sqrt"),
+        F.pow("l_discount", F.lit(2)).alias("disc_sq"),
+        F.abs(F.col("l_tax") - F.col("l_discount")).alias("tax_gap"),
+        F.when(F.col("l_quantity") > 25, "bulk")
+        .when(F.col("l_quantity") > 10, "mid")
+        .otherwise("small")
+        .alias("qty_band"),
+        F.coalesce(F.nullif("l_returnflag", F.lit("N")), F.lit("none")).alias(
+            "flag_or_none"
+        ),
+    )
+
+
+@register(
+    "rel_agg_stats",
+    oracle="""
+SELECT event_type,
+       count(*) AS n,
+       count(DISTINCT user_id) AS n_users,
+       round(avg(value), 4) AS avg_value,
+       round(stddev_samp(value), 4) AS sd_value,
+       round(min(value), 2) AS min_value,
+       round(max(value), 2) AS max_value,
+       round(quantile_cont(value, 0.5), 4) AS p50,
+       round(quantile_cont(value, 0.95), 4) AS p95
+FROM events
+GROUP BY event_type
+""",
+    doc="Statistical aggregate catalog incl. exact interpolated percentiles "
+    "(Spark `percentile` ≡ DuckDB `quantile_cont`).",
+)
+def rel_agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    return ev.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.round(F.avg("value"), 4).alias("avg_value"),
+        F.round(F.stddev_samp("value"), 4).alias("sd_value"),
+        F.round(F.min("value"), 2).alias("min_value"),
+        F.round(F.max("value"), 2).alias("max_value"),
+        F.round(F.expr("percentile(value, 0.5)"), 4).alias("p50"),
+        F.round(F.expr("percentile(value, 0.95)"), 4).alias("p95"),
+    )
+
+
+@register(
+    "rel_approx_distinct",
+    oracle=None,  # HLL sketch values are engine-specific → rows-only check
+    doc="approx_count_distinct (HyperLogLog++) per event_type — the 100 TB "
+    "path for cardinality; exactness checked separately in rel_agg_stats.",
+)
+def rel_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id").alias("approx_users"),
+        F.count("*").alias("n"),
+    )
+
+
+@register(
+    "rel_pivot",
+    oracle="""
+SELECT l_returnflag,
+       round(sum(CASE WHEN l_linestatus = 'O' THEN l_quantity END), 2) AS qty_open,
+       round(sum(CASE WHEN l_linestatus = 'F' THEN l_quantity END), 2) AS qty_filled
+FROM lineitem
+GROUP BY l_returnflag
+""",
+    doc="Pivot (wide conditional aggregation) with explicit value list — "
+    "bounded output columns, safe at any scale.",
+)
+def rel_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, "lineitem", sf_dir)
+    return (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .agg(F.round(F.sum("l_quantity"), 2))
+        .withColumnRenamed("O", "qty_open")
+        .withColumnRenamed("F", "qty_filled")
+    )
+
+
+@register(
+    "rel_json_props",
+    oracle="""
+SELECT event_type,
+       count(*) AS n,
+       round(avg(CAST(props->>'$.k' AS INTEGER)), 4) AS avg_k,
+       max(CAST(props->>'$.k' AS INTEGER)) AS max_k
+FROM events
+GROUP BY event_type
+""",
+    doc="JSON scalar extraction from events.props (get_json_object ≡ "
+    "DuckDB ->>) + aggregation; the engine's from_json path for the "
+    "reference's NDJSON records (A9).",
+)
+def rel_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    k = F.get_json_object("props", "$.k").cast("int")
+    return ev.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.round(F.avg(k), 4).alias("avg_k"),
+        F.max(k).alias("max_k"),
+    )
+
+
+@register(
+    "rel_nested_struct",
+    oracle="""
+SELECT CAST(doc_id AS VARCHAR) AS pmid, text AS abstract, length(text) AS abs_len
+FROM documents
+WHERE text IS NOT NULL AND source = 'src1'
+""",
+    doc="Nested-record path (A9-A11): build the reference's "
+    "{pmid, medent:{abstract}} struct from documents, filter on the nested "
+    "field, project it back out. Oracle checks the flattened result.",
+)
+def rel_nested_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    nested = docs.select(
+        F.col("doc_id").cast("string").alias("pmid"),
+        F.struct(F.col("text").alias("abstract"), F.col("source").alias("source")).alias(
+            "medent"
+        ),
+    )
+    return (
+        nested.filter(
+            F.col("medent.abstract").isNotNull() & (F.col("medent.source") == "src1")
+        )
+        .select(
+            "pmid",
+            F.col("medent.abstract").alias("abstract"),
+            F.length(F.col("medent.abstract")).alias("abs_len"),
+        )
+    )
+
+
+@register(
+    "rel_asof_join",
+    oracle="""
+SELECT c.event_id, c.user_id, c.ts, v.ts AS last_view_ts
+FROM (SELECT * FROM events WHERE event_type = 'click') c
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+  ON c.user_id = v.user_id AND v.ts <= c.ts
+""",
+    doc="As-of join (no native Spark operator): for each click, the latest "
+    "view at-or-before it per user. Implemented scalably as union + "
+    "last_value(ignoreNulls) over a single time-ordered window — one "
+    "shuffle on user_id, no range-join blowup (SURVEY.md §2 Part B).",
+)
+def rel_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id", "ts", F.lit(0).alias("src"), "event_id"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", F.lit(1).alias("src"), "event_id"
+    )
+    merged = views.unionByName(clicks)
+    # views sort before clicks at equal ts (src asc) → '<=' semantics.
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "src", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    with_last = merged.withColumn(
+        "last_view_ts",
+        F.last(F.when(F.col("src") == 0, F.col("ts")), ignorenulls=True).over(w),
+    )
+    return with_last.filter(F.col("src") == 1).select(
+        "event_id", "user_id", "ts", "last_view_ts"
+    )

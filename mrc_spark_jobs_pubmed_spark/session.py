@@ -45,6 +45,10 @@ def get_session(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # events.parquet carries TIMESTAMP(NANOS); Spark has no ns timestamp
+        # type, so read the raw int64 and convert at the catalog boundary
+        # (sources/catalog.py truncates to micros, matching DuckDB's read).
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.ui.enabled", "false")
     )
     if master is not None:
