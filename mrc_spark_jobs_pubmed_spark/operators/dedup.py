@@ -1,0 +1,289 @@
+"""Deduplication operators for LLM-scale corpora (SURVEY.md §2 Part B).
+
+Four families over `documents(doc_id, text)`:
+
+* exact       — content hash (sha256) group-by; one shuffle on the hash.
+* MinHash+LSH — shingle → k minhashes → banded bucket keys → bucket
+                equi-join for candidate pairs. The all-pairs O(n²) compare
+                becomes a join on band keys: at 100 TB only same-bucket
+                docs meet, and AQE's skew-join splits hot buckets.
+* SimHash     — 32-bit sign-of-weighted-sum fingerprint; near-dups differ
+                in few bits. Fingerprint is one narrow BIGINT per doc.
+* n-gram Jaccard — shingle self-join with exact set-overlap arithmetic;
+                the verification stage behind MinHash candidates.
+
+Cross-engine determinism rule: every hash is md5 (lowercase hex in both
+Spark and DuckDB), minhash = lexicographic MIN over hex strings, and hex
+digits are decoded with instr('0123456789abcdef', ch)-1 — no engine-
+specific hash functions anywhere, so the DuckDB oracle can replay the
+exact computation. Spark/DuckDB expression pairs are generated from the
+shared constants below.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+SHINGLE_K = 3  # word n-gram size
+N_MINHASHES = 16
+BAND_SIZE = 4  # rows per LSH band
+N_BANDS = N_MINHASHES // BAND_SIZE
+SIMHASH_BITS = 32  # 8 hex chars of md5
+
+# --- tokenize / shingle ----------------------------------------------------
+
+
+def tokens_col(text: Column) -> Column:
+    """Whitespace tokens of already-clean text (documents fixture)."""
+    return F.filter(F.split(F.trim(text), "\\s+"), lambda t: F.length(t) > 0)
+
+
+def tokens_sql(expr: str) -> str:
+    return (
+        f"list_filter(string_split_regex(trim({expr}), '\\s+'), t -> length(t) > 0)"
+    )
+
+
+def shingles_sql(toks_expr: str) -> str:
+    """DuckDB shingle expr; `toks_expr` must be a bound column name (the
+    index lambda re-references it for element access)."""
+    k = SHINGLE_K
+    parts = " || ' ' || ".join(f"{toks_expr}[i + {j}]" for j in range(1, k))
+    return (
+        f"list_filter(list_transform({toks_expr}, (x, i) -> "
+        f"CASE WHEN i + {k - 1} <= len({toks_expr}) THEN x || ' ' || {parts} END), "
+        f"s -> s IS NOT NULL)"
+    )
+
+
+def shingle_rows(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, shingle) long format, distinct per doc — the LSH input."""
+    k = SHINGLE_K
+    parts = ", ".join(f"element_at(toks, i + {j + 1})" for j in range(1, k))
+    return (
+        df.select(id_col, tokens_col(F.col(text_col)).alias("toks"))
+        .select(
+            id_col,
+            F.expr(
+                f"filter(transform(toks, (x, i) -> CASE WHEN i + {k} <= size(toks) "
+                f"THEN concat_ws(' ', x, {parts}) END), s -> s IS NOT NULL)"
+            ).alias("shingles"),
+        )
+        .select(id_col, F.explode("shingles").alias("shingle"))
+        .distinct()
+    )
+
+
+SHINGLE_ROWS_SQL = f"""
+  shingle_rows AS (
+    SELECT DISTINCT doc_id, s.shingle AS shingle
+    FROM (
+      SELECT doc_id, {shingles_sql('toks')} AS shingles
+      FROM (SELECT doc_id, {tokens_sql('text')} AS toks FROM documents)
+    ),
+    unnest(shingles) AS s(shingle)
+  )
+"""
+
+# --- exact dedup -----------------------------------------------------------
+
+
+def exact_dedup_groups(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Group by content hash: (content_hash, n_copies, canonical id).
+
+    At scale: one hash-agg shuffle; the canonical id (min) makes re-runs
+    idempotent — the engine's version of the reference's skip-if-exists
+    resume (A5).
+    """
+    return (
+        df.select(id_col, F.sha2(F.col(text_col), 256).alias("content_hash"))
+        .groupBy("content_hash")
+        .agg(F.count("*").alias("n_copies"), F.min(id_col).alias("canonical_doc_id"))
+    )
+
+
+EXACT_DEDUP_SQL = """
+SELECT sha256(text) AS content_hash,
+       count(*) AS n_copies,
+       min(doc_id) AS canonical_doc_id
+FROM documents
+GROUP BY sha256(text)
+"""
+
+# --- MinHash + LSH ---------------------------------------------------------
+
+
+def minhash_band_keys(shingle_df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, band_id, band_key): banded MinHash signature.
+
+    minhash_s = MIN(md5('s|' || shingle)) — a lexicographic min over hex
+    strings, one aggregate per seed, computed in a single group-by pass.
+    band_key concatenates BAND_SIZE adjacent minhashes; equal band_key ⇒
+    LSH candidate pair.
+    """
+    aggs = [
+        F.min(F.md5(F.concat_ws("|", F.lit(str(s)), F.col("shingle")))).alias(f"m{s}")
+        for s in range(N_MINHASHES)
+    ]
+    sig = shingle_df.groupBy(id_col).agg(*aggs)
+    bands = [
+        sig.select(
+            id_col,
+            F.lit(b).alias("band_id"),
+            F.concat(*[F.col(f"m{b * BAND_SIZE + r}") for r in range(BAND_SIZE)]).alias(
+                "band_key"
+            ),
+        )
+        for b in range(N_BANDS)
+    ]
+    out = bands[0]
+    for b in bands[1:]:
+        out = out.unionByName(b)
+    return out
+
+
+def _minhash_sig_sql() -> str:
+    aggs = ", ".join(
+        f"min(md5('{s}|' || shingle)) AS m{s}" for s in range(N_MINHASHES)
+    )
+    return f"SELECT doc_id, {aggs} FROM shingle_rows GROUP BY doc_id"
+
+
+def minhash_band_keys_sql() -> str:
+    band_selects = []
+    for b in range(N_BANDS):
+        cols = " || ".join(f"m{b * BAND_SIZE + r}" for r in range(BAND_SIZE))
+        band_selects.append(
+            f"SELECT doc_id, {b} AS band_id, {cols} AS band_key FROM sig"
+        )
+    union = " UNION ALL ".join(band_selects)
+    return f"WITH {SHINGLE_ROWS_SQL.strip()}, sig AS ({_minhash_sig_sql()}) {union}"
+
+
+def lsh_candidate_pairs(band_keys: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Distinct candidate pairs from shared LSH buckets (a < b)."""
+    a = band_keys.alias("a")
+    b = band_keys.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b"))
+        .distinct()
+    )
+
+
+# --- n-gram Jaccard --------------------------------------------------------
+
+
+def jaccard_pairs(shingle_df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Exact shingle-set Jaccard for every doc pair sharing ≥1 shingle.
+
+    The shingle equi-join IS the candidate generation: pairs with zero
+    overlap never materialize. |A∩B| from the join, sizes broadcast back.
+    jaccard left as a raw double (deterministic int division, no rounding).
+    """
+    sizes = shingle_df.groupBy(id_col).agg(F.count("*").alias("n_sh"))
+    a = shingle_df.alias("a")
+    b = shingle_df.alias("b")
+    common = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .groupBy(
+            F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b")
+        )
+        .agg(F.count("*").alias("n_common"))
+    )
+    sa = sizes.select(F.col(id_col).alias("doc_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col(id_col).alias("doc_b"), F.col("n_sh").alias("n_b"))
+    return (
+        common.join(F.broadcast(sa), "doc_a")
+        .join(F.broadcast(sb), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            (
+                F.col("n_common")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
+            ).alias("jaccard"),
+        )
+    )
+
+
+JACCARD_PAIRS_SQL = f"""
+WITH {SHINGLE_ROWS_SQL.strip()},
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM shingle_rows GROUP BY doc_id),
+common AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+  FROM shingle_rows a JOIN shingle_rows b
+    ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT doc_a, doc_b,
+       n_common / (sa.n_sh + sb.n_sh - n_common) AS jaccard
+FROM common
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+"""
+
+# --- SimHash ---------------------------------------------------------------
+
+
+def _simhash_bit_term(bit: int, dialect: str) -> str:
+    """±1 contribution of one token to simhash bit `bit` (shared spec).
+
+    Hex char (bit//4) of md5(tok) decoded via instr; bit (bit%4) extracted
+    with a shift+mask. `dialect` picks the shift syntax.
+    """
+    ch = bit // 4 + 1
+    j = bit % 4
+    hexval = f"(instr('0123456789abcdef', substr(md5(tok), {ch}, 1)) - 1)"
+    shifted = f"shiftright({hexval}, {j})" if dialect == "spark" else f"({hexval} >> {j})"
+    return f"CASE WHEN ({shifted} & 1) = 1 THEN 1 ELSE -1 END"
+
+
+def simhash_fingerprints(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, simhash): 32-bit fingerprint as BIGINT.
+
+    One explode + one group-by with 32 sum aggregates — a single shuffle,
+    all JVM-side expression work.
+    """
+    toks = (
+        df.select(id_col, F.explode(tokens_col(F.col(text_col))).alias("tok")).distinct()
+    )
+    aggs = [
+        F.sum(F.expr(_simhash_bit_term(b, "spark"))).alias(f"s{b}")
+        for b in range(SIMHASH_BITS)
+    ]
+    sig = toks.groupBy(id_col).agg(*aggs)
+    fp = " + ".join(
+        f"(CASE WHEN s{b} > 0 THEN CAST({1 << b} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+        for b in range(SIMHASH_BITS)
+    )
+    return sig.select(id_col, F.expr(fp).alias("simhash"))
+
+
+def simhash_fingerprints_sql() -> str:
+    terms = ", ".join(
+        f"sum({_simhash_bit_term(b, 'duckdb')}) AS s{b}" for b in range(SIMHASH_BITS)
+    )
+    fp = " + ".join(
+        f"(CASE WHEN s{b} > 0 THEN CAST({1 << b} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+        for b in range(SIMHASH_BITS)
+    )
+    return f"""
+WITH toks AS (
+  SELECT DISTINCT doc_id, t.tok AS tok
+  FROM (SELECT doc_id, {tokens_sql('text')} AS toklist FROM documents),
+       unnest(toklist) AS t(tok)
+),
+sig AS (SELECT doc_id, {terms} FROM toks GROUP BY doc_id)
+SELECT doc_id, {fp} AS simhash FROM sig
+"""

@@ -1,0 +1,102 @@
+"""Similarity search over embedding columns (SURVEY.md §2 Part B).
+
+`embeddings(vec_id, embedding array<float> 64-d, label)`:
+
+* brute-force cosine top-k — the exact baseline: one pass, per-row
+  JVM-side fold (`aggregate`/`zip_with`), TakeOrderedAndProject for k.
+* axis-LSH buckets — sign bits of the first B dimensions form a bucket
+  id: a deterministic, SQL-expressible stand-in for random-hyperplane
+  LSH. At 100 TB the bucket id is the partition/cluster key; ANN probes
+  only the query's bucket (IVF-style candidate pruning).
+* BucketedRandomProjectionLSH (spark.ml) — the library scale path,
+  seeded for reproducibility (not SQL-mirrorable → rows-only check).
+
+All arithmetic is cast to double before folding so Spark and the DuckDB
+oracle accumulate identically (same element order, same width).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+N_BUCKET_BITS = 8  # sign bits → 256 buckets
+
+
+def _dvec(col: Column) -> Column:
+    return F.transform(col, lambda x: x.cast("double"))
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Sequential-fold dot product — same order/width as DuckDB's
+    list_dot_product on DOUBLE[], so results match bit-for-bit."""
+    return F.aggregate(
+        F.zip_with(_dvec(a), _dvec(b), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def l2norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (l2norm(a) * l2norm(b))
+
+
+def cosine_sql(a: str, b: str) -> str:
+    da, db = f"CAST({a} AS DOUBLE[])", f"CAST({b} AS DOUBLE[])"
+    return (
+        f"list_dot_product({da}, {db}) / "
+        f"(sqrt(list_dot_product({da}, {da})) * sqrt(list_dot_product({db}, {db})))"
+    )
+
+
+def topk_cosine(df: DataFrame, query_vec: list[float], k: int = 10) -> DataFrame:
+    """Exact top-k by cosine against a literal query vector.
+
+    The query vector ships as a plan literal (broadcast-equivalent); the
+    scan stays a single pass and Catalyst plans TakeOrderedAndProject —
+    no global sort even at full scale.
+    """
+    q = F.array(*[F.lit(float(v)) for v in query_vec])
+    return (
+        df.select(
+            "vec_id", F.round(cosine(F.col("embedding"), q), 6).alias("cosine")
+        )
+        .orderBy(F.desc("cosine"), F.asc("vec_id"))
+        .limit(k)
+    )
+
+
+def bucket_id(col: Column, bits: int = N_BUCKET_BITS) -> Column:
+    """IVF-ish bucket: sign bits of the first `bits` dimensions."""
+    expr = None
+    for i in range(bits):
+        term = F.when(F.element_at(col, i + 1) > 0, F.lit(1 << i)).otherwise(F.lit(0))
+        expr = term if expr is None else expr + term
+    return expr
+
+
+def bucket_id_sql(col: str, bits: int = N_BUCKET_BITS) -> str:
+    terms = " + ".join(
+        f"(CASE WHEN {col}[{i + 1}] > 0 THEN {1 << i} ELSE 0 END)" for i in range(bits)
+    )
+    return f"({terms})"
+
+
+def brp_lsh_buckets(df: DataFrame, bucket_length: float = 2.0, seed: int = 42) -> DataFrame:
+    """spark.ml BucketedRandomProjectionLSH bucket per vector (seeded)."""
+    from pyspark.ml.feature import BucketedRandomProjectionLSH
+    from pyspark.ml.functions import array_to_vector
+
+    vecs = df.select("vec_id", array_to_vector(_dvec(F.col("embedding"))).alias("features"))
+    model = BucketedRandomProjectionLSH(
+        inputCol="features", outputCol="hashes", bucketLength=bucket_length, seed=seed
+    ).fit(vecs)
+    out = model.transform(vecs)
+    return out.select(
+        "vec_id",
+        F.element_at(F.col("hashes"), 1).cast("string").alias("bucket"),
+    )

@@ -1,1 +1,137 @@
-"""Placeholder — populated in this round."""
+"""Similarity-search queries over `embeddings` (operators in
+mrc_spark_jobs_pubmed_spark.operators.similarity)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mrc_spark_jobs_pubmed_spark.operators import similarity as S
+from mrc_spark_jobs_pubmed_spark.plans.registry import register
+from mrc_spark_jobs_pubmed_spark.sources.catalog import load_table
+
+QUERY_VEC_ID = 0
+TOP_K = 10
+
+
+def _query_vec(spark: SparkSession, sf_dir: str) -> list[float]:
+    """Driver-side lookup of the query vector (one row — a parameter
+    fetch, not a data loop)."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    return list(emb.filter(F.col("vec_id") == QUERY_VEC_ID).first().embedding)
+
+
+@register(
+    "sim_cosine_topk",
+    oracle=f"""
+WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = {QUERY_VEC_ID})
+SELECT vec_id,
+       round({S.cosine_sql('embedding', 'qe')}, 6) AS cosine
+FROM embeddings, q
+WHERE vec_id <> {QUERY_VEC_ID}
+ORDER BY cosine DESC, vec_id
+LIMIT {TOP_K}
+""",
+    doc="Exact ANN baseline: brute-force cosine top-k against vec_id=0. "
+    "Single scan, JVM-side fold, TakeOrderedAndProject — no global sort.",
+)
+def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, "embeddings", sf_dir)
+    qv = _query_vec(spark, sf_dir)
+    return S.topk_cosine(emb.filter(F.col("vec_id") != QUERY_VEC_ID), qv, TOP_K)
+
+
+@register(
+    "sim_lsh_bucket_stats",
+    oracle=f"""
+SELECT {S.bucket_id_sql('embedding')} AS bucket,
+       count(*) AS n_vecs,
+       min(vec_id) AS min_vec,
+       round(avg(CAST(label AS DOUBLE)), 4) AS avg_label
+FROM embeddings
+GROUP BY 1
+""",
+    doc="Axis-sign LSH bucketing (256 buckets from 8 sign bits): the "
+    "deterministic IVF-style partition key for ANN at scale, with "
+    "per-bucket occupancy stats.",
+)
+def sim_lsh_bucket_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, "embeddings", sf_dir)
+    return (
+        emb.select(S.bucket_id(F.col("embedding")).alias("bucket"), "vec_id", "label")
+        .groupBy("bucket")
+        .agg(
+            F.count("*").alias("n_vecs"),
+            F.min("vec_id").alias("min_vec"),
+            F.round(F.avg(F.col("label").cast("double")), 4).alias("avg_label"),
+        )
+    )
+
+
+@register(
+    "sim_ann_bucketed",
+    oracle=f"""
+WITH q AS (
+  SELECT embedding AS qe, {S.bucket_id_sql('embedding')} AS qbucket
+  FROM embeddings WHERE vec_id = {QUERY_VEC_ID}
+)
+SELECT vec_id,
+       round({S.cosine_sql('embedding', 'qe')}, 6) AS cosine
+FROM embeddings, q
+WHERE vec_id <> {QUERY_VEC_ID}
+  AND {S.bucket_id_sql('embedding')} = qbucket
+ORDER BY cosine DESC, vec_id
+LIMIT {TOP_K}
+""",
+    doc="ANN scale path: probe only the query's LSH bucket (candidate "
+    "pruning ≈ 1/256 of the corpus), then exact cosine on candidates. "
+    "Recall vs sim_cosine_topk is the standard IVF trade-off.",
+)
+def sim_ann_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, "embeddings", sf_dir)
+    qv = _query_vec(spark, sf_dir)
+    qbucket = sum((1 << i) for i, v in enumerate(qv[: S.N_BUCKET_BITS]) if v > 0)
+    cands = emb.filter(
+        (F.col("vec_id") != QUERY_VEC_ID)
+        & (S.bucket_id(F.col("embedding")) == F.lit(qbucket))
+    )
+    return S.topk_cosine(cands, qv, TOP_K)
+
+
+@register(
+    "sim_neardup_top_pairs",
+    oracle=f"""
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       round({S.cosine_sql('a.embedding', 'b.embedding')}, 6) AS cosine
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+ORDER BY cosine DESC, vec_a, vec_b
+LIMIT 50
+""",
+    doc="Embedding-cosine near-dup: top-50 most-similar pairs. All-pairs "
+    "here (test scale); at 100 TB the LSH bucket id becomes the join key "
+    "so only same-bucket pairs are scored (see sim_ann_bucketed).",
+)
+def sim_neardup_top_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, "embeddings", sf_dir)
+    a = emb.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"))
+    b = emb.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"))
+    return (
+        a.join(b, F.col("vec_a") < F.col("vec_b"))
+        .select(
+            "vec_a",
+            "vec_b",
+            F.round(S.cosine(F.col("ea"), F.col("eb")), 6).alias("cosine"),
+        )
+        .orderBy(F.desc("cosine"), F.asc("vec_a"), F.asc("vec_b"))
+        .limit(50)
+    )
+
+
+@register(
+    "sim_brp_lsh_buckets",
+    oracle=None,  # spark.ml random projections aren't SQL-reproducible
+    doc="BucketedRandomProjectionLSH (spark.ml, seed=42) bucket per "
+    "vector — the library LSH path; rows-only driver check.",
+)
+def sim_brp_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return S.brp_lsh_buckets(load_table(spark, "embeddings", sf_dir))

@@ -1,0 +1,90 @@
+"""Unit tests for dedup / similarity / text-analysis operators on tiny
+in-memory data (the oracle harness covers fixture-scale correctness)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from mrc_spark_jobs_pubmed_spark.operators import dedup as D
+from mrc_spark_jobs_pubmed_spark.operators import similarity as S
+from mrc_spark_jobs_pubmed_spark.operators import textstats as X
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_exact_dedup_groups_duplicates(spark):
+    df = _docs(spark, [(1, "a b c"), (2, "a b c"), (3, "x y z")])
+    out = {r.content_hash: r for r in D.exact_dedup_groups(df).collect()}
+    assert len(out) == 2
+    dup = [r for r in out.values() if r.n_copies == 2][0]
+    assert dup.canonical_doc_id == 1
+
+
+def test_identical_docs_share_all_minhash_bands(spark):
+    df = _docs(spark, [(1, "a b c d e f"), (2, "a b c d e f"), (3, "q r s t u v")])
+    pairs = D.lsh_candidate_pairs(D.minhash_band_keys(D.shingle_rows(df))).collect()
+    assert [(r.doc_a, r.doc_b) for r in pairs] == [(1, 2)]
+
+
+def test_jaccard_identical_is_one_disjoint_absent(spark):
+    df = _docs(spark, [(1, "a b c d e"), (2, "a b c d e"), (3, "v w x y z")])
+    rows = D.jaccard_pairs(D.shingle_rows(df)).collect()
+    assert len(rows) == 1 and rows[0].jaccard == 1.0
+
+
+def test_simhash_equal_for_equal_token_sets(spark):
+    # same distinct-token set (order/multiplicity differ) → same simhash
+    df = _docs(spark, [(1, "a b c"), (2, "c b a a"), (3, "p q r s")])
+    fp = {r.doc_id: r.simhash for r in D.simhash_fingerprints(df).collect()}
+    assert fp[1] == fp[2] != fp[3]
+    assert 0 <= fp[1] < (1 << D.SIMHASH_BITS)
+
+
+def test_cosine_topk_finds_identical_vector(spark):
+    rows = [
+        (1, [1.0, 0.0, 0.0]),
+        (2, [0.9, 0.1, 0.0]),
+        (3, [0.0, 1.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    out = S.topk_cosine(df, [1.0, 0.0, 0.0], k=2).collect()
+    assert out[0].vec_id == 1 and out[0].cosine == 1.0
+    assert out[1].vec_id == 2
+
+
+def test_bucket_id_sign_bits(spark):
+    df = spark.createDataFrame(
+        [(1, [1.0] * 8), (2, [-1.0] * 8), (3, [1.0, -1.0] * 4)],
+        ["vec_id", "embedding"],
+    )
+    got = {
+        r.vec_id: r.b
+        for r in df.select("vec_id", S.bucket_id(F.col("embedding")).alias("b")).collect()
+    }
+    assert got == {1: 255, 2: 0, 3: 0b01010101}
+
+
+def test_langid_marker_argmax(spark):
+    df = spark.createDataFrame(
+        [(1, "the cat of the house"), (2, "der hund und die katze")], ["doc_id", "text"]
+    )
+    base = df.select("doc_id", D.tokens_col(F.col("text")).alias("toks"))
+    scores = {
+        lang: X.marker_hits(F.col("toks"), m) for lang, m in X.LANG_MARKERS.items()
+    }
+    got = {
+        r.doc_id: r.lang
+        for r in base.select("doc_id", X.predicted_lang(scores).alias("lang")).collect()
+    }
+    assert got == {1: "en", 2: "de"}
+
+
+def test_fingerprint_normalization_invariance(spark):
+    df = _docs(spark, [(1, "Hello   World"), (2, "hello world"), (3, "other")])
+    fp = {r.doc_id: r.f for r in df.select(
+        "doc_id", X.fingerprint(F.col("text")).alias("f")
+    ).collect()}
+    assert fp[1] == fp[2] != fp[3]
+    assert len(fp[1]) == 16
