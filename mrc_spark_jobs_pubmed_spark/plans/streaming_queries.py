@@ -1,1 +1,104 @@
-"""Placeholder — populated in this round."""
+"""Batch-equivalent forms of the streaming jobs, oracle-checked per
+SURVEY.md §5 (streaming-specific behavior — watermarks, incremental state —
+is covered by deterministic replay tests in tests/test_streaming.py; the
+SQL oracle checks the window semantics themselves).
+
+The query fns call the SAME transformation bodies as the streaming jobs
+(streaming/jobs.py) on a batch DataFrame — one definition, two runtimes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from mrc_spark_jobs_pubmed_spark.plans.registry import register
+from mrc_spark_jobs_pubmed_spark.sources.catalog import load_table
+from mrc_spark_jobs_pubmed_spark.streaming import jobs as J
+
+
+@register(
+    "stream_tumbling_counts",
+    oracle="""
+SELECT CAST(time_bucket(INTERVAL '5 minutes', ts) AS TIMESTAMP) AS wstart,
+       CAST(time_bucket(INTERVAL '5 minutes', ts) + INTERVAL '5 minutes' AS TIMESTAMP) AS wend,
+       event_type,
+       count(*) AS n,
+       round(sum(value), 4) AS value_sum
+FROM events
+GROUP BY 1, 2, 3
+""",
+    doc="Tumbling 5-min windows per event_type (batch form of the "
+    "streaming job; epoch-aligned buckets match DuckDB time_bucket).",
+)
+def stream_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return J.tumbling_counts(load_table(spark, "events", sf_dir), with_watermark=False)
+
+
+@register(
+    "stream_sliding_avg",
+    oracle="""
+SELECT CAST(wstart AS TIMESTAMP) AS wstart, event_type,
+       count(*) AS n,
+       round(avg(value), 4) AS avg_value
+FROM (
+  SELECT e.*, u.wstart
+  FROM (SELECT *, time_bucket(INTERVAL '5 minutes', ts) AS b FROM events) e,
+       unnest([e.b, e.b - INTERVAL '5 minutes']) AS u(wstart)
+)
+GROUP BY 1, 2
+""",
+    doc="Sliding 10-min/5-min windows: each event expands to its two "
+    "member windows (the unnest mirrors Spark's internal window "
+    "replication for overlapping windows).",
+)
+def stream_sliding_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return J.sliding_avg(load_table(spark, "events", sf_dir), with_watermark=False)
+
+
+@register(
+    "stream_session_windows",
+    oracle="""
+WITH marked AS (
+  SELECT user_id, ts, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR ts - lag(ts) OVER w >= INTERVAL '5 minutes'
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sessions AS (
+  SELECT *, sum(new_session) OVER (
+    PARTITION BY user_id ORDER BY ts
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+  FROM marked
+)
+SELECT user_id,
+       min(ts) AS session_start,
+       max(ts) + INTERVAL '5 minutes' AS session_end,
+       count(*) AS n_events,
+       round(sum(value), 4) AS value_sum
+FROM sessions
+GROUP BY user_id, sid
+""",
+    doc="Per-user session windows, 5-min gap (batch session_window vs the "
+    "classic gaps-and-islands rewrite: session end = last event + gap).",
+)
+def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return J.session_windows(load_table(spark, "events", sf_dir), with_watermark=False)
+
+
+@register(
+    "stream_dedup_counts",
+    oracle="""
+SELECT event_type, count(*) AS n
+FROM (SELECT DISTINCT ON (event_id) * FROM events ORDER BY event_id, ts)
+GROUP BY event_type
+""",
+    doc="Streaming dedup on event_id (batch form: dropDuplicates) with a "
+    "per-type count; state bounded by the watermark in the stream runtime.",
+)
+def stream_dedup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = J.dedup_events(load_table(spark, "events", sf_dir), with_watermark=False)
+    from pyspark.sql import functions as F
+
+    return ev.groupBy("event_type").agg(F.count("*").alias("n"))

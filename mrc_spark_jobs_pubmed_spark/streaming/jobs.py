@@ -1,0 +1,111 @@
+"""Structured Streaming jobs over the events stream (SURVEY.md §2
+streaming-only block).
+
+The reference has no streaming; its closest analogue is the idempotent
+skip-if-exists resume loop (A5), which Structured Streaming's checkpoint +
+exactly-once file sink subsumes. Each job here is a transformation from a
+streaming DataFrame to a streaming DataFrame, so the SAME function body
+runs in batch mode for the DuckDB oracle (plans/streaming_queries.py) and
+in streaming mode under a watermark — one definition, two runtimes.
+
+File-source replay of events.parquet drives deterministic tests
+(tests/test_streaming.py): `format("memory")` + `processAllAvailable()`.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mrc_spark_jobs_pubmed_spark.sources.catalog import TABLE_SCHEMAS
+
+WATERMARK = "10 minutes"
+TUMBLE = "5 minutes"
+SLIDE_SIZE = "10 minutes"
+SLIDE_STEP = "5 minutes"
+SESSION_GAP = "5 minutes"
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source replay of the events table as a stream.
+
+    maxFilesPerTrigger=1 gives deterministic micro-batch replay in tests;
+    on a real deployment the source would be Kafka/files-in-arrival with
+    the same downstream plan.
+    """
+    # The file source requires a directory; pathGlobFilter narrows the
+    # listing to the events table within the fixture dir.
+    raw = (
+        spark.readStream.schema(TABLE_SCHEMAS["events"])
+        .option("maxFilesPerTrigger", "1")
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    return raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+
+
+def tumbling_counts(events: DataFrame, with_watermark: bool = True) -> DataFrame:
+    """Tumbling 5-minute windows per event_type: count + value sum."""
+    src = events.withWatermark("ts", WATERMARK) if with_watermark else events
+    return (
+        src.groupBy(F.window("ts", TUMBLE).alias("w"), "event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("value_sum"))
+        .select(
+            F.col("w.start").alias("wstart"),
+            F.col("w.end").alias("wend"),
+            "event_type",
+            "n",
+            "value_sum",
+        )
+    )
+
+
+def sliding_avg(events: DataFrame, with_watermark: bool = True) -> DataFrame:
+    """Sliding 10-minute windows every 5 minutes: per-window avg value."""
+    src = events.withWatermark("ts", WATERMARK) if with_watermark else events
+    return (
+        src.groupBy(F.window("ts", SLIDE_SIZE, SLIDE_STEP).alias("w"), "event_type")
+        .agg(F.count("*").alias("n"), F.round(F.avg("value"), 4).alias("avg_value"))
+        .select(
+            F.col("w.start").alias("wstart"),
+            "event_type",
+            "n",
+            "avg_value",
+        )
+    )
+
+
+def session_windows(events: DataFrame, with_watermark: bool = True) -> DataFrame:
+    """Per-user session windows with a 5-minute inactivity gap."""
+    src = events.withWatermark("ts", WATERMARK) if with_watermark else events
+    return (
+        src.groupBy(F.session_window("ts", SESSION_GAP).alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 4).alias("value_sum"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            "value_sum",
+        )
+    )
+
+
+def dedup_events(events: DataFrame, with_watermark: bool = True) -> DataFrame:
+    """Streaming dedup on event_id under the watermark (state is bounded
+    by the watermark horizon — the streaming form of exact dedup)."""
+    src = events.withWatermark("ts", WATERMARK) if with_watermark else events
+    return src.dropDuplicates(["event_id"])
+
+
+def run_to_memory(stream_df: DataFrame, name: str, output_mode: str = "complete"):
+    """Drive a streaming DataFrame to completion against a memory sink.
+
+    Returns the started query; caller does processAllAvailable() + stop().
+    """
+    return (
+        stream_df.writeStream.outputMode(output_mode)
+        .format("memory")
+        .queryName(name)
+        .start()
+    )

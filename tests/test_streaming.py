@@ -1,0 +1,104 @@
+"""Structured Streaming replay tests (SURVEY.md §5 item "streaming via
+file-source replay"): the streaming jobs must agree with their batch
+forms when the whole fixture is replayed through micro-batches."""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from mrc_spark_jobs_pubmed_spark.sources.catalog import load_table
+from mrc_spark_jobs_pubmed_spark.streaming import jobs as J
+
+SF = "/root/testdata/sf0.001"
+
+
+def _batch_events(spark):
+    return load_table(spark, "events", SF)
+
+
+def _drain(q):
+    q.processAllAvailable()
+    q.stop()
+
+
+def test_tumbling_stream_equals_batch(spark):
+    stream = J.tumbling_counts(J.read_events_stream(spark, SF))
+    q = J.run_to_memory(stream, "t_tumble", "complete")
+    _drain(q)
+    got = {
+        (r.wstart, r.event_type): (r.n, r.value_sum)
+        for r in spark.sql("SELECT * FROM t_tumble").collect()
+    }
+    want = {
+        (r.wstart, r.event_type): (r.n, r.value_sum)
+        for r in J.tumbling_counts(_batch_events(spark), with_watermark=False).collect()
+    }
+    assert got == want and len(got) > 0
+
+
+def test_dedup_stream_passes_unique_rows(spark):
+    stream = J.dedup_events(J.read_events_stream(spark, SF))
+    q = J.run_to_memory(stream.select("event_id"), "t_dedup", "append")
+    _drain(q)
+    got = spark.sql("SELECT count(*) AS n FROM t_dedup").first().n
+    want = _batch_events(spark).select("event_id").distinct().count()
+    assert got == want
+
+
+def test_session_stream_emits_finalized_subset(spark):
+    stream = J.session_windows(J.read_events_stream(spark, SF))
+    q = J.run_to_memory(stream, "t_sess", "append")
+    _drain(q)
+    got = {
+        (r.user_id, r.session_start): (r.n_events, r.value_sum)
+        for r in spark.sql("SELECT * FROM t_sess").collect()
+    }
+    want = {
+        (r.user_id, r.session_start): (r.n_events, r.value_sum)
+        for r in J.session_windows(_batch_events(spark), with_watermark=False).collect()
+    }
+    # append mode only emits sessions finalized below the watermark —
+    # a subset of the batch result, and every emitted value must match.
+    assert len(got) > 0
+    for k, v in got.items():
+        assert want.get(k) == v
+
+
+def test_stateful_running_count(spark):
+    """Arbitrary stateful op: per-user cumulative event count via
+    applyInPandasWithState (the engine's custom-stateful-operator seam)."""
+    out_schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("n_total", T.LongType()),
+        ]
+    )
+    state_schema = T.StructType([T.StructField("n", T.LongType())])
+
+    def update(key, pdfs, state):
+        n = state.get[0] if state.exists else 0
+        for pdf in pdfs:
+            n += len(pdf)
+        state.update((n,))
+        yield pd.DataFrame({"user_id": [key[0]], "n_total": [n]})
+
+    stream = (
+        J.read_events_stream(spark, SF)
+        .groupBy("user_id")
+        .applyInPandasWithState(update, out_schema, state_schema, "update", "NoTimeout")
+    )
+    q = J.run_to_memory(stream, "t_state", "update")
+    _drain(q)
+    final = {
+        r.user_id: r.n_total
+        for r in spark.sql(
+            "SELECT user_id, max(n_total) AS n_total FROM t_state GROUP BY user_id"
+        ).collect()
+    }
+    want = {
+        r.user_id: r.n
+        for r in _batch_events(spark).groupBy("user_id").agg(F.count("*").alias("n")).collect()
+    }
+    assert final == want
