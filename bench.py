@@ -1,0 +1,76 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
+sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "headline_total", "value": <sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": <float>}
+
+Each query is forced end-to-end with the noop sink (full computation, no
+driver collect), matching how a cluster job would be bounded by the last
+exchange rather than driver transfer.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from mrc_spark_jobs_pubmed_spark import plans
+from mrc_spark_jobs_pubmed_spark.session import get_session
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# One representative per operator family (scan/agg, star join, window,
+# as-of, text pipeline, dedup x2, similarity, sessionization, quality).
+HEADLINE = (
+    "rel_q1_pricing_summary",
+    "rel_q3_shipping_priority",
+    "rel_q5_region_revenue",
+    "rel_window_running_total",
+    "rel_asof_join",
+    "text_word_topk",
+    "dedup_minhash_bands",
+    "dedup_simhash",
+    "sim_cosine_topk",
+    "stream_session_windows",
+    "ta_quality",
+)
+
+
+def main() -> None:
+    spark = get_session(app_name="bench")
+    registry = plans.all_queries()
+
+    # Warm the JVM/codegen path outside the timed region.
+    registry["rel_topk_orders"].fn(spark, SF_DIR).write.format("noop").mode(
+        "overwrite"
+    ).save()
+
+    times: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.time()
+        registry[name].fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+        times[name] = round(time.time() - t0, 3)
+
+    m = re.search(r"sf([0-9.]+)", SF_DIR)
+    sf = float(m.group(1)) if m else None
+    print(
+        json.dumps(
+            {
+                "metric": "headline_total",
+                "value": round(sum(times.values()), 3),
+                "unit": "sec",
+                "queries": times,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -57,21 +57,35 @@ def shingles_sql(toks_expr: str) -> str:
     )
 
 
-def shingle_rows(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """(doc_id, shingle) long format, distinct per doc — the LSH input."""
-    k = SHINGLE_K
-    parts = ", ".join(f"element_at(toks, i + {j + 1})" for j in range(1, k))
+def shingle_rows(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    distinct: bool = True,
+) -> DataFrame:
+    """(doc_id, shingle) long format — the LSH/Jaccard input.
+
+    `distinct=True` gives per-doc set semantics (required for Jaccard)
+    via array_distinct BEFORE the explode — a per-row dedup, zero
+    shuffle, unlike DataFrame.distinct(). MinHash passes False since MIN
+    is duplicate-insensitive and skips even that.
+    """
+    # zip_with over shifted slices, NOT element_at(toks, i) inside a
+    # lambda: Catalyst's CollapseProject inlines `toks` into the lambda,
+    # so an element_at(toks, ...) per element re-evaluates the whole
+    # split/filter chain per element — O(len²) per doc. zip_with's array
+    # arguments evaluate once per row.
+    arr = F.expr(
+        "filter(zip_with(zip_with(toks, slice(toks, 2, greatest(size(toks) - 1, 0)), "
+        "(x, y) -> concat(x, ' ', y)), slice(toks, 3, greatest(size(toks) - 2, 0)), "
+        "(xy, z) -> concat(xy, ' ', z)), s -> s IS NOT NULL)"
+    )
+    if distinct:
+        arr = F.array_distinct(arr)
     return (
         df.select(id_col, tokens_col(F.col(text_col)).alias("toks"))
-        .select(
-            id_col,
-            F.expr(
-                f"filter(transform(toks, (x, i) -> CASE WHEN i + {k} <= size(toks) "
-                f"THEN concat_ws(' ', x, {parts}) END), s -> s IS NOT NULL)"
-            ).alias("shingles"),
-        )
+        .select(id_col, arr.alias("shingles"))
         .select(id_col, F.explode("shingles").alias("shingle"))
-        .distinct()
     )
 
 
@@ -114,46 +128,74 @@ GROUP BY sha256(text)
 # --- MinHash + LSH ---------------------------------------------------------
 
 
+_MERSENNE = (1 << 31) - 1
+
+
+def _hex2long(h_expr: str, start: int) -> str:
+    """8 hex chars of `h_expr` from 1-based `start` → BIGINT (engine-
+    neutral: instr decode + positional powers, no conv())."""
+    terms = " + ".join(
+        f"CAST((instr('0123456789abcdef', substr({h_expr}, {start + j}, 1)) - 1) "
+        f"AS BIGINT) * {16 ** (7 - j)}"
+        for j in range(8)
+    )
+    return f"({terms})"
+
+
 def minhash_band_keys(shingle_df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """(doc_id, band_id, band_key): banded MinHash signature.
 
-    minhash_s = MIN(md5('s|' || shingle)) — a lexicographic min over hex
-    strings, one aggregate per seed, computed in a single group-by pass.
-    band_key concatenates BAND_SIZE adjacent minhashes; equal band_key ⇒
-    LSH candidate pair.
+    Kirsch-Mitzenmacher scheme: ONE md5 per shingle, split into two
+    32-bit ints h1/h2 (materialized as columns so the hash runs once),
+    then k derived hashes h_i = (h1 + i*h2) mod (2^31-1). minhash_i =
+    MIN over shingles of h_i; band_key joins BAND_SIZE adjacent
+    minhashes with '|'; equal band_key ⇒ LSH candidate pair. 16× fewer
+    hash calls than per-seed hashing, and the signature aggregates/
+    shuffles as longs, not hex strings.
     """
-    aggs = [
-        F.min(F.md5(F.concat_ws("|", F.lit(str(s)), F.col("shingle")))).alias(f"m{s}")
-        for s in range(N_MINHASHES)
-    ]
-    sig = shingle_df.groupBy(id_col).agg(*aggs)
-    bands = [
-        sig.select(
+    hashed = (
+        shingle_df.select(id_col, F.md5(F.col("shingle")).alias("h"))
+        .select(
             id_col,
-            F.lit(b).alias("band_id"),
-            F.concat(*[F.col(f"m{b * BAND_SIZE + r}") for r in range(BAND_SIZE)]).alias(
-                "band_key"
-            ),
+            F.expr(_hex2long("h", 1)).alias("h1"),
+            F.expr(_hex2long("h", 9)).alias("h2"),
         )
-        for b in range(N_BANDS)
+    )
+    aggs = [
+        F.min((F.col("h1") + F.lit(i) * F.col("h2")) % F.lit(_MERSENNE)).alias(f"m{i}")
+        for i in range(N_MINHASHES)
     ]
-    out = bands[0]
-    for b in bands[1:]:
-        out = out.unionByName(b)
-    return out
+    sig = hashed.groupBy(id_col).agg(*aggs)
+    # stack() emits the N_BANDS rows from ONE aggregation pass (a union of
+    # per-band selects would re-run the whole upstream plan per band).
+    stack_args = ", ".join(
+        f"{b}, concat_ws('|', {', '.join(f'm{b * BAND_SIZE + r}' for r in range(BAND_SIZE))})"
+        for b in range(N_BANDS)
+    )
+    return sig.select(
+        id_col,
+        F.expr(f"stack({N_BANDS}, {stack_args}) AS (band_id, band_key)"),
+    )
 
 
 def _minhash_sig_sql() -> str:
     aggs = ", ".join(
-        f"min(md5('{s}|' || shingle)) AS m{s}" for s in range(N_MINHASHES)
+        f"min((h1 + {i} * h2) % {_MERSENNE}) AS m{i}" for i in range(N_MINHASHES)
     )
-    return f"SELECT doc_id, {aggs} FROM shingle_rows GROUP BY doc_id"
+    return (
+        f"SELECT doc_id, {aggs} FROM ("
+        f"SELECT doc_id, {_hex2long('h', 1)} AS h1, {_hex2long('h', 9)} AS h2 "
+        f"FROM (SELECT doc_id, md5(shingle) AS h FROM shingle_rows)"
+        f") GROUP BY doc_id"
+    )
 
 
 def minhash_band_keys_sql() -> str:
     band_selects = []
     for b in range(N_BANDS):
-        cols = " || ".join(f"m{b * BAND_SIZE + r}" for r in range(BAND_SIZE))
+        cols = " || '|' || ".join(
+            f"CAST(m{b * BAND_SIZE + r} AS VARCHAR)" for r in range(BAND_SIZE)
+        )
         band_selects.append(
             f"SELECT doc_id, {b} AS band_id, {cols} AS band_key FROM sig"
         )
@@ -255,8 +297,8 @@ def simhash_fingerprints(df: DataFrame, text_col: str = "text", id_col: str = "d
     One explode + one group-by with 32 sum aggregates — a single shuffle,
     all JVM-side expression work.
     """
-    toks = (
-        df.select(id_col, F.explode(tokens_col(F.col(text_col))).alias("tok")).distinct()
+    toks = df.select(
+        id_col, F.explode(F.array_distinct(tokens_col(F.col(text_col)))).alias("tok")
     )
     aggs = [
         F.sum(F.expr(_simhash_bit_term(b, "spark"))).alias(f"s{b}")

@@ -30,7 +30,7 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dedup_minhash_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, "documents", sf_dir)
-    return D.minhash_band_keys(D.shingle_rows(docs))
+    return D.minhash_band_keys(D.shingle_rows(docs, distinct=False))
 
 
 @register(
@@ -48,7 +48,9 @@ FROM bands a JOIN bands b
 )
 def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, "documents", sf_dir)
-    return D.lsh_candidate_pairs(D.minhash_band_keys(D.shingle_rows(docs)))
+    return D.lsh_candidate_pairs(
+        D.minhash_band_keys(D.shingle_rows(docs, distinct=False))
+    )
 
 
 @register(

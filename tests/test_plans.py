@@ -1,0 +1,63 @@
+"""Physical-plan regression tests (SURVEY.md §4): the optimizations the
+engine's scale story depends on must be visible in the executed plan —
+filter/column pushdown to parquet, broadcast joins for dimensions, and
+top-k via TakeOrderedAndProject instead of a global sort."""
+
+from __future__ import annotations
+
+from mrc_spark_jobs_pubmed_spark import plans
+
+SF = "/root/testdata/sf0.01"
+
+
+def _physical(spark, name: str) -> str:
+    df = plans.get(name).fn(spark, SF)
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def test_q1_pushes_filter_and_prunes_columns(spark):
+    plan = _physical(spark, "rel_q1_pricing_summary")
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+    # projection pruned to the 7 referenced columns — no full-width scan
+    assert "l_orderkey" not in plan.split("ReadSchema")[1].splitlines()[0]
+
+
+def test_q3_broadcasts_dimensions(spark):
+    plan = _physical(spark, "rel_q3_shipping_priority")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_q5_star_join_is_all_broadcast(spark):
+    plan = _physical(spark, "rel_q5_region_revenue")
+    assert plan.count("BroadcastHashJoin") >= 5
+    assert "SortMergeJoin" not in plan
+
+
+def test_topk_avoids_global_sort(spark):
+    plan = _physical(spark, "rel_topk_orders")
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_cosine_topk_avoids_global_sort(spark):
+    plan = _physical(spark, "sim_cosine_topk")
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_q1_aggregate_is_partial_then_final(spark):
+    # map-side combine: two HashAggregate nodes around the exchange
+    plan = _physical(spark, "rel_q1_pricing_summary")
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_text_pipeline_has_no_python_udf(spark):
+    # the whole text pipeline (incl. lemmatizer) stays JVM-side
+    plan = _physical(spark, "text_word_topk")
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_semi_and_anti_join_operators(spark):
+    assert "LeftSemi" in _physical(spark, "rel_semi_join")
+    assert "LeftAnti" in _physical(spark, "rel_anti_join")
