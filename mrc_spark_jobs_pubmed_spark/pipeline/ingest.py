@@ -1,0 +1,177 @@
+"""Ingest stage: the reference's NCBI esearch/efetch jobs re-expressed.
+
+Reference shape (spark-pubmed/job_pubmed_submit.py): driver loop builds
+[year, month, fetch_url, total_records] 4-tuples (:63-79), parallelizes
+them into an RDD (:84), and a side-effecting foreach pages through
+`total_records` in 10k steps with an unbounded retry loop (:38-56).
+
+Engine shape:
+* A1  work table  — the tiny driver-side discovery loop stays a loop (it
+  is O(years×12) HTTP calls), but its result is a schema-explicit
+  DataFrame (fixing bug B1: 4-element rows under 3 column names).
+* A2  pagination  — `sequence(0, total, page_size)` + explode: the page
+  list is computed on executors, not the driver.
+* A3  fetch       — mapInPandas over the page table with BOUNDED retry
+  (fixing B5) and Arrow-batched rows out; concurrency = partition count,
+  the same knob the reference capped at 4 workers × 3.
+* HTTP is injectable: tests use the deterministic mocks below; a real
+  deployment passes `requests`-backed callables at the same seams.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import time
+from collections.abc import Callable, Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+WORK_SCHEMA = T.StructType(
+    [
+        T.StructField("year", T.IntegerType(), False),
+        T.StructField("month", T.IntegerType(), False),
+        T.StructField("fetch_url", T.StringType(), False),
+        T.StructField("total_records", T.LongType(), False),
+    ]
+)
+
+FETCH_SCHEMA = T.StructType(
+    [
+        T.StructField("page_key", T.StringType(), False),
+        T.StructField("year", T.IntegerType(), False),
+        T.StructField("month", T.IntegerType(), False),
+        T.StructField("offset", T.LongType(), False),
+        T.StructField("payload", T.StringType(), True),
+        T.StructField("n_attempts", T.IntegerType(), False),
+    ]
+)
+
+# Transient-failure markers the reference retried on (job_pubmed_submit.py:47-49).
+RETRY_MARKERS = (
+    "API rate limit exceeded",
+    "Unable to obtain query",
+    "Exception from Backend",
+)
+
+PAGE_SIZE = 10_000
+
+
+def _stable_int(key: str, mod: int) -> int:
+    return int(hashlib.md5(key.encode()).hexdigest()[:8], 16) % mod
+
+
+def mock_search(year: int, month: int) -> tuple[str, int]:
+    """Deterministic stand-in for esearch: (fetch_url, total_records)."""
+    total = 5_000 + _stable_int(f"{year}-{month}", 30_000)
+    url = f"mock://efetch?year={year}&month={month}&retmax={PAGE_SIZE - 1}"
+    return url, total
+
+
+def mock_fetcher(url: str) -> str:
+    """Deterministic stand-in for efetch: returns an NDJSON page.
+
+    Every ~7th page simulates one transient rate-limit response before
+    succeeding is modeled in tests via a wrapping fetcher; this base mock
+    always succeeds with 3 article records derived from the URL.
+    """
+    seed = hashlib.md5(url.encode()).hexdigest()[:8]
+    records = []
+    for i in range(3):
+        pmid = str(int(seed, 16) % 10_000_000 + i)
+        has_abstract = (i + int(seed, 16)) % 5 != 0  # ~20% missing, per FIXTURES.md
+        medent = (
+            {"abstract": f"Abstract {seed} number {i} discusses findings and results."}
+            if has_abstract
+            else {}
+        )
+        records.append(json.dumps({"pmid": pmid, "medent": medent}))
+    return "\n".join(records)
+
+
+def build_work_table(
+    spark: SparkSession,
+    begin_year: int,
+    end_year: int,
+    search: Callable[[int, int], tuple[str, int]] = mock_search,
+) -> DataFrame:
+    """A1: (year, month) discovery loop → schema-explicit work table."""
+    rows = []
+    for year in range(begin_year, end_year + 1):
+        for month in range(1, 13):
+            url, total = search(year, month)
+            rows.append((year, month, url, total))
+    return spark.createDataFrame(rows, WORK_SCHEMA)
+
+
+def expand_pages(work: DataFrame, page_size: int = PAGE_SIZE) -> DataFrame:
+    """A2: pagination as sequence+explode — executor-side, no driver loop.
+
+    page_key mirrors the reference's blob naming `{year}_{month}_num_{offset}`
+    (job_pubmed_submit.py:40), which is what makes re-runs idempotent.
+    """
+    return (
+        work.select(
+            "year",
+            "month",
+            "fetch_url",
+            F.explode(
+                F.sequence(F.lit(0), F.col("total_records") - 1, F.lit(page_size))
+            ).alias("offset"),
+        )
+        .select(
+            F.concat_ws(
+                "_", "year", "month", F.lit("num"), F.col("offset").cast("string")
+            ).alias("page_key"),
+            "year",
+            "month",
+            F.concat(F.col("fetch_url"), F.lit("&retstart="), F.col("offset")).alias(
+                "page_url"
+            ),
+            "offset",
+        )
+    )
+
+
+def fetch_pages(
+    pages: DataFrame,
+    fetcher: Callable[[str], str] = mock_fetcher,
+    max_retries: int = 5,
+    backoff_s: float = 0.0,
+    parallelism: int | None = None,
+) -> DataFrame:
+    """A3: paginated fetch with bounded retry, as mapInPandas.
+
+    The reference's per-item worker slept 3 s and retried FOREVER on the
+    marker strings (bug B5); here attempts are capped and the failure
+    surfaces as payload=NULL with the attempt count, so downstream can
+    quarantine instead of hanging an executor. Fetch concurrency is the
+    partition count — the declarative version of the reference's
+    4-workers×3 cap.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for row in pdf.itertuples(index=False):
+                payload, attempts = None, 0
+                while attempts < max_retries:
+                    attempts += 1
+                    got = fetcher(row.page_url)
+                    if not any(m in got for m in RETRY_MARKERS):
+                        payload = got
+                        break
+                    if backoff_s:
+                        time.sleep(backoff_s)
+                out.append(
+                    (row.page_key, row.year, row.month, row.offset, payload, attempts)
+                )
+            yield pd.DataFrame(
+                out, columns=[f.name for f in FETCH_SCHEMA.fields]
+            )
+
+    src = pages.repartition(parallelism) if parallelism else pages
+    return src.mapInPandas(run, FETCH_SCHEMA)

@@ -1,0 +1,138 @@
+"""End-to-end pipeline tests with deterministic mock HTTP (SURVEY.md §7
+step 5): work table → pagination → bounded-retry fetch → NDJSON parse →
+keywords v1/v2 → idempotent partitioned sinks."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from mrc_spark_jobs_pubmed_spark.pipeline import (
+    ingest,
+    keywords,
+    parse,
+    sinks,
+)
+from mrc_spark_jobs_pubmed_spark.pipeline.run import run_pipeline
+
+
+def test_work_table_schema_and_coverage(spark):
+    work = ingest.build_work_table(spark, 2019, 2020)
+    assert work.columns == ["year", "month", "fetch_url", "total_records"]
+    assert work.count() == 24  # 2 years × 12 months — fixes reference bug B1
+    assert work.filter(F.col("total_records") <= 0).count() == 0
+
+
+def test_pagination_covers_every_offset(spark):
+    work = ingest.build_work_table(spark, 2020, 2020)
+    pages = ingest.expand_pages(work)
+    got = pages.groupBy("year", "month").agg(
+        F.count("*").alias("n_pages"), F.max("offset").alias("max_off")
+    )
+    joined = work.join(got, ["year", "month"])
+    bad = joined.filter(
+        (F.col("n_pages") != F.ceil(F.col("total_records") / ingest.PAGE_SIZE))
+        | (F.col("max_off") >= F.col("total_records"))
+    )
+    assert bad.count() == 0
+    key = pages.select("page_key").first().page_key
+    assert key.count("_") == 3 and "num" in key  # {year}_{month}_num_{offset}
+
+
+def test_fetch_bounded_retry_succeeds_after_transients(spark):
+    attempts: dict[str, int] = {}
+
+    def flaky(url: str) -> str:
+        n = attempts.get(url, 0) + 1
+        attempts[url] = n
+        if n <= 2:
+            return "API rate limit exceeded"
+        return ingest.mock_fetcher(url)
+
+    work = ingest.build_work_table(spark, 2020, 2020).limit(1)
+    pages = ingest.expand_pages(work).limit(2)
+    out = ingest.fetch_pages(pages, flaky, max_retries=5).collect()
+    assert all(r.payload is not None and r.n_attempts == 3 for r in out)
+
+
+def test_fetch_gives_up_after_max_retries(spark):
+    def always_limited(url: str) -> str:
+        return "Exception from Backend"
+
+    work = ingest.build_work_table(spark, 2020, 2020).limit(1)
+    pages = ingest.expand_pages(work).limit(1)
+    out = ingest.fetch_pages(pages, always_limited, max_retries=3).collect()
+    assert out[0].payload is None and out[0].n_attempts == 3
+
+
+def test_parse_filters_missing_abstract_and_derives_year(spark):
+    payload = "\n".join(
+        [
+            json.dumps({"pmid": "1", "medent": {"abstract": "Cats and dogs."}}),
+            json.dumps({"pmid": "2", "medent": {}}),
+            "not json at all",
+        ]
+    )
+    fetched = spark.createDataFrame(
+        [("2020_1_num_0", 2020, 1, 0, payload, 1)],
+        ["page_key", "year", "month", "offset", "payload", "n_attempts"],
+    )
+    rows = parse.parse_articles(fetched).collect()
+    assert [(r.pmid, r.year) for r in rows] == [("1", 2020)]
+    both = parse.parse_articles(fetched, require_abstract=False).collect()
+    assert {r.pmid for r in both} == {"1", "2"}
+
+
+def test_keywords_v1_golden(spark):
+    articles = spark.createDataFrame(
+        [("123456", 2020, "This article is a review of the different publications "
+          "on breast cancer in men.")],
+        ["pmid", "year", "abstract"],
+    )
+    got = {(r.word, r.pmid) for r in keywords.keywords_v1(articles).collect()}
+    want_words = {"article", "review", "different", "publication", "breast", "cancer", "man"}
+    assert got == {(w, "123456") for w in want_words}
+
+
+def test_keywords_v2_shape(spark):
+    articles = spark.createDataFrame(
+        [("7", 2019, "Cats chase mice daily.")], ["pmid", "year", "abstract"]
+    )
+    row = keywords.keywords_v2(articles).first()
+    assert (row.pmid, row.year) == ("7", 2019)
+    assert row.keywords == "cat chase daily mouse"
+
+
+def test_config_guard_rejects_same_path(tmp_path):
+    with pytest.raises(ValueError, match="input_path == output_path"):
+        sinks.validate(str(tmp_path), str(tmp_path))
+
+
+def test_idempotent_write_skips_done_keys(spark, tmp_path):
+    out = str(tmp_path / "sink")
+    df = spark.createDataFrame([(1, "a"), (2, "b")], ["k", "v"])
+    assert sinks.idempotent_write(df, spark, out, "k") == 2
+    # re-run with one new key: only the new row lands
+    df2 = spark.createDataFrame([(2, "b"), (3, "c")], ["k", "v"])
+    assert sinks.idempotent_write(df2, spark, out, "k") == 1
+    assert spark.read.parquet(out).count() == 3
+
+
+def test_full_pipeline_end_to_end(spark, tmp_path):
+    out = str(tmp_path / "pm")
+    dfs = run_pipeline(spark, out, 2020, 2020)
+    arts = spark.read.parquet(f"{out}/articles")
+    assert arts.count() > 0
+    assert "year=2020" in str(
+        [p.name for p in (tmp_path / "pm" / "articles").iterdir()]
+    )
+    kw1 = spark.read.parquet(f"{out}/keywords_v1")
+    assert kw1.columns == ["word", "pmid"] and kw1.count() > 0
+    kw2 = spark.read.csv(f"{out}/keywords_v2")
+    assert kw2.count() == dfs["articles"].count()
+    # idempotent resume: second run appends nothing to articles
+    n_before = arts.count()
+    run_pipeline(spark, out, 2020, 2020)
+    assert spark.read.parquet(f"{out}/articles").count() == n_before
