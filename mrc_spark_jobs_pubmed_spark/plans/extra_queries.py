@@ -1,0 +1,260 @@
+"""Coverage-completing queries for SURVEY.md §2 Part B: outer joins,
+theta/range join, collect_set, full ranking-window suite, range frames,
+map functions, and the Python UDF surface (pandas_udf scalar / grouped
+agg / applyInPandas grouped map) — each with a SQL oracle proving the
+Python path preserves relational semantics."""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from mrc_spark_jobs_pubmed_spark.plans.registry import register
+from mrc_spark_jobs_pubmed_spark.sources.catalog import load_table
+
+
+@register(
+    "rel_outer_joins",
+    oracle="""
+SELECT c_custkey, n_orders, status
+FROM (
+  SELECT c.c_custkey, count(o.o_orderkey) AS n_orders
+  FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+  GROUP BY c.c_custkey
+)
+FULL JOIN (SELECT DISTINCT o_custkey AS fk, 'seen' AS status FROM orders) s
+  ON c_custkey = fk
+""",
+    doc="Left outer (customers keep 0-order rows) + full outer join; "
+    "NULL-extension semantics on both sides.",
+)
+def rel_outer_joins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, "customer", sf_dir)
+    orders = load_table(spark, "orders", sf_dir)
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+    seen = orders.select(F.col("o_custkey").alias("fk")).distinct().withColumn(
+        "status", F.lit("seen")
+    )
+    return per_cust.join(seen, per_cust.c_custkey == seen.fk, "full").select(
+        "c_custkey", "n_orders", "status"
+    )
+
+
+@register(
+    "rel_range_join",
+    oracle="""
+WITH bands(band, lo, hi) AS (
+  VALUES ('small', 0, 15), ('mid', 16, 35), ('large', 36, 100)
+)
+SELECT band, count(*) AS n_parts, round(avg(p_retailprice), 4) AS avg_price
+FROM part JOIN bands ON p_size BETWEEN lo AND hi
+GROUP BY band
+""",
+    doc="Theta/range join: parts binned into size bands via a BETWEEN "
+    "predicate against a tiny broadcast bands table (broadcast "
+    "nested-loop; at scale the small side is always the broadcast side).",
+)
+def rel_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, "part", sf_dir)
+    bands = spark.createDataFrame(
+        [("small", 0, 15), ("mid", 16, 35), ("large", 36, 100)], ["band", "lo", "hi"]
+    )
+    return (
+        part.join(
+            F.broadcast(bands),
+            (F.col("p_size") >= F.col("lo")) & (F.col("p_size") <= F.col("hi")),
+        )
+        .groupBy("band")
+        .agg(
+            F.count("*").alias("n_parts"),
+            F.round(F.avg("p_retailprice"), 4).alias("avg_price"),
+        )
+    )
+
+
+@register(
+    "rel_collect_set",
+    oracle="""
+SELECT c_nationkey,
+       list_sort(list(DISTINCT c_mktsegment)) AS segments,
+       count(DISTINCT c_mktsegment) AS n_segments
+FROM customer
+GROUP BY c_nationkey
+""",
+    doc="collect_set as a first-class aggregate (sort_array makes the "
+    "set deterministic for comparison) — the real inverted-index "
+    "posting-list shape from SURVEY.md §1.4.",
+)
+def rel_collect_set(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, "customer", sf_dir)
+    return cust.groupBy("c_nationkey").agg(
+        F.sort_array(F.collect_set("c_mktsegment")).alias("segments"),
+        F.countDistinct("c_mktsegment").alias("n_segments"),
+    )
+
+
+@register(
+    "rel_window_rank_suite",
+    oracle="""
+SELECT o_orderkey, o_orderpriority,
+       rank()       OVER w AS rnk,
+       dense_rank() OVER w AS drnk,
+       ntile(4)     OVER w AS quartile,
+       lead(o_orderkey) OVER w AS next_key,
+       first_value(o_orderkey) OVER w AS first_key
+FROM orders
+WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey)
+""",
+    doc="Ranking/analytic window suite: rank, dense_rank, ntile, lead, "
+    "first_value over one deterministic window spec.",
+)
+def rel_window_rank_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, "orders", sf_dir)
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return orders.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+        F.ntile(4).over(w).alias("quartile"),
+        F.lead("o_orderkey").over(w).alias("next_key"),
+        F.first("o_orderkey").over(w).alias("first_key"),
+    )
+
+
+@register(
+    "rel_window_range_frame",
+    oracle="""
+SELECT o_orderkey, o_custkey,
+       round(sum(o_totalprice) OVER (
+         PARTITION BY o_custkey ORDER BY epoch(o_orderdate)
+         RANGE BETWEEN 7776000 PRECEDING AND CURRENT ROW), 2) AS spend_90d
+FROM orders
+""",
+    doc="RANGE frame: per-customer rolling 90-day spend — rangeBetween "
+    "over the epoch-seconds ordering key (90d = 7,776,000 s).",
+)
+def rel_window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, "orders", sf_dir)
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.unix_timestamp("o_orderdate"))
+        .rangeBetween(-90 * 24 * 3600, Window.currentRow)
+    )
+    return orders.select(
+        "o_orderkey",
+        "o_custkey",
+        F.round(F.sum("o_totalprice").over(w), 2).alias("spend_90d"),
+    )
+
+
+@register(
+    "rel_map_funcs",
+    oracle="""
+SELECT event_id,
+       json_keys(props)[1] AS first_key,
+       CAST(props->>'$.k' AS INTEGER) AS k_value,
+       len(json_keys(props)) AS n_keys
+FROM events
+""",
+    doc="Map/JSON surface: props parsed to MAP<string,int> with "
+    "map_keys/size/element access (DuckDB mirrors via json_keys/->>) — "
+    "the engine's path for the reference's duck-typed dicts (A9).",
+)
+def rel_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    m = F.from_json("props", T.MapType(T.StringType(), T.IntegerType()))
+    return ev.select(
+        "event_id",
+        F.element_at(F.map_keys(m), 1).alias("first_key"),
+        F.element_at(m, "k").alias("k_value"),
+        F.size(F.map_keys(m)).alias("n_keys"),
+    )
+
+
+@register(
+    "udf_pandas_scalar",
+    oracle="""
+SELECT event_id, value, value * 1.1 + 1.0 AS adjusted
+FROM events
+""",
+    doc="Vectorized scalar pandas_udf (Arrow Series→Series): the declared "
+    "Python seam of SURVEY.md §2 UDF surface; oracle proves numeric "
+    "equivalence with the SQL expression.",
+)
+def udf_pandas_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    @F.pandas_udf(T.DoubleType())
+    def adjust(s: pd.Series) -> pd.Series:
+        return s * 1.1 + 1.0
+
+    ev = load_table(spark, "events", sf_dir)
+    return ev.select("event_id", "value", adjust("value").alias("adjusted"))
+
+
+@register(
+    "udf_grouped_agg",
+    oracle="""
+SELECT event_type,
+       round(sum(value * CAST(user_id + 1 AS DOUBLE)) /
+             sum(CAST(user_id + 1 AS DOUBLE)), 6) AS weighted_avg
+FROM events
+GROUP BY event_type
+""",
+    doc="UDAF via pandas_udf GROUPED_AGG: weighted mean per event_type; "
+    "oracle is the algebraic SQL form.",
+)
+def udf_grouped_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    @F.pandas_udf(T.DoubleType())
+    def wavg(v: pd.Series, w: pd.Series) -> float:
+        return float((v * w).sum() / w.sum())
+
+    ev = load_table(spark, "events", sf_dir).withColumn(
+        "w", (F.col("user_id") + 1).cast("double")
+    )
+    return ev.groupBy("event_type").agg(
+        F.round(wavg("value", "w"), 6).alias("weighted_avg")
+    )
+
+
+@register(
+    "udf_grouped_zscore",
+    oracle="""
+SELECT event_id, event_type,
+       round((value - avg(value) OVER (PARTITION BY event_type)) /
+             stddev_samp(value) OVER (PARTITION BY event_type), 6) AS zscore
+FROM events
+""",
+    doc="Grouped-map applyInPandas: per-group pandas z-score; oracle is "
+    "the window-function rewrite — the pandas path must preserve exact "
+    "relational semantics.",
+)
+def udf_grouped_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("zscore", T.DoubleType()),
+        ]
+    )
+
+    def zscore(pdf: pd.DataFrame) -> pd.DataFrame:
+        mu = pdf["value"].mean()
+        sd = pdf["value"].std(ddof=1)
+        return pd.DataFrame(
+            {
+                "event_id": pdf["event_id"],
+                "event_type": pdf["event_type"],
+                "zscore": ((pdf["value"] - mu) / sd).round(6),
+            }
+        )
+
+    ev = load_table(spark, "events", sf_dir)
+    return ev.groupBy("event_type").applyInPandas(zscore, schema)

@@ -1,0 +1,75 @@
+"""Source/reader surface tests: csv/json/text with explicit schemas,
+glob listing, whole-file reads, and the Python UDTF table-function seam."""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.functions import udtf
+
+from mrc_spark_jobs_pubmed_spark.sources import readers
+
+
+def test_csv_roundtrip_with_schema(spark, tmp_path):
+    out = str(tmp_path / "csv")
+    df = spark.createDataFrame([(1, "a"), (2, "b")], ["k", "v"])
+    df.write.csv(out)
+    schema = T.StructType(
+        [T.StructField("k", T.LongType()), T.StructField("v", T.StringType())]
+    )
+    back = readers.read_csv(spark, out, schema)
+    assert {(r.k, r.v) for r in back.collect()} == {(1, "a"), (2, "b")}
+
+
+def test_ndjson_read_with_nested_schema(spark, tmp_path):
+    p = tmp_path / "articles.ndjson"
+    p.write_text(
+        "\n".join(
+            [
+                json.dumps({"pmid": "1", "medent": {"abstract": "text one"}}),
+                json.dumps({"pmid": "2", "medent": {}}),
+            ]
+        )
+    )
+    schema = T.StructType(
+        [
+            T.StructField("pmid", T.StringType()),
+            T.StructField(
+                "medent", T.StructType([T.StructField("abstract", T.StringType())])
+            ),
+        ]
+    )
+    df = readers.read_json(spark, str(p), schema)
+    assert df.filter(F.col("medent.abstract").isNotNull()).count() == 1
+
+
+def test_wholetext_read_with_lineage_and_glob(spark, tmp_path):
+    (tmp_path / "2019_file.txt").write_text("line a\nline b")
+    (tmp_path / "2020_file.txt").write_text("line c")
+    # glob listing replaces the reference's driver-side prefix listing (A6)
+    df = readers.read_text(spark, str(tmp_path / "20*_file.txt"), wholetext=True)
+    rows = df.collect()
+    assert len(rows) == 2 and all("file.txt" in r.source_file for r in rows)
+    year = df.select(
+        F.regexp_extract(F.input_file_name(), r"(\d{4})_file", 1).alias("year")
+    )
+    assert {r.year for r in year.collect()} == {"2019", "2020"}
+
+
+def test_python_udtf_lateral_join(spark):
+    @udtf(returnType="word: string, wlen: int")
+    class SplitWords:
+        def eval(self, text: str):
+            for w in (text or "").split():
+                yield w, len(w)
+
+    spark.udtf.register("split_words", SplitWords)
+    df = spark.createDataFrame([(1, "big data"), (2, "spark")], ["id", "txt"])
+    df.createOrReplaceTempView("t_udtf_in")
+    out = spark.sql(
+        "SELECT t.id, s.word, s.wlen FROM t_udtf_in t, LATERAL split_words(t.txt) s"
+    )
+    got = {(r.id, r.word, r.wlen) for r in out.collect()}
+    assert got == {(1, "big", 3), (1, "data", 4), (2, "spark", 5)}
