@@ -17,6 +17,7 @@ from mrc_spark_jobs_pubmed_spark.plans import (  # noqa: F401,E402
     analysis_queries,
     dedup_queries,
     extra_queries,
+    mm_queries,
     relational_queries,
     similarity_queries,
     streaming_queries,

@@ -258,3 +258,84 @@ def udf_grouped_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load_table(spark, "events", sf_dir)
     return ev.groupBy("event_type").applyInPandas(zscore, schema)
+
+
+@register(
+    "rel_percentiles",
+    oracle="""
+SELECT l_returnflag,
+       quantile_cont(l_quantity, 0.25) AS p25,
+       quantile_cont(l_quantity, 0.50) AS p50,
+       quantile_cont(l_quantity, 0.95) AS p95
+FROM lineitem
+GROUP BY l_returnflag
+""",
+    doc="Exact percentiles (linear interpolation) per group; the "
+    "approximate HLL/sketch path is rel_approx_distinct — this is the "
+    "exact counterpart the oracle can value-match.",
+)
+def rel_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, "lineitem", sf_dir)
+    return li.groupBy("l_returnflag").agg(
+        F.expr("percentile(l_quantity, 0.25)").alias("p25"),
+        F.expr("percentile(l_quantity, 0.50)").alias("p50"),
+        F.expr("percentile(l_quantity, 0.95)").alias("p95"),
+    )
+
+
+@register(
+    "rel_subqueries",
+    oracle="""
+SELECT c_custkey, round(c_acctbal, 2) AS acctbal
+FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o
+              WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 200000)
+  AND c_nationkey IN (SELECT n_nationkey FROM nation WHERE n_regionkey = 1)
+  AND c_acctbal > (SELECT avg(c_acctbal) FROM customer)
+""",
+    doc="SQL subquery surface: correlated EXISTS (→ left-semi join), "
+    "uncorrelated IN, and a scalar subquery — run through spark.sql so "
+    "the parser/analyzer path is exercised, decorrelated by Catalyst.",
+)
+def rel_subqueries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    for t in ("customer", "orders", "nation"):
+        load_table(spark, t, sf_dir).createOrReplaceTempView(f"v_{t}")
+    return spark.sql(
+        """
+        SELECT c_custkey, round(c_acctbal, 2) AS acctbal
+        FROM v_customer c
+        WHERE EXISTS (SELECT 1 FROM v_orders o
+                      WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 200000)
+          AND c_nationkey IN (SELECT n_nationkey FROM v_nation WHERE n_regionkey = 1)
+          AND c_acctbal > (SELECT avg(c_acctbal) FROM v_customer)
+        """
+    )
+
+
+@register(
+    "udtf_split_words",
+    oracle="""
+SELECT doc_id,
+       unnest(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> ''))
+         AS word
+FROM documents
+""",
+    doc="Python UDTF (table function) via LATERAL join: one text row → "
+    "N word rows; oracle is the regexp-split/unnest rewrite, proving the "
+    "UDTF row-expansion contract against plain SQL.",
+)
+def udtf_split_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="word: string")
+    class SplitWords:
+        def eval(self, text: str):
+            for w in (text or "").split():
+                yield (w,)
+
+    spark.udtf.register("split_words_q", SplitWords)
+    load_table(spark, "documents", sf_dir).createOrReplaceTempView("v_documents_udtf")
+    return spark.sql(
+        "SELECT d.doc_id, s.word "
+        "FROM v_documents_udtf d, LATERAL split_words_q(d.text) s"
+    )

@@ -1,0 +1,123 @@
+"""Multimodal columns as first-class, oracle-checked queries.
+
+The `documents` table stands in for a media lake: each text is encoded
+to an opaque BINARY `content` column (the same shape a real image/audio
+blob would travel in — SURVEY.md §2 Part B multimodal), then pushed
+through the Arrow-batched `mapInPandas` operators in
+`operators/multimodal.py`. Because the stub decode kernel is
+deterministic (md5-derived), every query here has an exact DuckDB SQL
+oracle: the oracle recomputes the kernel arithmetic from the same bytes,
+proving the Spark-side plumbing (schema, batching, row multiplicity)
+preserves per-row semantics under any partitioning.
+
+At 100 TB the shape is identical: `content` is a Parquet BINARY column
+(columnar, scannable without decode), metadata predicates prune before
+any Python crossing, and the only Python boundary is one Arrow batch per
+`mapInPandas` task.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mrc_spark_jobs_pubmed_spark.operators import multimodal as M
+from mrc_spark_jobs_pubmed_spark.plans.registry import register
+from mrc_spark_jobs_pubmed_spark.sources.catalog import load_table
+
+
+def _media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents → opaque-binary media frame (content = utf-8 bytes)."""
+    docs = load_table(spark, "documents", sf_dir)
+    return docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("image").alias("kind"),
+        F.encode("text", "utf-8").alias("content"),
+        F.struct(
+            F.lit(64).cast("int").alias("width"),
+            F.lit(48).cast("int").alias("height"),
+            F.lit(16_000).cast("int").alias("sample_rate"),
+            (250 * (F.col("doc_id") % 8 + 1)).cast("int").alias("duration_ms"),
+            F.lit("mock").alias("format"),
+        ).alias("meta"),
+    )
+
+
+@register(
+    "mm_decode_features",
+    oracle="""
+SELECT doc_id AS media_id,
+       16 + CAST('0x' || substr(md5(text), 1, 2) AS INTEGER) AS width,
+       16 + CAST('0x' || substr(md5(text), 3, 2) AS INTEGER) AS height,
+       octet_length(encode(text)) AS n_bytes,
+       [round(CAST('0x' || substr(md5(text), 2*i-1, 2) AS INTEGER) / 255.0, 6)
+        for i in range(1, 9)] AS features
+FROM documents
+""",
+    doc="Media decode + feature extraction through Arrow-batched "
+    "mapInPandas; the deterministic stub kernel (md5-derived dims + "
+    "8-dim feature vector) is recomputed in SQL by the oracle, so the "
+    "whole Python crossing is value-checked end to end.",
+)
+def mm_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    decoded = M.decode_features(_media(spark, sf_dir))
+    # float32 storage re-canonicalized to 6dp doubles to match the oracle
+    return decoded.select(
+        "media_id",
+        "width",
+        "height",
+        "n_bytes",
+        F.expr("transform(features, x -> round(cast(x AS double), 6))").alias(
+            "features"
+        ),
+    )
+
+
+@register(
+    "mm_frame_sample",
+    oracle="""
+WITH f AS (
+  SELECT doc_id AS media_id, unnest(range(0, doc_id % 8 + 1)) AS k
+  FROM documents
+)
+SELECT media_id,
+       CAST(k AS INTEGER) AS frame_idx,
+       CAST(k * 250 AS INTEGER) AS ts_ms,
+       md5(CAST(media_id AS VARCHAR) || ':' || CAST(k AS VARCHAR)) AS frame_md5
+FROM f
+""",
+    doc="Video frame sampling: one media row expands to duration/250ms "
+    "frame rows (UDTF-like row multiplicity through mapInPandas); oracle "
+    "rebuilds the expansion with range+unnest and checks frame bytes by "
+    "md5 identity.",
+)
+def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    frames = M.sample_frames(_media(spark, sf_dir), every_ms=250)
+    return frames.select(
+        "media_id",
+        "frame_idx",
+        "ts_ms",
+        F.lower(F.hex("frame")).alias("frame_md5"),
+    )
+
+
+@register(
+    "mm_resize_meta",
+    oracle="""
+SELECT doc_id AS media_id,
+       CASE WHEN octet_length(encode(text)) = 0 THEN 0 ELSE 64 END AS n_bytes,
+       64 AS width, 48 AS height
+FROM documents
+""",
+    doc="binary→binary resize plumbing: content re-shaped to the target "
+    "length (64*48/64+16 = 64 bytes) with meta width/height rewritten; "
+    "oracle pins row multiplicity, output length, and meta update.",
+)
+def mm_resize_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    resized = M.resize_media(_media(spark, sf_dir), width=64, height=48)
+    return resized.select(
+        "media_id",
+        F.length("content").alias("n_bytes"),
+        F.col("meta.width").alias("width"),
+        F.col("meta.height").alias("height"),
+    )
