@@ -339,3 +339,50 @@ def udtf_split_words(spark: SparkSession, sf_dir: str) -> DataFrame:
         "SELECT d.doc_id, s.word "
         "FROM v_documents_udtf d, LATERAL split_words_q(d.text) s"
     )
+
+
+@register(
+    "src_pubmed_pages",
+    oracle="""
+WITH months AS (
+  SELECT CAST(y AS INTEGER) AS year, CAST(m AS INTEGER) AS month
+  FROM unnest(range(1998, 2000)) t(y), unnest(range(1, 13)) u(m)
+),
+work AS (
+  SELECT year, month,
+         5000 + CAST('0x' || substr(md5(year || '-' || month), 1, 8) AS BIGINT)
+                % 30000 AS total
+  FROM months
+),
+pages AS (
+  SELECT year, month, unnest(range(0, total, 10000)) AS page_offset FROM work
+)
+SELECT year || '_' || month || '_num_' || page_offset AS page_key,
+       year, month, page_offset, 1 AS n_attempts, TRUE AS has_payload
+FROM pages
+""",
+    doc="Custom Spark 4 Python DataSource (`format('pubmed')`): the "
+    "reference's esearch/efetch ingest as a real scan node — one "
+    "InputPartition per (year, month), executor-side 10k-page "
+    "enumeration, bounded retry. Oracle replays the deterministic "
+    "discovery/pagination arithmetic in SQL (payload bodies are checked "
+    "structurally via has_payload; their content is pinned by pytest).",
+)
+def src_pubmed_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mrc_spark_jobs_pubmed_spark.sources import pubmed_datasource
+
+    pubmed_datasource.register(spark)
+    df = (
+        spark.read.format("pubmed")
+        .option("begin_year", "1998")
+        .option("end_year", "1999")
+        .load()
+    )
+    return df.select(
+        "page_key",
+        "year",
+        "month",
+        F.col("offset").alias("page_offset"),
+        "n_attempts",
+        F.col("payload").isNotNull().alias("has_payload"),
+    )

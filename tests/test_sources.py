@@ -73,3 +73,35 @@ def test_python_udtf_lateral_join(spark):
     )
     got = {(r.id, r.word, r.wlen) for r in out.collect()}
     assert got == {(1, "big", 3), (1, "data", 4), (2, "spark", 5)}
+
+
+def test_pubmed_datasource_scan(spark):
+    from mrc_spark_jobs_pubmed_spark.pipeline.ingest import mock_fetcher, mock_search
+    from mrc_spark_jobs_pubmed_spark.sources import pubmed_datasource
+
+    pubmed_datasource.register(spark)
+    df = (
+        spark.read.format("pubmed")
+        .option("begin_year", "2019")
+        .option("end_year", "2019")
+        .load()
+    )
+    rows = df.collect()
+    # 12 months, ceil(total/10000) pages each; every page fetched once
+    assert {(r.year, r.month) for r in rows} == {(2019, m) for m in range(1, 13)}
+    assert all(r.n_attempts == 1 and r.payload for r in rows)
+    # page math and payload bytes match the pipeline-stage mocks exactly
+    url, total = mock_search(2019, 1)
+    jan = sorted(r.offset for r in rows if r.month == 1)
+    assert jan == list(range(0, total, 10_000))
+    first = next(r for r in rows if r.month == 1 and r.offset == 0)
+    assert first.payload == mock_fetcher(f"{url}&retstart=0")
+    assert first.page_key == "2019_1_num_0"
+
+
+def test_pubmed_datasource_partition_per_month(spark):
+    from mrc_spark_jobs_pubmed_spark.sources.pubmed_datasource import PubmedReader
+
+    reader = PubmedReader({"begin_year": "2000", "end_year": "2001"})
+    parts = reader.partitions()
+    assert len(parts) == 24  # concurrency unit = (year, month)
