@@ -136,3 +136,51 @@ def test_full_pipeline_end_to_end(spark, tmp_path):
     n_before = arts.count()
     run_pipeline(spark, out, 2020, 2020)
     assert spark.read.parquet(f"{out}/articles").count() == n_before
+
+
+def _physical(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def test_bucketed_join_is_exchange_free(spark, tmp_path):
+    # shuffle paid once at write time: a join of two tables bucketed on
+    # the same key must plan with zero Exchange nodes
+    from mrc_spark_jobs_pubmed_spark.pipeline import sinks
+
+    left = spark.range(0, 1000).withColumn("v", F.col("id") % 7)
+    right = spark.range(0, 1000).withColumn("w", F.col("id") % 3)
+    sinks.write_bucketed(left, "t_bkt_left", "id", n_buckets=4, sort_by="id")
+    sinks.write_bucketed(right, "t_bkt_right", "id", n_buckets=4, sort_by="id")
+    try:
+        joined = (
+            spark.table("t_bkt_left")
+            .hint("merge")  # force SMJ: broadcast would hide the bucketing
+            .join(spark.table("t_bkt_right"), "id")
+        )
+        plan = _physical(joined)
+        assert "Exchange" not in plan
+        assert joined.count() == 1000
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_bkt_left")
+        spark.sql("DROP TABLE IF EXISTS t_bkt_right")
+
+
+def test_partitioned_write_enables_partition_pruning(spark, tmp_path):
+    # partitionBy(year) layout → a year predicate prunes at the file
+    # index, never touching other partitions (the declarative form of the
+    # reference's year-prefix blob listing, job_pubmed_jsons.py:49-50)
+    from mrc_spark_jobs_pubmed_spark.pipeline import sinks
+
+    df = spark.createDataFrame(
+        [(i, 2018 + i % 3, f"doc {i}") for i in range(30)], ["doc_id", "year", "text"]
+    )
+    out = str(tmp_path / "by_year")
+    sinks.write_partitioned(df, out, partition_by=("year",), mode="overwrite")
+    back = spark.read.parquet(out).filter(F.col("year") == 2019)
+    plan = _physical(back)
+    assert "PartitionFilters: [isnotnull(year" in plan or "year#" in plan.split(
+        "PartitionFilters"
+    )[1].splitlines()[0]
+    assert back.count() == 10
