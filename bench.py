@@ -43,7 +43,16 @@ HEADLINE = (
 
 
 def main() -> None:
-    spark = get_session(app_name="bench")
+    # At sf0.1 the whole working set is ~60 MB, so AQE's default 64 MB
+    # advisory partition size coalesces post-shuffle stages to ~1
+    # partition and serializes CPU-bound work. 8 MB keeps all local
+    # cores busy at this scale (measured ~2x on Q1/Q5); at production
+    # data sizes the 64 MB session default is the right one — this is a
+    # per-deployment sizing knob, not engine logic.
+    spark = get_session(
+        app_name="bench",
+        extra_conf={"spark.sql.adaptive.advisoryPartitionSizeInBytes": "8m"},
+    )
     registry = plans.all_queries()
 
     # Warm each query shape once (JVM JIT + whole-stage codegen compile)

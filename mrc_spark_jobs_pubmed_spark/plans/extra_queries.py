@@ -342,6 +342,29 @@ def udtf_split_words(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "rel_salted_agg",
+    oracle="""
+SELECT l_returnflag,
+       list_sort(list(DISTINCT l_linestatus)) AS l_linestatus_set
+FROM lineitem
+GROUP BY l_returnflag
+""",
+    doc="Skew-safe collect_set: two-phase salted aggregation (per-(key, "
+    "salt) partial sets, flatten+distinct at the final reduce) — the "
+    "explicit lever for hot-key groupBys whose per-key state AQE cannot "
+    "split. Oracle is the plain one-phase form, proving the rewrite is "
+    "semantics-preserving.",
+)
+def rel_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mrc_spark_jobs_pubmed_spark.operators import skew
+
+    li = load_table(spark, "lineitem", sf_dir)
+    return skew.salted_collect_set(
+        li, key="l_returnflag", value="l_linestatus", salt_from=F.col("l_orderkey")
+    )
+
+
+@register(
     "src_pubmed_pages",
     oracle="""
 WITH months AS (

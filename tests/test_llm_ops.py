@@ -101,3 +101,22 @@ def test_minhash_rowwise_matches_grouped_form(spark):
     assert {tuple(r) for r in grouped.collect()} == {
         tuple(r) for r in rowwise.collect()
     }
+
+
+def test_salted_join_matches_plain_join(spark):
+    from mrc_spark_jobs_pubmed_spark.operators import skew
+
+    # one hot key (0) dominating the big side
+    big = spark.range(0, 2000).select(
+        (F.when(F.col("id") % 4 == 0, 0).otherwise(F.col("id") % 50)).alias("k"),
+        F.col("id").alias("row_id"),
+    )
+    small = spark.createDataFrame([(k, f"v{k}") for k in range(50)], ["k", "v"])
+    plain = {tuple(r) for r in big.join(small, ["k"]).collect()}
+    salted = {
+        tuple(r)
+        for r in skew.salted_join(
+            big, small, ["k"], salt_from=F.col("row_id"), n_salts=4
+        ).collect()
+    }
+    assert salted == plain and len(plain) == 2000
