@@ -109,3 +109,30 @@ def run_to_memory(stream_df: DataFrame, name: str, output_mode: str = "complete"
         .queryName(name)
         .start()
     )
+
+
+def run_to_files(
+    stream_df: DataFrame,
+    path: str,
+    checkpoint: str,
+    fmt: str = "parquet",
+    available_now: bool = True,
+):
+    """Durable streaming sink: file output + checkpoint.
+
+    This is the engine's form of the reference's skip-if-exists resume
+    (A5, job_pubmed_submit.py:41-43): the checkpoint records committed
+    batches, so restarting the same query against the same checkpoint
+    writes nothing twice — exactly-once file output without per-object
+    existence checks. `available_now` drains all available input then
+    stops (the batch-replay trigger); pass False for a continuous query.
+    """
+    writer = (
+        stream_df.writeStream.outputMode("append")
+        .format(fmt)
+        .option("path", path)
+        .option("checkpointLocation", checkpoint)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

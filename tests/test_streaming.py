@@ -102,3 +102,19 @@ def test_stateful_running_count(spark):
         for r in _batch_events(spark).groupBy("user_id").agg(F.count("*").alias("n")).collect()
     }
     assert final == want
+
+
+def test_file_sink_checkpoint_resume_is_idempotent(spark, tmp_path):
+    # A5 generalized: re-running a finished query against the same
+    # checkpoint must not duplicate output — the checkpoint, not
+    # per-object existence checks, carries the resume semantics
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    n_events = load_table(spark, "events", SF).count()
+
+    for _ in range(2):  # second run replays nothing
+        stream = J.dedup_events(J.read_events_stream(spark, SF))
+        q = J.run_to_files(stream.select("event_id", "ts"), out, ckpt)
+        q.awaitTermination(120)
+    written = spark.read.parquet(out)
+    assert written.count() == n_events  # fixture has unique event_ids
+    assert written.select("event_id").distinct().count() == n_events
