@@ -19,7 +19,12 @@ identical either way.
 
 from __future__ import annotations
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceStreamReader,
+    InputPartition,
+)
 
 from mrc_spark_jobs_pubmed_spark.pipeline.ingest import (
     PAGE_SIZE,
@@ -69,6 +74,46 @@ class PubmedReader(DataSourceReader):
             yield (f"{y}_{m}_num_{offset}", y, m, offset, payload, attempts)
 
 
+class PubmedStreamReader(DataSourceStreamReader):
+    """Micro-batch ingest: the offset is an index into the (year, month)
+    work list, so each batch fetches the next `months_per_batch` months —
+    incremental, checkpointable replay of the same ingest the batch
+    reader does in one pass. Restart-from-checkpoint resumes at the
+    committed month, the streaming-native form of the reference's
+    skip-if-exists resume (A5).
+    """
+
+    def __init__(self, options: dict):
+        self._batch = PubmedReader(options)
+        self.months = [
+            (y, m)
+            for y in range(self._batch.begin_year, self._batch.end_year + 1)
+            for m in range(1, 13)
+        ]
+        self.months_per_batch = int(options.get("months_per_batch", "3"))
+
+    def initialOffset(self) -> dict:
+        return {"idx": 0}
+
+    def latestOffset(self) -> dict:
+        # advance a bounded window per micro-batch; a real HTTP source
+        # would report server-side availability here instead
+        cur = getattr(self, "_cur", 0)
+        self._cur = min(cur + self.months_per_batch, len(self.months))
+        return {"idx": self._cur}
+
+    def partitions(self, start: dict, end: dict):
+        return [
+            MonthPartition(y, m) for (y, m) in self.months[start["idx"] : end["idx"]]
+        ]
+
+    def read(self, partition: MonthPartition):
+        return self._batch.read(partition)
+
+    def commit(self, end: dict) -> None:
+        pass
+
+
 class PubmedDataSource(DataSource):
     @classmethod
     def name(cls) -> str:
@@ -79,6 +124,9 @@ class PubmedDataSource(DataSource):
 
     def reader(self, schema) -> PubmedReader:
         return PubmedReader(self.options)
+
+    def streamReader(self, schema) -> PubmedStreamReader:
+        return PubmedStreamReader(self.options)
 
 
 def register(spark) -> None:

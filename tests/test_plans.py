@@ -61,3 +61,20 @@ def test_text_pipeline_has_no_python_udf(spark):
 def test_semi_and_anti_join_operators(spark):
     assert "LeftSemi" in _physical(spark, "rel_semi_join")
     assert "LeftAnti" in _physical(spark, "rel_anti_join")
+
+
+def test_multimodal_stays_narrow(spark):
+    # binary decode/frame-sample must not introduce a shuffle: one
+    # Arrow crossing, zero Exchange
+    for name in ("mm_decode_features", "mm_frame_sample", "mm_resize_meta"):
+        plan = _physical(spark, name)
+        assert "Exchange" not in plan, name
+        assert "MapInPandas" in plan, name
+
+
+def test_text_analysis_is_narrow_jvm_only(spark):
+    # per-doc text stats: no shuffle, no Python
+    for name in ("ta_quality", "ta_langid", "ta_token_counts", "ta_fingerprint"):
+        plan = _physical(spark, name)
+        assert "Exchange" not in plan, name
+        assert "EvalPython" not in plan, name

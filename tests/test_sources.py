@@ -105,3 +105,33 @@ def test_pubmed_datasource_partition_per_month(spark):
     reader = PubmedReader({"begin_year": "2000", "end_year": "2001"})
     parts = reader.partitions()
     assert len(parts) == 24  # concurrency unit = (year, month)
+
+
+def test_pubmed_datasource_streaming_microbatches(spark, tmp_path):
+    from mrc_spark_jobs_pubmed_spark.sources import pubmed_datasource
+
+    pubmed_datasource.register(spark)
+    opts = {"begin_year": "2019", "end_year": "2019", "months_per_batch": "4"}
+    stream = spark.readStream.format("pubmed").options(**opts).load()
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("t_pubmed_stream")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = spark.sql("SELECT * FROM t_pubmed_stream")
+    batch = (
+        spark.read.format("pubmed")
+        .option("begin_year", "2019")
+        .option("end_year", "2019")
+        .load()
+    )
+    # stream replay == batch scan, delivered over >=3 micro-batches (12mo/4)
+    assert {tuple(r) for r in got.collect()} == {tuple(r) for r in batch.collect()}
+    n_batches = len([p for p in q.recentProgress if p["numInputRows"] > 0])
+    assert n_batches >= 3
