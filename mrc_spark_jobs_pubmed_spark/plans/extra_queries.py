@@ -342,6 +342,88 @@ def udtf_split_words(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "rel_set_ops_all",
+    oracle="""
+SELECT 'both_all' AS tag, n FROM (
+  SELECT c_nationkey AS n FROM customer
+  INTERSECT ALL
+  SELECT s_nationkey AS n FROM supplier WHERE s_acctbal > 5000)
+UNION ALL
+SELECT 'cust_only_all' AS tag, n FROM (
+  SELECT c_nationkey AS n FROM customer
+  EXCEPT ALL
+  SELECT s_nationkey AS n FROM supplier WHERE s_acctbal > 5000)
+""",
+    doc="Bag-semantics set ops (INTERSECT ALL / EXCEPT ALL): duplicate "
+    "multiplicity must survive, unlike the set-semantics rel_set_ops.",
+)
+def rel_set_ops_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, "customer", sf_dir).select(
+        F.col("c_nationkey").alias("n")
+    )
+    supp = (
+        load_table(spark, "supplier", sf_dir)
+        .filter(F.col("s_acctbal") > 5000)
+        .select(F.col("s_nationkey").alias("n"))
+    )
+    both = cust.intersectAll(supp).select(F.lit("both_all").alias("tag"), "n")
+    only = cust.exceptAll(supp).select(F.lit("cust_only_all").alias("tag"), "n")
+    return both.unionByName(only)
+
+
+@register(
+    "rel_unpivot",
+    oracle="""
+SELECT p_partkey, metric, val
+FROM (
+  SELECT p_partkey,
+         CAST(p_retailprice AS DOUBLE) AS p_retailprice,
+         CAST(p_size AS DOUBLE) AS p_size
+  FROM part
+) UNPIVOT (val FOR metric IN (p_retailprice, p_size))
+""",
+    doc="unpivot/melt: wide metric columns to long (entity, metric, "
+    "value) rows — the inverse of rel_pivot, a narrow rewrite with no "
+    "shuffle.",
+)
+def rel_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, "part", sf_dir).select(
+        "p_partkey",
+        F.col("p_retailprice").cast("double").alias("p_retailprice"),
+        F.col("p_size").cast("double").alias("p_size"),
+    )
+    return part.unpivot(
+        "p_partkey", ["p_retailprice", "p_size"], "metric", "val"
+    )
+
+
+@register(
+    "rel_null_semantics",
+    oracle="""
+SELECT c_custkey,
+       nullif(c_mktsegment, 'BUILDING') AS seg_n,
+       coalesce(nullif(c_mktsegment, 'BUILDING'), 'suppressed') AS seg_c,
+       (nullif(c_mktsegment, 'BUILDING') IS NOT DISTINCT FROM NULL) AS is_supp
+FROM customer
+""",
+    doc="NULL semantics surface: nullif / coalesce / null-safe equality "
+    "(<=> vs IS NOT DISTINCT FROM) — three-valued logic pinned against "
+    "the oracle.",
+)
+def rel_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, "customer", sf_dir)
+    seg_n = F.expr("nullif(c_mktsegment, 'BUILDING')")
+    return cust.select(
+        "c_custkey",
+        seg_n.alias("seg_n"),
+        F.coalesce(seg_n, F.lit("suppressed")).alias("seg_c"),
+        F.expr("nullif(c_mktsegment, 'BUILDING') <=> CAST(NULL AS STRING)").alias(
+            "is_supp"
+        ),
+    )
+
+
+@register(
     "rel_salted_agg",
     oracle="""
 SELECT l_returnflag,
