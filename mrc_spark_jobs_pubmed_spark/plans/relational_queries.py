@@ -492,15 +492,51 @@ def rel_agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "rel_approx_distinct",
-    oracle=None,  # HLL sketch values are engine-specific → rows-only check
+    oracle="""
+SELECT event_type,
+       count(DISTINCT user_id) AS exact_users,
+       TRUE AS hll_within_rsd
+FROM events
+GROUP BY event_type
+""",
     doc="approx_count_distinct (HyperLogLog++) per event_type — the 100 TB "
-    "path for cardinality; exactness checked separately in rel_agg_stats.",
+    "path for cardinality. Sketch values are engine-specific, so the "
+    "query returns the error-bound CHECK itself: abs(approx-exact)/exact "
+    "within 3x the configured rsd, which the oracle asserts as TRUE — a "
+    "value-gated sketch instead of a rows-only pass.",
 )
 def rel_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, "events", sf_dir)
+    exact = F.countDistinct("user_id")
+    approx = F.expr("approx_count_distinct(user_id, 0.05)")
     return ev.groupBy("event_type").agg(
-        F.approx_count_distinct("user_id").alias("approx_users"),
-        F.count("*").alias("n"),
+        exact.alias("exact_users"),
+        (
+            F.abs(approx - exact) / exact < F.lit(0.15)
+        ).alias("hll_within_rsd"),
+    )
+
+
+@register(
+    "rel_approx_percentile",
+    oracle="""
+SELECT l_returnflag,
+       round(quantile_cont(l_quantity, 0.5), 6) AS exact_p50,
+       TRUE AS sketch_within_tol
+FROM lineitem
+GROUP BY l_returnflag
+""",
+    doc="percentile_approx (KLL-style sketch) vs exact percentile: the "
+    "query emits the relative-error check (<5%) as a value the oracle "
+    "asserts, pairing the scalable sketch with its accuracy contract.",
+)
+def rel_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, "lineitem", sf_dir)
+    exact = F.expr("percentile(l_quantity, 0.5)")
+    approx = F.expr("percentile_approx(l_quantity, 0.5, 1000)")
+    return li.groupBy("l_returnflag").agg(
+        F.round(exact, 6).alias("exact_p50"),
+        (F.abs(approx - exact) / exact < F.lit(0.05)).alias("sketch_within_tol"),
     )
 
 
