@@ -113,15 +113,12 @@ LIMIT 50
 )
 def sim_neardup_top_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, "embeddings", sf_dir)
-    a = emb.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"))
-    b = emb.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"))
+    # over-fetch (50+16) unrounded candidates from the blocked exact
+    # operator, then re-rank at the oracle's 6dp rounding so boundary
+    # ties resolve identically on both engines
+    cands = S.topk_pairs_blocked(emb, k=66, n_blocks=4)
     return (
-        a.join(b, F.col("vec_a") < F.col("vec_b"))
-        .select(
-            "vec_a",
-            "vec_b",
-            F.round(S.cosine(F.col("ea"), F.col("eb")), 6).alias("cosine"),
-        )
+        cands.select("vec_a", "vec_b", F.round("cosine", 6).alias("cosine"))
         .orderBy(F.desc("cosine"), F.asc("vec_a"), F.asc("vec_b"))
         .limit(50)
     )

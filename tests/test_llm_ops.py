@@ -120,3 +120,26 @@ def test_salted_join_matches_plain_join(spark):
         ).collect()
     }
     assert salted == plain and len(plain) == 2000
+
+
+def test_blocked_pairs_match_nested_loop_form(spark):
+    # the block-GEMM tiling must select exactly the same top pairs as
+    # the naive all-pairs join (exact operator, not approximate)
+    from mrc_spark_jobs_pubmed_spark.sources.catalog import load_table
+
+    emb = load_table(spark, "embeddings", "/root/testdata/sf0.001")
+    a = emb.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"))
+    b = emb.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"))
+    naive = (
+        a.join(b, F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b", F.round(S.cosine(F.col("ea"), F.col("eb")), 6).alias("c"))
+        .orderBy(F.desc("c"), "vec_a", "vec_b")
+        .limit(20)
+    )
+    blocked = (
+        S.topk_pairs_blocked(emb, k=30, n_blocks=3)
+        .select("vec_a", "vec_b", F.round("cosine", 6).alias("c"))
+        .orderBy(F.desc("c"), "vec_a", "vec_b")
+        .limit(20)
+    )
+    assert [tuple(r) for r in naive.collect()] == [tuple(r) for r in blocked.collect()]
