@@ -36,7 +36,9 @@ HEADLINE = (
     "text_word_topk",
     "dedup_minhash_bands",
     "dedup_simhash",
+    "dedup_jaccard_top_pairs",
     "sim_cosine_topk",
+    "sim_neardup_top_pairs",
     "stream_session_windows",
     "ta_quality",
 )
