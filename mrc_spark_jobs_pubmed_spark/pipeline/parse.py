@@ -56,3 +56,33 @@ def parse_articles(fetched: DataFrame, require_abstract: bool = True) -> DataFra
     if require_abstract:
         out = out.filter(F.col("abstract").isNotNull())
     return out
+
+
+def parse_articles_quarantine(fetched: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Like parse_articles, but malformed lines are QUARANTINED, not
+    silently dropped: returns (articles, rejects) where rejects carries
+    the raw line + page_key for replay/inspection.
+
+    At scale silent drops are invisible data loss — a feed change that
+    breaks 1% of lines should surface as a countable rejects table, the
+    declarative version of the reference's retry-marker string sniffing
+    (job_pubmed_submit.py:47-49). Both outputs share one scan: the
+    split/explode runs once, the good/bad split is two filters on the
+    same parsed column.
+    """
+    lines = fetched.filter(F.col("payload").isNotNull()).select(
+        "page_key",
+        "year",
+        F.explode(F.split("payload", "\n")).alias("line"),
+    ).filter(F.length(F.trim("line")) > 0)
+    parsed = lines.withColumn("rec", F.from_json("line", ARTICLE_JSON_SCHEMA))
+    good = parsed.filter(F.col("rec.pmid").isNotNull()).select(
+        F.col("rec.pmid").alias("pmid"),
+        "year",
+        F.col("rec.medent.abstract").alias("abstract"),
+        "page_key",
+    )
+    bad = parsed.filter(F.col("rec.pmid").isNull()).select(
+        "page_key", "year", F.col("line").alias("raw_line")
+    )
+    return good, bad

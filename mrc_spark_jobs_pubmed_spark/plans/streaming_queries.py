@@ -102,3 +102,26 @@ def stream_dedup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import functions as F
 
     return ev.groupBy("event_type").agg(F.count("*").alias("n"))
+
+
+@register(
+    "stream_interval_join",
+    oracle="""
+SELECT c.event_id AS click_id,
+       v.event_id AS view_id,
+       c.user_id AS c_user,
+       c.ts AS click_ts,
+       v.ts AS view_ts
+FROM (SELECT * FROM events WHERE event_type = 'click') c
+JOIN (SELECT * FROM events WHERE event_type = 'view') v
+  ON v.user_id = c.user_id
+ AND v.ts <= c.ts
+ AND v.ts >= c.ts - INTERVAL '10 minutes'
+""",
+    doc="Stream-stream interval join (batch form): clicks joined to "
+    "same-user views in the preceding 10 minutes. In streaming both "
+    "sides carry watermarks and the two-sided time bound makes join "
+    "state finite; the replay test drives the same body as two streams.",
+)
+def stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return J.click_view_interval_join(load_table(spark, "events", sf_dir))

@@ -136,3 +136,38 @@ def run_to_files(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def click_view_interval_join(events: DataFrame) -> DataFrame:
+    """Stream-stream interval join: each click joined to same-user views
+    within the preceding 10 minutes.
+
+    Both sides carry watermarks and the join condition bounds event time
+    on both ends, so state is provably finite — Spark evicts outlived
+    rows instead of buffering streams forever. Works identically on a
+    batch DataFrame (the oracle-able form) and two streaming readers.
+    """
+    views = (
+        events.filter(F.col("event_type") == "view")
+        .withWatermark("ts", WATERMARK)
+        .select(
+            F.col("user_id").alias("v_user"),
+            F.col("ts").alias("view_ts"),
+            F.col("event_id").alias("view_id"),
+        )
+    )
+    clicks = (
+        events.filter(F.col("event_type") == "click")
+        .withWatermark("ts", WATERMARK)
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("click_ts"),
+            F.col("event_id").alias("click_id"),
+        )
+    )
+    return clicks.join(
+        views,
+        (F.col("c_user") == F.col("v_user"))
+        & (F.col("view_ts") <= F.col("click_ts"))
+        & (F.col("view_ts") >= F.col("click_ts") - F.expr("INTERVAL 10 MINUTES")),
+    ).select("click_id", "view_id", "c_user", "click_ts", "view_ts")

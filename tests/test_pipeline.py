@@ -184,3 +184,23 @@ def test_partitioned_write_enables_partition_pruning(spark, tmp_path):
         "PartitionFilters"
     )[1].splitlines()[0]
     assert back.count() == 10
+
+
+def test_parse_quarantine_splits_good_and_bad(spark):
+    from mrc_spark_jobs_pubmed_spark.pipeline.parse import parse_articles_quarantine
+
+    payload = "\n".join(
+        [
+            '{"pmid": "1", "medent": {"abstract": "good one"}}',
+            "this is not json at all {{{",
+            '{"no_pmid": true}',
+            '{"pmid": "2", "medent": {}}',
+        ]
+    )
+    fetched = spark.createDataFrame(
+        [("2019_1_num_0", 2019, payload)], ["page_key", "year", "payload"]
+    )
+    good, bad = parse_articles_quarantine(fetched)
+    assert {r.pmid for r in good.collect()} == {"1", "2"}
+    raws = [r.raw_line for r in bad.collect()]
+    assert len(raws) == 2 and any("not json" in r for r in raws)

@@ -118,3 +118,20 @@ def test_file_sink_checkpoint_resume_is_idempotent(spark, tmp_path):
     written = spark.read.parquet(out)
     assert written.count() == n_events  # fixture has unique event_ids
     assert written.select("event_id").distinct().count() == n_events
+
+
+def test_interval_join_stream_equals_batch(spark):
+    events = J.read_events_stream(spark, SF)
+    q = J.run_to_memory(J.click_view_interval_join(events), "t_ssj", "append")
+    _drain(q)
+    got = {
+        (r.click_id, r.view_id)
+        for r in spark.sql("SELECT * FROM t_ssj").collect()
+    }
+    want = {
+        (r.click_id, r.view_id)
+        for r in J.click_view_interval_join(_batch_events(spark)).collect()
+    }
+    # append-mode stream may hold back rows not yet watermark-final, but
+    # replay-to-exhaustion of a finite fixture emits everything
+    assert got == want and len(want) > 0
