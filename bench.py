@@ -41,6 +41,7 @@ HEADLINE = (
     "sim_neardup_top_pairs",
     "stream_session_windows",
     "ta_quality",
+    "llm_corpus_prep",
 )
 
 
