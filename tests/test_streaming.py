@@ -135,3 +135,73 @@ def test_interval_join_stream_equals_batch(spark):
     # append-mode stream may hold back rows not yet watermark-final, but
     # replay-to-exhaustion of a finite fixture emits everything
     assert got == want and len(want) > 0
+
+
+def test_transform_with_state_running_count(spark, tmp_path):
+    """Spark 4 arbitrary state V2 (transformWithStateInPandas): a
+    per-user running event counter with explicit ValueState, emitting
+    one row per micro-batch update.
+
+    The state-server protocol needs google.protobuf, which this
+    container lacks — the test skips there (applyInPandasWithState
+    coverage above does not depend on it); on a protobuf-equipped
+    cluster it runs.
+    """
+    import pytest
+
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+    except ImportError:
+        pytest.skip("transformWithStateInPandas requires google.protobuf")
+    from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
+
+    class RunningCount(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self.count = handle.getValueState(
+                "count", T.StructType([T.StructField("n", T.LongType())])
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            n = self.count.get()[0] if self.count.exists() else 0
+            for pdf in rows:
+                n += len(pdf)
+            self.count.update((n,))
+            yield pd.DataFrame({"user_id": [key[0]], "n_events": [n]})
+
+        def close(self) -> None:
+            pass
+
+    out_schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("n_events", T.LongType()),
+        ]
+    )
+    stream = J.read_events_stream(spark, SF)
+    counted = (
+        stream.groupBy("user_id")
+        .transformWithStateInPandas(
+            statefulProcessor=RunningCount(),
+            outputStructType=out_schema,
+            outputMode="Update",
+            timeMode="None",
+        )
+    )
+    q = (
+        counted.writeStream.format("memory")
+        .queryName("t_tws")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    _drain(q)
+    # last update per user == total batch count per user
+    final = spark.sql(
+        "SELECT user_id, max(n_events) AS n FROM t_tws GROUP BY user_id"
+    )
+    got = {(r.user_id, r.n) for r in final.collect()}
+    want = {
+        (r.user_id, r.n)
+        for r in _batch_events(spark).groupBy("user_id").agg(F.count("*").alias("n")).collect()
+    }
+    assert got == want and len(want) > 0
