@@ -251,7 +251,11 @@ def _minhash_sig_sql() -> str:
     )
 
 
-def minhash_band_keys_sql() -> str:
+def minhash_ctes_sql() -> str:
+    """CTE list (shingle_rows, sig, bands) with no leading WITH — for
+    callers that must splice these into their own WITH list (e.g. a
+    WITH RECURSIVE query, where DuckDB does not resolve CTEs nested
+    inside another CTE's subquery)."""
     band_selects = []
     for b in range(N_BANDS):
         cols = " || '|' || ".join(
@@ -261,7 +265,14 @@ def minhash_band_keys_sql() -> str:
             f"SELECT doc_id, {b} AS band_id, {cols} AS band_key FROM sig"
         )
     union = " UNION ALL ".join(band_selects)
-    return f"WITH {SHINGLE_ROWS_SQL.strip()}, sig AS ({_minhash_sig_sql()}) {union}"
+    return (
+        f"{SHINGLE_ROWS_SQL.strip()}, sig AS ({_minhash_sig_sql()}), "
+        f"bands AS ({union})"
+    )
+
+
+def minhash_band_keys_sql() -> str:
+    return f"WITH {minhash_ctes_sql()} SELECT doc_id, band_id, band_key FROM bands"
 
 
 def lsh_candidate_pairs(band_keys: DataFrame, id_col: str = "doc_id") -> DataFrame:
@@ -411,3 +422,49 @@ WITH toks AS (
 sig AS (SELECT doc_id, {terms} FROM toks GROUP BY doc_id)
 SELECT doc_id, {fp} AS simhash FROM sig
 """
+
+
+def connected_components(
+    nodes: DataFrame,
+    edges: DataFrame,
+    id_col: str = "doc_id",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Duplicate-cluster resolution: connected components over the LSH
+    candidate-pair graph by iterative min-label propagation.
+
+    Dropping just the doc_b side of candidate pairs over-deletes when
+    clusters chain (a~b, b~c but not a~c); components give each doc its
+    cluster's min doc_id as a canonical label. Each iteration is one
+    distributed join + min-agg (Pregel-lite); iteration count is graph
+    diameter, which for near-dup clusters (near-cliques) is tiny.
+    `localCheckpoint` cuts the growing lineage each round — without it
+    the plan doubles per iteration and the driver, not the data, becomes
+    the bottleneck at scale. Driver-side control flow is bounded and
+    data-free: the loop inspects only a change COUNT per round.
+    """
+    sym = edges.select(F.col("a"), F.col("b")).union(
+        edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    )
+    lab = nodes.select(F.col(id_col).alias("node"), F.col(id_col).alias("label"))
+    lab = lab.localCheckpoint(eager=True)
+    for _ in range(max_iter):
+        prop = (
+            sym.join(lab, sym.a == lab.node)
+            .select(F.col("b").alias("node"), F.col("label"))
+        )
+        new = (
+            lab.unionByName(prop)
+            .groupBy("node")
+            .agg(F.min("label").alias("label"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new.join(lab.withColumnRenamed("label", "old"), "node")
+            .filter(F.col("label") != F.col("old"))
+            .count()
+        )
+        lab = new
+        if changed == 0:
+            break
+    return lab.select(F.col("node").alias(id_col), F.col("label").alias("component"))

@@ -82,3 +82,37 @@ def dedup_jaccard_top_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.simhash_fingerprints(load_table(spark, "documents", sf_dir))
+
+
+@register(
+    "dedup_cluster_components",
+    oracle=f"""
+WITH RECURSIVE {D.minhash_ctes_sql()},
+pairs AS (
+  SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
+  FROM bands a JOIN bands b
+    ON a.band_id = b.band_id AND a.band_key = b.band_key
+   AND a.doc_id < b.doc_id
+),
+edges AS (SELECT a, b FROM pairs UNION SELECT b, a FROM pairs),
+cc AS (
+  SELECT doc_id AS node, doc_id AS label FROM documents
+  UNION
+  SELECT e.b AS node, cc.label AS label
+  FROM cc JOIN edges e ON e.a = cc.node
+  WHERE cc.label < e.b
+)
+SELECT node AS doc_id, min(label) AS component FROM cc GROUP BY node
+""",
+    doc="Duplicate-cluster resolution: connected components over the LSH "
+    "candidate graph (iterative min-label propagation, localCheckpoint "
+    "per round) — canonical labels that survive chained near-dups where "
+    "pairwise doc_b-dropping over-deletes. Oracle: DuckDB recursive CTE "
+    "reaching the same fixpoint.",
+)
+def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    pairs = D.lsh_candidate_pairs(
+        D.minhash_band_keys(D.shingle_rows(docs, distinct=False))
+    ).select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
+    return D.connected_components(docs, pairs)

@@ -143,3 +143,15 @@ def test_blocked_pairs_match_nested_loop_form(spark):
         .limit(20)
     )
     assert [tuple(r) for r in naive.collect()] == [tuple(r) for r in blocked.collect()]
+
+
+def test_connected_components_resolves_chains(spark):
+    # a~b, b~c (no a~c edge) must land in ONE component labeled min(a);
+    # singletons keep their own label
+    nodes = spark.createDataFrame([(i,) for i in (1, 2, 3, 7, 9)], ["doc_id"])
+    edges = spark.createDataFrame([(2, 3), (1, 2), (7, 9)], ["a", "b"])
+    got = {
+        (r.doc_id, r.component)
+        for r in D.connected_components(nodes, edges).collect()
+    }
+    assert got == {(1, 1), (2, 1), (3, 1), (7, 7), (9, 7)}
