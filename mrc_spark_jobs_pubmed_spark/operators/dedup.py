@@ -57,6 +57,18 @@ def shingles_sql(toks_expr: str) -> str:
     )
 
 
+# zip_with over shifted slices, NOT element_at(toks, i) inside a
+# lambda: Catalyst's CollapseProject inlines `toks` into the lambda,
+# so an element_at(toks, ...) per element re-evaluates the whole
+# split/filter chain per element — O(len²) per doc. zip_with's array
+# arguments evaluate once per row. Bound to a column named `toks`.
+SHINGLES_ARR_EXPR = (
+    "filter(zip_with(zip_with(toks, slice(toks, 2, greatest(size(toks) - 1, 0)), "
+    "(x, y) -> concat(x, ' ', y)), slice(toks, 3, greatest(size(toks) - 2, 0)), "
+    "(xy, z) -> concat(xy, ' ', z)), s -> s IS NOT NULL)"
+)
+
+
 def shingle_rows(
     df: DataFrame,
     text_col: str = "text",
@@ -70,16 +82,7 @@ def shingle_rows(
     shuffle, unlike DataFrame.distinct(). MinHash passes False since MIN
     is duplicate-insensitive and skips even that.
     """
-    # zip_with over shifted slices, NOT element_at(toks, i) inside a
-    # lambda: Catalyst's CollapseProject inlines `toks` into the lambda,
-    # so an element_at(toks, ...) per element re-evaluates the whole
-    # split/filter chain per element — O(len²) per doc. zip_with's array
-    # arguments evaluate once per row.
-    arr = F.expr(
-        "filter(zip_with(zip_with(toks, slice(toks, 2, greatest(size(toks) - 1, 0)), "
-        "(x, y) -> concat(x, ' ', y)), slice(toks, 3, greatest(size(toks) - 2, 0)), "
-        "(xy, z) -> concat(xy, ' ', z)), s -> s IS NOT NULL)"
-    )
+    arr = F.expr(SHINGLES_ARR_EXPR)
     if distinct:
         arr = F.array_distinct(arr)
     return (

@@ -16,6 +16,7 @@ from mrc_spark_jobs_pubmed_spark.plans.registry import (  # noqa: F401
 from mrc_spark_jobs_pubmed_spark.plans import (  # noqa: F401,E402
     analysis_queries,
     composite_queries,
+    corpus_queries,
     dedup_queries,
     extra_queries,
     mm_queries,

@@ -1,0 +1,289 @@
+"""Corpus-preparation queries: the training-data pipeline surface beyond
+dedup/similarity — repetition filters, PII redaction, deterministic
+sampling, token chunking, and sequence packing over `documents`.
+
+These are the operators a 100 TB LLM-corpus build runs after language-ID
+and dedup (Gopher/C4-style filtering, fixed-budget packing for the
+trainer). Every one is a narrow, per-row or single-shuffle plan:
+
+- repetition / PII / sampling / chunking are pure per-row expressions —
+  zero shuffle, fully codegen'd, trivially parallel at any scale;
+- packing is one window shuffle on the partition key (`lang`), the same
+  shape as any partitioned cumulative sum.
+
+The reference's text stage stops at stopword filtering
+(spark-pubmed-word-count/word_count.py:61-65); this module is the [ext]
+surface BASELINE.json's north star adds on top.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from mrc_spark_jobs_pubmed_spark.operators.dedup import (
+    SHINGLE_K,
+    SHINGLES_ARR_EXPR,
+    shingles_sql,
+    tokens_col,
+    tokens_sql,
+)
+from mrc_spark_jobs_pubmed_spark.plans.registry import register
+from mrc_spark_jobs_pubmed_spark.sources.catalog import load_table
+
+_TOKS_SQL = tokens_sql("text")
+
+# --- Gopher-style repetition signals ---------------------------------------
+
+# Thresholds in the spirit of Gopher's repetition filters (top-token
+# fraction, duplicate n-gram fraction); exact values are corpus knobs.
+TOP_TOKEN_MAX = 0.20
+DUP_TRIGRAM_MAX = 0.30
+
+
+@register(
+    "corpus_repetition",
+    oracle=f"""
+SELECT doc_id,
+       n_tokens,
+       top_token_ratio,
+       dup_trigram_ratio,
+       (top_token_ratio <= {TOP_TOKEN_MAX} AND dup_trigram_ratio <= {DUP_TRIGRAM_MAX}) AS keep
+FROM (
+  SELECT doc_id,
+         len(toks) AS n_tokens,
+         list_max(list_transform(list_distinct(toks),
+                  d -> len(list_filter(toks, t -> t = d))))::DOUBLE / len(toks)
+           AS top_token_ratio,
+         1.0 - len(list_distinct(sh))::DOUBLE / len(sh) AS dup_trigram_ratio
+  FROM (
+    SELECT doc_id, toks, {shingles_sql('toks')} AS sh
+    FROM (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents)
+  )
+  WHERE len(toks) >= {SHINGLE_K}
+)
+""",
+    doc="Gopher-style repetition filter: top-token fraction and duplicate "
+    "word-trigram fraction per doc, with the keep/drop verdict. Pure "
+    "per-row array expressions — zero shuffle; the per-doc quadratic "
+    "top-token scan is bounded by doc length (explode+window is the "
+    "rewrite if docs grow unbounded).",
+)
+def corpus_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    toks = tokens_col(F.col("text"))
+    base = docs.select("doc_id", toks.alias("toks")).where(
+        F.size("toks") >= SHINGLE_K
+    )
+    t = F.col("toks")
+    sh = F.expr(SHINGLES_ARR_EXPR)
+    top_cnt = F.array_max(
+        F.transform(F.array_distinct(t), lambda d: F.size(F.filter(t, lambda x: x == d)))
+    )
+    out = base.select(
+        "doc_id",
+        F.size(t).alias("n_tokens"),
+        (top_cnt.cast("double") / F.size(t)).alias("top_token_ratio"),
+        (F.lit(1.0) - F.size(F.array_distinct(sh)).cast("double") / F.size(sh)).alias(
+            "dup_trigram_ratio"
+        ),
+    )
+    return out.withColumn(
+        "keep",
+        (F.col("top_token_ratio") <= TOP_TOKEN_MAX)
+        & (F.col("dup_trigram_ratio") <= DUP_TRIGRAM_MAX),
+    )
+
+
+# --- PII redaction ---------------------------------------------------------
+
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+IDNUM_RE = r"\d{9,}"
+
+
+@register(
+    "corpus_pii_redact",
+    oracle=f"""
+SELECT doc_id,
+       len(regexp_extract_all(aug, '{EMAIL_RE}')) AS n_emails,
+       len(regexp_extract_all(aug, '{IDNUM_RE}')) AS n_idnums,
+       md5(regexp_replace(regexp_replace(aug, '{EMAIL_RE}', '<EMAIL>', 'g'),
+                          '{IDNUM_RE}', '<ID>', 'g')) AS redacted_md5
+FROM (
+  SELECT doc_id,
+         CASE WHEN doc_id % 10 = 0
+              THEN text || ' contact_' || CAST(doc_id AS VARCHAR) || '@example.com'
+              ELSE text END AS aug
+  FROM documents
+)
+""",
+    doc="PII redaction: email and long-digit-run detection + replacement, "
+    "value-checked by the md5 of the redacted text. A deterministic "
+    "email is injected into every 10th doc so the operator provably "
+    "fires (the fixture corpus contains no natural PII). Zero shuffle; "
+    "both regexes are RE2/Java-compatible so Spark and the oracle run "
+    "the identical patterns.",
+)
+def corpus_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    aug = F.when(
+        F.col("doc_id") % 10 == 0,
+        F.concat(
+            F.col("text"),
+            F.lit(" contact_"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com"),
+        ),
+    ).otherwise(F.col("text"))
+    base = docs.select("doc_id", aug.alias("aug"))
+    redacted = F.regexp_replace(
+        F.regexp_replace(F.col("aug"), EMAIL_RE, "<EMAIL>"), IDNUM_RE, "<ID>"
+    )
+    return base.select(
+        "doc_id",
+        F.size(F.regexp_extract_all("aug", F.lit(EMAIL_RE), 0)).alias("n_emails"),
+        F.size(F.regexp_extract_all("aug", F.lit(IDNUM_RE), 0)).alias("n_idnums"),
+        F.md5(redacted).alias("redacted_md5"),
+    )
+
+
+# --- deterministic hash sampling -------------------------------------------
+
+# First two md5 hex chars < '1a' keeps 26/256 ≈ 10.2% of docs — stable
+# across runs, engines, and cluster sizes (no RNG, no seed coordination).
+SAMPLE_HEX_LT = "1a"
+
+
+@register(
+    "corpus_sample_hash",
+    oracle=f"""
+SELECT doc_id, lang, h2
+FROM (
+  SELECT doc_id, lang,
+         substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS h2
+  FROM documents
+)
+WHERE h2 < '{SAMPLE_HEX_LT}'
+""",
+    doc="Deterministic hash sampling: keep docs whose md5(doc_id) prefix "
+    "falls under a hex threshold (~10%). The standard reproducible "
+    "sampling idiom at scale — no RNG state, no seed coordination "
+    "across executors, stable under re-partitioning and re-runs, and "
+    "stratification is free (group the kept rows by any column).",
+)
+def corpus_sample_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    h2 = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+    return (
+        docs.select("doc_id", "lang", h2.alias("h2"))
+        .where(F.col("h2") < SAMPLE_HEX_LT)
+    )
+
+
+# --- fixed-size token chunking ---------------------------------------------
+
+CHUNK_TOKENS = 64
+
+
+@register(
+    "corpus_chunk_tokens",
+    oracle=f"""
+SELECT doc_id, chunk_id,
+       len(chunk) AS n_chunk_tokens,
+       md5(array_to_string(chunk, ' ')) AS chunk_md5
+FROM (
+  SELECT doc_id, c AS chunk_id,
+         list_slice(toks, c * {CHUNK_TOKENS} + 1, (c + 1) * {CHUNK_TOKENS}) AS chunk
+  FROM (
+    SELECT doc_id, toks,
+           unnest(range(0, CAST(ceil(len(toks) / {CHUNK_TOKENS}.0) AS BIGINT))) AS c
+    FROM (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents)
+    WHERE len(toks) > 0
+  )
+)
+""",
+    doc="Fixed-size token chunking: each doc expands to ceil(n/64) "
+    "64-token chunks (doc_id, chunk_id, token count, md5 of the chunk "
+    "text) — the context-window splitter of a training pipeline. Row "
+    "expansion via sequence+explode, a narrow op: no shuffle, chunk "
+    "rows stay on their doc's partition.",
+)
+def corpus_chunk_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    base = docs.select(
+        "doc_id", tokens_col(F.col("text")).alias("toks")
+    ).where(F.size("toks") > 0)
+    n_chunks = F.ceil(F.size("toks") / F.lit(float(CHUNK_TOKENS))).cast("long")
+    exploded = base.select(
+        "doc_id",
+        "toks",
+        F.explode(F.sequence(F.lit(0).cast("long"), n_chunks - 1)).alias("chunk_id"),
+    )
+    chunk = F.slice(
+        F.col("toks"),
+        (F.col("chunk_id") * CHUNK_TOKENS + 1).cast("int"),
+        CHUNK_TOKENS,
+    )
+    return exploded.select(
+        "doc_id",
+        "chunk_id",
+        F.size(chunk).alias("n_chunk_tokens"),
+        F.md5(F.concat_ws(" ", chunk)).alias("chunk_md5"),
+    )
+
+
+# --- greedy sequence packing -----------------------------------------------
+
+PACK_BUDGET = 1024
+
+
+@register(
+    "corpus_pack_greedy",
+    oracle=f"""
+SELECT lang, seq_id,
+       COUNT(*) AS n_docs,
+       SUM(n_tok) AS seq_tokens,
+       MIN(doc_id) AS first_doc,
+       MAX(doc_id) AS last_doc
+FROM (
+  SELECT lang, doc_id, n_tok,
+         CAST(FLOOR((cum - n_tok) / {PACK_BUDGET}.0) AS BIGINT) AS seq_id
+  FROM (
+    SELECT lang, doc_id, n_tok,
+           SUM(n_tok) OVER (PARTITION BY lang ORDER BY doc_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+    FROM (SELECT lang, doc_id, len({_TOKS_SQL}) AS n_tok FROM documents)
+  )
+)
+GROUP BY lang, seq_id
+""",
+    doc="Sequence packing for training: concatenate docs in doc_id order "
+    "per language stream and cut every 1024 tokens — each doc lands in "
+    "the sequence its start offset falls into (the concat-and-split "
+    "packing real LLM pipelines use). One window shuffle on the "
+    "partition key (lang); packing streams are independent so the op "
+    "parallelizes across them, never a global sort.",
+)
+def corpus_pack_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    base = docs.select(
+        "lang", "doc_id", F.size(tokens_col(F.col("text"))).alias("n_tok")
+    )
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    seq_id = F.floor((F.sum("n_tok").over(w) - F.col("n_tok")) / F.lit(float(PACK_BUDGET))).cast(
+        "long"
+    )
+    return (
+        base.withColumn("seq_id", seq_id)
+        .groupBy("lang", "seq_id")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tok").alias("seq_tokens"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+    )
