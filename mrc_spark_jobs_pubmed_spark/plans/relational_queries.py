@@ -653,3 +653,75 @@ def rel_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return with_last.filter(F.col("src") == 1).select(
         "event_id", "user_id", "ts", "last_view_ts"
     )
+
+
+@register(
+    "rel_q18_big_orders",
+    oracle="""
+WITH big AS (
+  SELECT l_orderkey, round(sum(l_quantity), 2) AS total_qty
+  FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > 250
+)
+SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice, total_qty
+FROM big
+JOIN orders ON o_orderkey = l_orderkey
+JOIN customer ON c_custkey = o_custkey
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT 20
+""",
+    doc="TPC-H Q18 shape (large-volume orders): HAVING subquery realized "
+    "as aggregate-then-join — the per-order quantity agg runs once and "
+    "feeds both the filter and the output column, instead of TPC-H's "
+    "re-aggregation after an IN subquery. One shuffle on l_orderkey; "
+    "the surviving order keys are a tiny selective set, so both "
+    "upstream joins broadcast it.",
+)
+def rel_q18_big_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, "lineitem", sf_dir)
+    orders = load_table(spark, "orders", sf_dir)
+    cust = load_table(spark, "customer", sf_dir)
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+        .filter(F.col("qty") > 250)
+        .select("l_orderkey", F.round("qty", 2).alias("total_qty"))
+    )
+    return (
+        orders.join(F.broadcast(big), orders.o_orderkey == big.l_orderkey)
+        .join(cust, F.col("o_custkey") == cust.c_custkey)
+        .select("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice", "total_qty")
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(20)
+    )
+
+
+@register(
+    "rel_q16_supplier_variety",
+    oracle="""
+SELECT p_brand, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+FROM lineitem
+JOIN part ON p_partkey = l_partkey
+WHERE p_brand <> 'Brand#2'
+  AND p_size <= 15
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p_brand, p_size
+""",
+    doc="TPC-H Q16 shape (adapted to the fixture's partsupp-free schema): "
+    "distinct-supplier count per (brand, size) with a NOT IN exclusion "
+    "list. The exclusion compiles to a broadcast left-anti join (the "
+    "excluded set is tiny at any scale: suppliers in arrears); the "
+    "filtered part dimension broadcasts; count(DISTINCT) is Spark's "
+    "two-phase expand+agg — the only shuffle in the plan.",
+)
+def rel_q16_supplier_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, "lineitem", sf_dir)
+    part = load_table(spark, "part", sf_dir).filter(
+        (F.col("p_brand") != "Brand#2") & (F.col("p_size") <= 15)
+    )
+    bad_supp = load_table(spark, "supplier", sf_dir).filter(F.col("s_acctbal") < 0)
+    return (
+        li.join(F.broadcast(bad_supp), li.l_suppkey == bad_supp.s_suppkey, "left_anti")
+        .join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_brand", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )

@@ -132,3 +132,43 @@ def sim_neardup_top_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def sim_brp_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.brp_lsh_buckets(load_table(spark, "embeddings", sf_dir))
+
+
+@register(
+    "sim_ann_recall",
+    oracle=f"""
+WITH q AS (
+  SELECT embedding AS qe, {S.bucket_id_sql('embedding')} AS qbucket
+  FROM embeddings WHERE vec_id = {QUERY_VEC_ID}
+),
+exact AS (
+  SELECT vec_id FROM embeddings, q WHERE vec_id <> {QUERY_VEC_ID}
+  ORDER BY round({S.cosine_sql('embedding', 'qe')}, 6) DESC, vec_id LIMIT {TOP_K}
+),
+approx AS (
+  SELECT vec_id FROM embeddings, q
+  WHERE vec_id <> {QUERY_VEC_ID} AND {S.bucket_id_sql('embedding')} = qbucket
+  ORDER BY round({S.cosine_sql('embedding', 'qe')}, 6) DESC, vec_id LIMIT {TOP_K}
+)
+SELECT {TOP_K} AS k,
+       (SELECT count(*) FROM exact JOIN approx USING (vec_id)) AS n_hits,
+       (SELECT count(*) FROM exact JOIN approx USING (vec_id))::DOUBLE / {TOP_K} AS recall
+""",
+    doc="ANN recall measurement: the bucketed (IVF-style) top-k joined "
+    "against the exact top-k, reported as a single (k, n_hits, recall) "
+    "row — the 'measure, don't guess' contract for the approximate "
+    "path. Both rankings round to 6dp before ordering so tie-breaks "
+    "resolve identically on both engines.",
+)
+def sim_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    exact = sim_cosine_topk(spark, sf_dir).select("vec_id")
+    approx = sim_ann_bucketed(spark, sf_dir).select("vec_id")
+    return (
+        exact.join(approx, "vec_id")
+        .agg(F.count("*").alias("n_hits"))
+        .select(
+            F.lit(TOP_K).alias("k"),
+            "n_hits",
+            (F.col("n_hits").cast("double") / TOP_K).alias("recall"),
+        )
+    )

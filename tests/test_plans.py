@@ -78,3 +78,41 @@ def test_text_analysis_is_narrow_jvm_only(spark):
         plan = _physical(spark, name)
         assert "Exchange" not in plan, name
         assert "EvalPython" not in plan, name
+
+
+def test_q18_aggregates_before_join(spark):
+    # the HAVING subquery must run as aggregate-then-join: one lineitem
+    # agg whose tiny surviving key set broadcasts into the orders join —
+    # never a re-aggregation after the join
+    plan = _physical(spark, "rel_q18_big_orders")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert plan.count(") Scan parquet") == 3  # lineitem read once
+
+
+def test_q16_exclusion_is_broadcast_anti_join(spark):
+    plan = _physical(spark, "rel_q16_supplier_variety")
+    assert "BroadcastHashJoin LeftAnti BuildRight" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_corpus_row_ops_are_shuffle_free(spark):
+    # repetition / PII / sampling / chunking are per-row rewrites: the
+    # whole plan must stay narrow (no Exchange) with a pruned scan
+    for name in (
+        "corpus_repetition",
+        "corpus_pii_redact",
+        "corpus_sample_hash",
+        "corpus_chunk_tokens",
+    ):
+        plan = _physical(spark, name)
+        assert "Exchange" not in plan, name
+        assert "BatchEvalPython" not in plan, name
+
+
+def test_corpus_packing_single_window_shuffle(spark):
+    # packing = one hash exchange for the per-lang window; the final
+    # (lang, seq_id) agg ships map-side partials only
+    plan = _physical(spark, "corpus_pack_greedy")
+    assert plan.count("Exchange") <= 2
+    assert "Window" in plan
