@@ -287,3 +287,49 @@ def corpus_pack_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("doc_id").alias("last_doc"),
         )
     )
+
+
+# --- deterministic corpus shuffle + sharding --------------------------------
+
+N_SHARDS = 8
+
+
+def _register_shuffle_shards() -> None:
+    from mrc_spark_jobs_pubmed_spark.operators.dedup import _hex2long
+
+    oracle = f"""
+SELECT doc_id, shard,
+       row_number() OVER (PARTITION BY shard ORDER BY h, doc_id) AS pos
+FROM (
+  SELECT doc_id, h, {_hex2long('h', 1)} % {N_SHARDS} AS shard
+  FROM (SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS h FROM documents)
+)
+"""
+
+    @register(
+        "corpus_shuffle_shards",
+        oracle=oracle,
+        doc="Deterministic corpus shuffle for training order: docs land in "
+        "md5-derived shards and are ordered inside each shard by the "
+        "hash — a reproducible global permutation with no RNG, the "
+        "write-side layout a trainer streams shard-by-shard. One hash "
+        "shuffle on the shard key; shards sort independently, so there "
+        "is never a global sort.",
+    )
+    def corpus_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+        docs = load_table(spark, "documents", sf_dir)
+        h = F.md5(F.col("doc_id").cast("string"))
+        base = docs.select(
+            "doc_id",
+            h.alias("h"),
+            (F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % N_SHARDS).alias(
+                "shard"
+            ),
+        )
+        w = Window.partitionBy("shard").orderBy("h", "doc_id")
+        return base.select(
+            "doc_id", "shard", F.row_number().over(w).alias("pos")
+        )
+
+
+_register_shuffle_shards()
