@@ -125,3 +125,30 @@ JOIN (SELECT * FROM events WHERE event_type = 'view') v
 )
 def stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return J.click_view_interval_join(load_table(spark, "events", sf_dir))
+
+
+@register(
+    "stream_static_enrich",
+    oracle="""
+SELECT CAST(time_bucket(INTERVAL '5 minutes', ts) AS TIMESTAMP) AS wstart,
+       n_name,
+       count(*) AS n,
+       round(sum(value), 4) AS value_sum
+FROM events
+JOIN customer ON user_id = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+GROUP BY 1, 2
+""",
+    doc="Stream-static enrichment (batch form): events joined to the "
+    "broadcast customer→nation dimension, then tumbling 5-min counts "
+    "per nation. In the stream runtime the static side is rebroadcast "
+    "per micro-batch and the stream side never shuffles for the join; "
+    "the replay test drives this same body as a stream.",
+)
+def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return J.enriched_nation_counts(
+        load_table(spark, "events", sf_dir),
+        load_table(spark, "customer", sf_dir),
+        load_table(spark, "nation", sf_dir),
+        with_watermark=False,
+    )

@@ -39,3 +39,9 @@ def read_text(
     if with_lineage:
         df = df.withColumn("source_file", F.input_file_name())
     return df
+
+
+def read_orc(spark: SparkSession, path: str, schema: T.StructType) -> DataFrame:
+    """ORC reader — the other columnar format with pushdown + pruning;
+    schema declared, same as every reader here."""
+    return spark.read.schema(schema).orc(path)

@@ -171,3 +171,29 @@ def click_view_interval_join(events: DataFrame) -> DataFrame:
         & (F.col("view_ts") <= F.col("click_ts"))
         & (F.col("view_ts") >= F.col("click_ts") - F.expr("INTERVAL 10 MINUTES")),
     ).select("click_id", "view_id", "c_user", "click_ts", "view_ts")
+
+
+def enriched_nation_counts(
+    events: DataFrame,
+    customer: DataFrame,
+    nation: DataFrame,
+    with_watermark: bool = True,
+) -> DataFrame:
+    """Stream-static enrichment: events joined to the (static) customer→
+    nation dimension, then tumbling-windowed per nation.
+
+    The dimension side is bounded and slowly-changing, so it broadcasts —
+    the stream never shuffles for the join, and each micro-batch pays
+    only the windowed aggregation. The same plan body serves batch
+    (with_watermark=False) and stream.
+    """
+    src = events.withWatermark("ts", WATERMARK) if with_watermark else events
+    dim = customer.join(
+        F.broadcast(nation), customer.c_nationkey == nation.n_nationkey
+    ).select("c_custkey", "n_name")
+    return (
+        src.join(F.broadcast(dim), src.user_id == dim.c_custkey)
+        .groupBy(F.window("ts", TUMBLE).alias("w"), "n_name")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("value_sum"))
+        .select(F.col("w.start").alias("wstart"), "n_name", "n", "value_sum")
+    )

@@ -10,6 +10,9 @@ from pyspark.sql import types as T
 from pyspark.sql.functions import udtf
 
 from mrc_spark_jobs_pubmed_spark.sources import readers
+from mrc_spark_jobs_pubmed_spark.sources.catalog import load_table
+
+SF = "/root/testdata/sf0.001"
 
 
 def test_csv_roundtrip_with_schema(spark, tmp_path):
@@ -135,3 +138,16 @@ def test_pubmed_datasource_streaming_microbatches(spark, tmp_path):
     assert {tuple(r) for r in got.collect()} == {tuple(r) for r in batch.collect()}
     n_batches = len([p for p in q.recentProgress if p["numInputRows"] > 0])
     assert n_batches >= 3
+
+
+def test_orc_roundtrip_with_pushdown(spark, tmp_path):
+    out = str(tmp_path / "orc_events")
+    events = load_table(spark, "events", SF).limit(200)
+    events.write.orc(out)
+    back = readers.read_orc(spark, out, events.schema).filter(F.col("value") > 0)
+    assert back.count() == events.filter(F.col("value") > 0).count()
+    plan = back._sc._jvm.PythonSQLUtils.explainString(
+        back._jdf.queryExecution(), "formatted"
+    )
+    # filter reaches the ORC scan, projection stays schema-pruned
+    assert "PushedFilters: [IsNotNull(value), GreaterThan(value," in plan

@@ -205,3 +205,22 @@ def test_transform_with_state_running_count(spark, tmp_path):
         for r in _batch_events(spark).groupBy("user_id").agg(F.count("*").alias("n")).collect()
     }
     assert got == want and len(want) > 0
+
+
+def test_static_enrich_stream_equals_batch(spark):
+    cust = load_table(spark, "customer", SF)
+    nation = load_table(spark, "nation", SF)
+    stream = J.enriched_nation_counts(J.read_events_stream(spark, SF), cust, nation)
+    q = J.run_to_memory(stream, "t_enrich", "complete")
+    _drain(q)
+    got = {
+        (r.wstart, r.n_name): (r.n, r.value_sum)
+        for r in spark.sql("SELECT * FROM t_enrich").collect()
+    }
+    want = {
+        (r.wstart, r.n_name): (r.n, r.value_sum)
+        for r in J.enriched_nation_counts(
+            _batch_events(spark), cust, nation, with_watermark=False
+        ).collect()
+    }
+    assert got == want and len(got) > 0
