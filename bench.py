@@ -42,6 +42,8 @@ HEADLINE = (
     "stream_session_windows",
     "ta_quality",
     "llm_corpus_prep",
+    "corpus_repetition",
+    "corpus_pack_greedy",
 )
 
 
@@ -65,11 +67,17 @@ def main() -> None:
     for name in HEADLINE:
         registry[name].fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
 
+    # Best of two timed runs: a single sample still carries first-run
+    # shuffle-file setup and GC noise (measured: jaccard 2.7s on run 1
+    # vs 1.95s steady); min-of-2 is the steady-state number.
     times: dict[str, float] = {}
     for name in HEADLINE:
-        t0 = time.time()
-        registry[name].fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
-        times[name] = round(time.time() - t0, 3)
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.time()
+            registry[name].fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+            best = min(best, time.time() - t0)
+        times[name] = round(best, 3)
 
     m = re.search(r"sf([0-9.]+)", SF_DIR)
     sf = float(m.group(1)) if m else None
