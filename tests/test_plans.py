@@ -116,3 +116,57 @@ def test_corpus_packing_single_window_shuffle(spark):
     plan = _physical(spark, "corpus_pack_greedy")
     assert plan.count("Exchange") <= 2
     assert "Window" in plan
+
+
+def test_dynamic_partition_pruning_from_dim_filter(spark, tmp_path):
+    # a filter on the dimension must prune the fact's partitions at
+    # runtime (DPP) — the join-driven generalization of static pruning,
+    # load-bearing when the fact is 100 TB partitioned by date
+    from pyspark.sql import functions as F
+
+    fact = spark.createDataFrame(
+        [(i, 2015 + i % 8, float(i)) for i in range(5000)], ["k", "year", "v"]
+    )
+    fact.write.partitionBy("year").parquet(str(tmp_path / "fact"))
+    dim = spark.createDataFrame(
+        [(y, "keep" if y == 2017 else "drop") for y in range(2015, 2023)],
+        ["year", "flag"],
+    )
+    back = spark.read.parquet(str(tmp_path / "fact"))
+    j = back.join(F.broadcast(dim.filter(F.col("flag") == "keep")), "year")
+    plan = j._sc._jvm.PythonSQLUtils.explainString(j._jdf.queryExecution(), "formatted")
+    assert "dynamicpruning" in plan.lower()
+
+
+def test_runtime_bloom_filter_prunes_smj_probe_side(spark):
+    # when neither side broadcasts, a selective build side must inject a
+    # runtime bloom filter on the probe side so non-matching fact rows
+    # die at the scan instead of crossing the shuffle (thresholds are
+    # production-sized, so the test lowers them to fire at fixture scale)
+    from pyspark.sql import functions as F
+
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        big = spark.read.parquet(SF + "/lineitem.parquet")
+        sel = spark.read.parquet(SF + "/orders.parquet").filter(
+            F.col("o_totalprice") > 400000
+        )
+        j = big.join(sel, big.l_orderkey == sel.o_orderkey)
+        plan = j._sc._jvm.PythonSQLUtils.explainString(
+            j._jdf.queryExecution(), "formatted"
+        )
+        assert "might_contain" in plan.lower()
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
