@@ -348,3 +348,33 @@ FROM (
 
 
 _register_shuffle_shards()
+
+
+# --- incremental dedup (new batch vs existing corpus) -----------------------
+
+
+@register(
+    "corpus_incremental_dedup",
+    oracle="""
+SELECT n.doc_id, n.fp
+FROM (
+  SELECT doc_id, md5(lower(trim(text))) AS fp FROM documents WHERE doc_id % 5 = 0
+) n
+ANTI JOIN (
+  SELECT DISTINCT md5(lower(trim(text))) AS fp FROM documents WHERE doc_id % 5 <> 0
+) c USING (fp)
+""",
+    doc="Incremental dedup: a new batch (doc_id % 5 = 0 stands in for "
+    "today's crawl) anti-joined on normalized content fingerprint "
+    "against the existing corpus — the daily-increment form of exact "
+    "dedup, and the reference's skip-if-exists guard (A5, "
+    "job_pubmed_submit.py:41-43) done declaratively. At 100 TB the "
+    "corpus side is a fingerprint-only table (16 bytes/doc); the join "
+    "shuffles on the hash, uniformly distributed by construction.",
+)
+def corpus_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    fp = F.md5(F.lower(F.trim(F.col("text"))))
+    new = docs.filter(F.col("doc_id") % 5 == 0).select("doc_id", fp.alias("fp"))
+    corpus = docs.filter(F.col("doc_id") % 5 != 0).select(fp.alias("fp")).distinct()
+    return new.join(corpus, "fp", "left_anti").select("doc_id", "fp")
