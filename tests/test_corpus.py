@@ -1,0 +1,82 @@
+"""Invariant tests for the corpus-prep operators (SURVEY.md §2 Part B
+LLM-pipeline extensions): conservation and subset properties that must
+hold for ANY corpus, complementing the value-exact oracle checks."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from mrc_spark_jobs_pubmed_spark import plans
+from mrc_spark_jobs_pubmed_spark.operators.dedup import tokens_col
+from mrc_spark_jobs_pubmed_spark.plans.corpus_queries import CHUNK_TOKENS
+from mrc_spark_jobs_pubmed_spark.sources.catalog import load_table
+
+SF = "/root/testdata/sf0.001"
+
+
+def _doc_tokens(spark):
+    return load_table(spark, "documents", SF).select(
+        "doc_id", "lang", F.size(tokens_col(F.col("text"))).alias("n_tok")
+    )
+
+
+def test_chunking_conserves_tokens(spark):
+    # per doc: chunk sizes sum to the token count, every chunk is full
+    # except the last, and no chunk exceeds the budget
+    chunks = plans.get("corpus_chunk_tokens").fn(spark, SF)
+    per_doc = chunks.groupBy("doc_id").agg(
+        F.sum("n_chunk_tokens").alias("total"),
+        F.count("*").alias("n_chunks"),
+        F.max("n_chunk_tokens").alias("max_chunk"),
+        F.sum((F.col("n_chunk_tokens") < CHUNK_TOKENS).cast("int")).alias("n_partial"),
+    )
+    joined = per_doc.join(_doc_tokens(spark), "doc_id")
+    assert joined.filter(F.col("total") != F.col("n_tok")).count() == 0
+    assert joined.filter(F.col("max_chunk") > CHUNK_TOKENS).count() == 0
+    assert joined.filter(F.col("n_partial") > 1).count() == 0
+
+
+def test_packing_conserves_tokens_and_docs(spark):
+    packed = plans.get("corpus_pack_greedy").fn(spark, SF)
+    per_lang = packed.groupBy("lang").agg(
+        F.sum("seq_tokens").alias("tok"), F.sum("n_docs").alias("docs")
+    )
+    truth = _doc_tokens(spark).groupBy("lang").agg(
+        F.sum("n_tok").alias("tok"), F.count("*").alias("docs")
+    )
+    diff = per_lang.exceptAll(truth).count() + truth.exceptAll(per_lang).count()
+    assert diff == 0
+
+
+def test_hash_sampling_is_deterministic_subset(spark):
+    sample = plans.get("corpus_sample_hash").fn(spark, SF)
+    n_all = load_table(spark, "documents", SF).count()
+    n = sample.count()
+    # 26/256 ≈ 10.2% expected; binomial 5σ bounds at n_all=500
+    assert 0.04 * n_all < n < 0.18 * n_all
+    # determinism: same result on re-evaluation
+    assert sample.exceptAll(plans.get("corpus_sample_hash").fn(spark, SF)).count() == 0
+
+
+def test_shuffle_shards_form_a_permutation(spark):
+    shards = plans.get("corpus_shuffle_shards").fn(spark, SF)
+    n_all = load_table(spark, "documents", SF).count()
+    assert shards.count() == n_all
+    assert shards.select("doc_id").distinct().count() == n_all
+    # pos is dense 1..count(shard) inside every shard
+    per_shard = shards.groupBy("shard").agg(
+        F.count("*").alias("n"), F.max("pos").alias("mx"), F.min("pos").alias("mn")
+    )
+    assert per_shard.filter((F.col("mx") != F.col("n")) | (F.col("mn") != 1)).count() == 0
+
+
+def test_incremental_dedup_keeps_only_unseen_new_docs(spark):
+    kept = plans.get("corpus_incremental_dedup").fn(spark, SF)
+    # kept ⊆ new batch
+    assert kept.filter(F.col("doc_id") % 5 != 0).count() == 0
+    # no kept fingerprint exists in the corpus side
+    docs = load_table(spark, "documents", SF)
+    corpus_fps = docs.filter(F.col("doc_id") % 5 != 0).select(
+        F.md5(F.lower(F.trim(F.col("text")))).alias("fp")
+    )
+    assert kept.join(corpus_fps, "fp", "left_semi").count() == 0
