@@ -24,4 +24,5 @@ from mrc_spark_jobs_pubmed_spark.plans import (  # noqa: F401,E402
     similarity_queries,
     streaming_queries,
     text_queries,
+    tpch_more_queries,
 )

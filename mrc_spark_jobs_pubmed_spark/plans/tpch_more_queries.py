@@ -1,0 +1,397 @@
+"""More TPC-H-shaped relational queries (SURVEY.md §2 Part B), adapted to the
+fixture star schema (FIXTURES.md — no partsupp, no l_shipmode/l_commitdate,
+no c_phone/p_container; each query notes its adaptation).
+
+The reference has no relational queries at all (SURVEY.md §2 Part A tail
+note); these widen the engine's declared SQL surface with the classic TPC-H
+plan shapes not yet covered by relational_queries.py: EXISTS semi-join
+aggregation (Q4), two-sided dimension cross-filter (Q7), returned-item top-k
+(Q10), conditional classification agg over a fact-fact join (Q12), outer-join
+distribution (Q13), promo share (Q14), correlated-avg rewrite (Q17),
+disjunctive pushdown (Q19), scalar-subquery + anti-join (Q22).
+
+Scale notes: every dimension join broadcasts; fact-fact joins (orders ×
+lineitem) shuffle on the join key where both sides are large — AQE picks
+sort-merge vs shuffled-hash and handles skew; aggregates are partial+final
+map-side; top-k is TakeOrderedAndProject, never a global sort.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mrc_spark_jobs_pubmed_spark.plans.registry import register
+from mrc_spark_jobs_pubmed_spark.sources.catalog import load_table
+
+
+def _revenue():
+    return F.col("l_extendedprice") * (1 - F.col("l_discount"))
+
+
+@register(
+    "rel_q4_order_priority",
+    oracle="""
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-07-01'
+  AND o_orderdate < TIMESTAMP '1996-10-01'
+  AND EXISTS (
+    SELECT 1 FROM lineitem
+    WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+GROUP BY o_orderpriority
+""",
+    doc="TPC-H Q4 shape (adapted: the fixture has no l_commitdate/"
+    "l_receiptdate, so 'late' = a returned line, l_returnflag='R'): orders "
+    "per priority having at least one such line. EXISTS compiles to a "
+    "left-semi join on o_orderkey — the fact side is pre-filtered by the "
+    "pushed date range before the shuffle, and the semi join never "
+    "duplicates order rows however many lines match.",
+)
+def rel_q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, "orders", sf_dir).filter(
+        (F.col("o_orderdate") >= F.lit("1996-07-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-10-01").cast("timestamp"))
+    )
+    returned = load_table(spark, "lineitem", sf_dir).filter(F.col("l_returnflag") == "R")
+    return (
+        orders.join(returned, orders.o_orderkey == returned.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+    )
+
+
+@register(
+    "rel_q7_nation_volume",
+    oracle="""
+SELECT supp_nation, cust_nation, l_year,
+       round(sum(volume), 2) AS revenue
+FROM (
+  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+         year(l_shipdate) AS l_year,
+         l_extendedprice * (1 - l_discount) AS volume
+  FROM supplier
+  JOIN lineitem ON s_suppkey = l_suppkey
+  JOIN orders ON o_orderkey = l_orderkey
+  JOIN customer ON c_custkey = o_custkey
+  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+  WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+      OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+    AND l_shipdate BETWEEN TIMESTAMP '1996-01-01' AND TIMESTAMP '1997-12-31'
+) shipping
+GROUP BY supp_nation, cust_nation, l_year
+""",
+    doc="TPC-H Q7 shape: bilateral trade volume between two nations by year. "
+    "Both nation dims broadcast twice under different roles; the "
+    "disjunctive nation-pair predicate applies after both joins; "
+    "orders×lineitem is the only large-large join (shuffle on the order "
+    "key). Year comes from l_shipdate (the fixture keeps the reference's "
+    "year-derivation idiom, SURVEY.md A12, as a typed function).",
+)
+def rel_q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n1 = load_table(spark, "nation", sf_dir).select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = load_table(spark, "nation", sf_dir).select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    )
+    supp = load_table(spark, "supplier", sf_dir)
+    cust = load_table(spark, "customer", sf_dir)
+    orders = load_table(spark, "orders", sf_dir)
+    li = load_table(spark, "lineitem", sf_dir).filter(
+        F.col("l_shipdate").between(
+            F.lit("1996-01-01").cast("timestamp"), F.lit("1997-12-31").cast("timestamp")
+        )
+    )
+    pair = (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2") | (
+        F.col("supp_nation") == "NATION_2"
+    ) & (F.col("cust_nation") == "NATION_1")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+        .filter(pair)
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
+        .agg(F.round(F.sum(_revenue()), 2).alias("revenue"))
+    )
+
+
+@register(
+    "rel_q10_returned_items",
+    oracle="""
+SELECT c_custkey, c_name,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       round(any_value(c_acctbal), 2) AS c_acctbal,
+       any_value(n_name) AS n_name
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE o_orderdate >= TIMESTAMP '1996-10-01'
+  AND o_orderdate < TIMESTAMP '1997-01-01'
+  AND l_returnflag = 'R'
+GROUP BY c_custkey, c_name
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+""",
+    doc="TPC-H Q10 shape: top-20 customers by revenue lost to returns in a "
+    "quarter. Customer and nation broadcast; grouping only on the key+name "
+    "with any_value for the functionally-dependent columns keeps the "
+    "grouping key narrow (less shuffle payload than TPC-H's 7-column "
+    "GROUP BY); deterministic top-20 via (revenue DESC, custkey).",
+)
+def rel_q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, "customer", sf_dir)
+    nat = load_table(spark, "nation", sf_dir)
+    orders = load_table(spark, "orders", sf_dir).filter(
+        (F.col("o_orderdate") >= F.lit("1996-10-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    li = load_table(spark, "lineitem", sf_dir).filter(F.col("l_returnflag") == "R")
+    return (
+        li.join(F.broadcast(orders), F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nat), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name")
+        .agg(
+            F.round(F.sum(_revenue()), 2).alias("revenue"),
+            F.round(F.any_value("c_acctbal"), 2).alias("c_acctbal"),
+            F.any_value("n_name").alias("n_name"),
+        )
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+@register(
+    "rel_q12_priority_class",
+    oracle="""
+SELECT l_returnflag,
+       sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS high_line_count,
+       sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS low_line_count
+FROM orders
+JOIN lineitem ON o_orderkey = l_orderkey
+WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+  AND l_shipdate < TIMESTAMP '1998-01-01'
+GROUP BY l_returnflag
+""",
+    doc="TPC-H Q12 shape (adapted: the fixture has no l_shipmode, so lines "
+    "classify by l_returnflag instead): per class, how many lines belong "
+    "to urgent/high-priority orders vs not — conditional classification "
+    "aggregates over an orders×lineitem join. The date filter pushes to "
+    "the lineitem scan; the join shuffles both sides on the order key "
+    "(large-large at scale — AQE handles strategy and skew); the CASE "
+    "sums fold map-side into 2 counters per group.",
+)
+def rel_q12_priority_class(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, "orders", sf_dir)
+    li = load_table(spark, "lineitem", sf_dir).filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )
+
+
+@register(
+    "rel_q13_order_count_dist",
+    oracle="""
+SELECT c_count, count(*) AS custdist
+FROM (
+  SELECT c_custkey, count(o_orderkey) AS c_count
+  FROM customer
+  LEFT OUTER JOIN orders
+    ON c_custkey = o_custkey AND o_orderpriority <> '5-LOW'
+  GROUP BY c_custkey
+) c_orders
+GROUP BY c_count
+""",
+    doc="TPC-H Q13 shape (adapted: the fixture has no o_comment, so the "
+    "excluded class is '5-LOW' priority orders): distribution of "
+    "customers by order count, keeping zero-order customers via the left "
+    "outer join (count(o_orderkey) ignores the NULL-extended rows). Two "
+    "cascaded aggregations; the second groups on a tiny domain (distinct "
+    "counts), so its shuffle is negligible at any scale.",
+)
+def rel_q13_order_count_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, "customer", sf_dir)
+    orders = load_table(spark, "orders", sf_dir).filter(F.col("o_orderpriority") != "5-LOW")
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_outer")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count("*").alias("custdist"))
+
+
+@register(
+    "rel_q14_promo_revenue",
+    oracle="""
+SELECT round(
+         100.0 * sum(CASE WHEN p_type = 'PROMO'
+                          THEN l_extendedprice * (1 - l_discount)
+                          ELSE 0 END)
+         / sum(l_extendedprice * (1 - l_discount)), 4) AS promo_revenue
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1997-03-01'
+  AND l_shipdate < TIMESTAMP '1997-04-01'
+""",
+    doc="TPC-H Q14 shape: percent of one month's revenue from PROMO parts "
+    "(the fixture's p_type is the bare category, so equality replaces "
+    "LIKE 'PROMO%%'). Part broadcasts to the month-filtered lineitem; the "
+    "whole result is one row from two map-side-foldable sums — no "
+    "groupBy shuffle at all, just the final single-partition reduce.",
+)
+def rel_q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, "part", sf_dir)
+    li = load_table(spark, "lineitem", sf_dir).filter(
+        (F.col("l_shipdate") >= F.lit("1997-03-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
+    )
+    promo = F.when(F.col("p_type") == "PROMO", _revenue()).otherwise(F.lit(0.0))
+    return (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            F.round(100.0 * F.sum(promo) / F.sum(_revenue()), 4).alias("promo_revenue")
+        )
+    )
+
+
+@register(
+    "rel_q17_small_qty_revenue",
+    oracle="""
+SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
+FROM lineitem
+JOIN part ON p_partkey = l_partkey
+JOIN (
+  SELECT l_partkey AS a_partkey, 0.5 * avg(l_quantity) AS qty_threshold
+  FROM lineitem GROUP BY l_partkey
+) part_avg ON p_partkey = a_partkey
+WHERE p_brand = 'Brand#12' AND p_size <= 10
+  AND l_quantity < qty_threshold
+""",
+    doc="TPC-H Q17 shape (adapted: no p_container, so p_size<=10 stands in; "
+    "threshold is 0.5*avg since fixture quantities are uniform): revenue "
+    "from small-quantity orders of one brand's parts. The correlated AVG "
+    "subquery is rewritten as aggregate-then-join — the per-part average "
+    "is computed once (one shuffle on l_partkey, map-side partials) "
+    "instead of per outer row; both the part dim and the per-part "
+    "averages for the selected brand are tiny, so the final join "
+    "broadcasts and lineitem never shuffles for it.",
+)
+def rel_q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, "lineitem", sf_dir)
+    part = load_table(spark, "part", sf_dir).filter(
+        (F.col("p_brand") == "Brand#12") & (F.col("p_size") <= 10)
+    )
+    part_avg = li.groupBy(F.col("l_partkey").alias("a_partkey")).agg(
+        (0.5 * F.avg("l_quantity")).alias("qty_threshold")
+    )
+    # Restrict the per-part averages to the selected brand before joining:
+    # at scale this turns a large-large join into broadcast of a tiny side.
+    thresholds = part_avg.join(
+        F.broadcast(part), F.col("a_partkey") == F.col("p_partkey")
+    ).select("a_partkey", "qty_threshold")
+    return (
+        li.join(F.broadcast(thresholds), li.l_partkey == F.col("a_partkey"))
+        .filter(F.col("l_quantity") < F.col("qty_threshold"))
+        .agg(F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"))
+    )
+
+
+@register(
+    "rel_q19_disjunctive",
+    oracle="""
+SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+JOIN part ON p_partkey = l_partkey
+WHERE (p_brand = 'Brand#11' AND p_size BETWEEN 1 AND 5
+       AND l_quantity BETWEEN 1 AND 11)
+   OR (p_brand = 'Brand#14' AND p_size BETWEEN 1 AND 10
+       AND l_quantity BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#17' AND p_size BETWEEN 1 AND 15
+       AND l_quantity BETWEEN 20 AND 30)
+""",
+    doc="TPC-H Q19 shape (adapted: p_size bands replace the missing "
+    "p_container lists): revenue under an OR-of-ANDs mixing part and "
+    "lineitem predicates. The single-table residues of the disjunction "
+    "(p_size<=15 on part, l_quantity<=30 on lineitem) are derivable and "
+    "pushable; the cross-table conjuncts evaluate as one codegen'd "
+    "predicate after the broadcast join — never three separate joins "
+    "unioned.",
+)
+def rel_q19_disjunctive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, "part", sf_dir)
+    li = load_table(spark, "lineitem", sf_dir)
+    q = F.col("l_quantity")
+    cond = (
+        (F.col("p_brand") == "Brand#11") & F.col("p_size").between(1, 5) & q.between(1, 11)
+        | (F.col("p_brand") == "Brand#14") & F.col("p_size").between(1, 10) & q.between(10, 20)
+        | (F.col("p_brand") == "Brand#17") & F.col("p_size").between(1, 15) & q.between(20, 30)
+    )
+    return (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .filter(cond)
+        .agg(F.round(F.sum(_revenue()), 2).alias("revenue"))
+    )
+
+
+@register(
+    "rel_q22_idle_customers",
+    oracle="""
+WITH avg_bal AS (
+  SELECT avg(c_acctbal) AS threshold FROM customer WHERE c_acctbal > 0.0
+)
+SELECT n_name, count(*) AS numcust,
+       round(sum(c_acctbal), 2) AS totacctbal
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey, avg_bal
+WHERE c_acctbal > threshold
+  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                  AND o_orderdate >= TIMESTAMP '1999-01-01')
+GROUP BY n_name
+""",
+    doc="TPC-H Q22 shape (adapted: no c_phone, so customers group by their "
+    "nation instead of a phone country code, and 'idle' means no order "
+    "since 1999 — every fixture customer has *some* order): well-funded "
+    "customers gone quiet. The uncorrelated AVG is a one-row broadcast "
+    "(cross-join) gating the filter; NOT EXISTS compiles to a left-anti "
+    "join on the customer key — at scale that join shuffles only keys, "
+    "and the orders side is pre-filtered and pre-projected to its join "
+    "column before the shuffle.",
+)
+def rel_q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, "customer", sf_dir)
+    nat = load_table(spark, "nation", sf_dir)
+    orders = (
+        load_table(spark, "orders", sf_dir)
+        .filter(F.col("o_orderdate") >= F.lit("1999-01-01").cast("timestamp"))
+        .select("o_custkey")
+    )
+    threshold = cust.filter(F.col("c_acctbal") > 0.0).agg(
+        F.avg("c_acctbal").alias("threshold")
+    )
+    return (
+        cust.crossJoin(F.broadcast(threshold))
+        .filter(F.col("c_acctbal") > F.col("threshold"))
+        .join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .join(F.broadcast(nat), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(
+            F.count("*").alias("numcust"),
+            F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+        )
+    )

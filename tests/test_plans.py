@@ -170,3 +170,54 @@ def test_runtime_bloom_filter_prunes_smj_probe_side(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_q4_exists_is_semi_join_with_pushed_dates(spark):
+    # EXISTS must stay a semi join (no row duplication) and the date
+    # range must reach the orders parquet scan
+    plan = _physical(spark, "rel_q4_order_priority")
+    assert "LeftSemi" in plan
+    assert "GreaterThanOrEqual(o_orderdate" in plan
+
+
+def test_q7_broadcasts_all_dims_one_fact_join(spark):
+    # four dimension broadcasts; orders x lineitem is the only join
+    # allowed to be non-broadcast (at fixture scale it broadcasts too)
+    plan = _physical(spark, "rel_q7_nation_volume")
+    assert plan.count("BroadcastHashJoin") >= 4
+
+
+def test_q10_topk_avoids_global_sort(spark):
+    plan = _physical(spark, "rel_q10_returned_items")
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_q13_counts_survive_outer_join(spark):
+    # left outer join with the filter on the right side kept in the
+    # join condition (not pushed below it, which would drop customers)
+    plan = _physical(spark, "rel_q13_order_count_dist")
+    assert "LeftOuter" in plan
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_q17_aggregates_before_join(spark):
+    # the correlated-avg rewrite: per-part averages computed once, then
+    # brand-filtered and broadcast — lineitem must not shuffle for the
+    # final join
+    plan = _physical(spark, "rel_q17_small_qty_revenue")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_q19_disjunction_residuals_push_to_scans(spark):
+    # the OR-of-ANDs must leave derivable single-table residues at both
+    # scans (p_size upper bound on part, l_quantity bounds on lineitem)
+    plan = _physical(spark, "rel_q19_disjunctive")
+    assert "Or(" in plan  # disjunctive residue pushed into a scan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_q22_anti_join_and_scalar_broadcast(spark):
+    plan = _physical(spark, "rel_q22_idle_customers")
+    assert "LeftAnti" in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
