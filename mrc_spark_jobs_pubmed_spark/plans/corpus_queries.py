@@ -378,3 +378,173 @@ def corpus_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     new = docs.filter(F.col("doc_id") % 5 == 0).select("doc_id", fp.alias("fp"))
     corpus = docs.filter(F.col("doc_id") % 5 != 0).select(fp.alias("fp")).distinct()
     return new.join(corpus, "fp", "left_anti").select("doc_id", "fp")
+
+
+# --- benchmark decontamination ----------------------------------------------
+
+CONTAM_K = 4  # n-gram size for eval-overlap matching
+EVAL_MOD = 97  # doc_id % 97 == 0 stands in for the held-out eval set
+
+
+def _kgrams_spark(k: int):
+    """Word k-gram array from a column named `toks`, as chained zip_with
+    over shifted slices — each zip_with argument evaluates once per row
+    (an element_at-in-lambda form would re-evaluate the token split per
+    element after CollapseProject inlining; see SHINGLES_ARR_EXPR)."""
+    acc = "toks"
+    for j in range(1, k):
+        acc = (
+            f"zip_with({acc}, slice(toks, {j + 1}, greatest(size(toks) - {j}, 0)), "
+            f"(a, b) -> concat(a, ' ', b))"
+        )
+    return F.expr(f"filter({acc}, s -> s IS NOT NULL)")
+
+
+def _kgrams_sql(toks_expr: str, k: int) -> str:
+    parts = " || ' ' || ".join(f"{toks_expr}[i + {j}]" for j in range(1, k))
+    return (
+        f"list_filter(list_transform({toks_expr}, (x, i) -> "
+        f"CASE WHEN i + {k - 1} <= len({toks_expr}) THEN x || ' ' || {parts} END), "
+        f"s -> s IS NOT NULL)"
+    )
+
+
+@register(
+    "corpus_contamination",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, {_TOKS_SQL} AS toks FROM documents
+),
+grams AS (
+  SELECT doc_id, unnest(list_distinct({_kgrams_sql('toks', CONTAM_K)})) AS gram
+  FROM toks
+),
+eval_grams AS (
+  SELECT DISTINCT gram FROM grams WHERE doc_id % {EVAL_MOD} = 0
+),
+train AS (
+  SELECT doc_id, gram FROM grams WHERE doc_id % {EVAL_MOD} <> 0
+)
+SELECT t.doc_id,
+       count(*) AS n_grams,
+       count(e.gram) AS n_hits,
+       round(count(e.gram)::DOUBLE / count(*), 6) AS contamination
+FROM train t LEFT JOIN eval_grams e USING (gram)
+GROUP BY t.doc_id
+HAVING count(e.gram) > 0
+""",
+    doc="Benchmark decontamination: train docs sharing word 4-grams with "
+    "the held-out eval set (doc_id % 97 = 0 stands in), reported as "
+    "per-doc hit count and contaminated fraction — the n-gram-overlap "
+    "decontamination every LLM corpus build runs before training. The "
+    "eval n-gram set is distinct-small by construction, so the overlap "
+    "join broadcasts it and the train side never shuffles for the "
+    "probe; the per-doc agg shuffles on doc_id only. At 100 TB the "
+    "broadcast side stays the eval set (benchmarks are MBs), and the "
+    "gram string would be hashed to 64-bit before the join to cut "
+    "probe width.",
+)
+def corpus_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    grams = (
+        docs.select("doc_id", tokens_col(F.col("text")).alias("toks"))
+        .select(
+            "doc_id",
+            F.explode(F.array_distinct(_kgrams_spark(CONTAM_K))).alias("gram"),
+        )
+    )
+    eval_grams = (
+        grams.where(F.col("doc_id") % EVAL_MOD == 0).select("gram").distinct()
+    )
+    train = grams.where(F.col("doc_id") % EVAL_MOD != 0)
+    hit = F.broadcast(eval_grams.withColumn("is_hit", F.lit(1)))
+    return (
+        train.join(hit, "gram", "left_outer")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.count("is_hit").alias("n_hits"),
+            F.round(F.count("is_hit").cast("double") / F.count("*"), 6).alias(
+                "contamination"
+            ),
+        )
+        .where(F.col("n_hits") > 0)
+    )
+
+
+# --- corpus n-gram statistics ----------------------------------------------
+
+NGRAM_TOP_K = 25
+
+
+@register(
+    "corpus_ngram_stats",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, {_TOKS_SQL} AS toks FROM documents
+),
+grams AS (
+  SELECT doc_id, unnest(list_distinct({shingles_sql('toks')})) AS gram FROM toks
+)
+SELECT gram, count(*) AS doc_freq
+FROM grams
+GROUP BY gram
+ORDER BY doc_freq DESC, gram
+LIMIT {NGRAM_TOP_K}
+""",
+    doc="Corpus n-gram statistics: top-25 word trigrams by document "
+    "frequency — the corpus-level frequency table behind quality "
+    "filters and tokenizer audits. Per-doc distinct before explode "
+    "keeps the shuffle to one row per (doc, gram); the count is "
+    "partial+final map-side; top-k is TakeOrderedAndProject, never a "
+    "global sort of the gram table.",
+)
+def corpus_ngram_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    grams = docs.select(
+        "doc_id", tokens_col(F.col("text")).alias("toks")
+    ).select("doc_id", F.explode(F.array_distinct(F.expr(SHINGLES_ARR_EXPR))).alias("gram"))
+    return (
+        grams.groupBy("gram")
+        .agg(F.count("*").alias("doc_freq"))
+        .orderBy(F.desc("doc_freq"), F.asc("gram"))
+        .limit(NGRAM_TOP_K)
+    )
+
+
+# --- per-domain quota sampling ----------------------------------------------
+
+DOMAIN_CAP = 10
+
+
+@register(
+    "corpus_domain_cap",
+    oracle=f"""
+SELECT doc_id, source, pos
+FROM (
+  SELECT doc_id, source,
+         row_number() OVER (
+           PARTITION BY source
+           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS pos
+  FROM documents
+)
+WHERE pos <= {DOMAIN_CAP}
+""",
+    doc="Per-domain quota sampling: keep at most 10 docs per source, "
+    "chosen by deterministic hash order — the per-domain cap a "
+    "CommonCrawl-style pipeline applies so no single site dominates "
+    "the corpus. One shuffle on source; the hash order makes the kept "
+    "subset reproducible with no RNG. A pathologically hot domain is "
+    "the window's skew case — the rewrite is a two-phase cap (cap per "
+    "(source, salt) then re-cap per source), same shape as the salted "
+    "aggregation in operators/skew.py.",
+)
+def corpus_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    return (
+        docs.select("doc_id", "source", F.row_number().over(w).alias("pos"))
+        .where(F.col("pos") <= DOMAIN_CAP)
+    )

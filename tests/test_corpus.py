@@ -80,3 +80,56 @@ def test_incremental_dedup_keeps_only_unseen_new_docs(spark):
         F.md5(F.lower(F.trim(F.col("text")))).alias("fp")
     )
     assert kept.join(corpus_fps, "fp", "left_semi").count() == 0
+
+
+def test_domain_cap_limits_every_source(spark):
+    capped = plans.get("corpus_domain_cap").fn(spark, SF)
+    from mrc_spark_jobs_pubmed_spark.plans.corpus_queries import DOMAIN_CAP
+
+    per_src = capped.groupBy("source").agg(F.count("*").alias("n"))
+    assert per_src.filter(F.col("n") > DOMAIN_CAP).count() == 0
+    # every source with >= CAP docs is filled exactly to the cap
+    totals = (
+        load_table(spark, "documents", SF)
+        .groupBy("source")
+        .agg(F.count("*").alias("avail"))
+    )
+    short = per_src.join(totals, "source").filter(
+        (F.col("avail") >= DOMAIN_CAP) & (F.col("n") < DOMAIN_CAP)
+    )
+    assert short.count() == 0
+    # deterministic: re-evaluation yields the identical kept set
+    again = plans.get("corpus_domain_cap").fn(spark, SF)
+    assert capped.exceptAll(again).count() == 0
+
+
+def test_contamination_flags_eval_overlap_only(spark):
+    from mrc_spark_jobs_pubmed_spark.plans.corpus_queries import EVAL_MOD
+
+    flagged = plans.get("corpus_contamination").fn(spark, SF)
+    # no eval doc may appear, hits never exceed total grams
+    assert flagged.filter(F.col("doc_id") % EVAL_MOD == 0).count() == 0
+    assert flagged.filter(F.col("n_hits") > F.col("n_grams")).count() == 0
+    bad = flagged.filter(
+        (F.col("contamination") <= 0) | (F.col("contamination") > 1)
+    )
+    assert bad.count() == 0
+
+
+def test_contamination_probe_broadcasts_eval_side(spark):
+    # the eval n-gram set must broadcast: the train side may shuffle only
+    # for its per-doc aggregation, never for the overlap join
+    df = plans.get("corpus_contamination").fn(spark, SF)
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_ngram_stats_topk_avoids_global_sort(spark):
+    df = plans.get("corpus_ngram_stats").fn(spark, SF)
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    assert "TakeOrderedAndProject" in plan
