@@ -50,3 +50,38 @@ CUSTOM_STOPWORDS: tuple[str, ...] = (
 )
 
 STOPWORDS: tuple[str, ...] = tuple(sorted(set(ENGLISH_STOPWORDS) | set(CUSTOM_STOPWORDS)))
+
+# The keywords-v2 domain stopword list — reference data, shipped verbatim
+# for v2 output parity (extract-keywords-from-abstracts/mrc_stopwords.py:
+# 1-226: NLTK English list + single letters + domain words like
+# 'indicator', 'technique', 'whereas', plus tokenizer artifacts "'nt",
+# "'s"). Kept in the reference's own order; treat as data, not code.
+MRC_STOPWORDS: tuple[str, ...] = (
+    "a", "about", "above", "after", "again", "against", "ain", "all",
+    "also", "am", "an", "and", "any", "are", "aren", "aren't", "as", "at",
+    "b", "be", "because", "been", "before", "being", "below", "between",
+    "both", "but", "by", "c", "can", "could", "couldn", "couldn't", "d",
+    "did", "didn", "didn't", "do", "does", "doesn", "doesn't", "doing",
+    "don", "don't", "down", "during", "e", "each", "f", "few", "for",
+    "from", "further", "g", "h", "had", "hadn", "hadn't", "has", "hasn",
+    "hasn't", "have", "haven", "haven't", "having", "he", "hence", "her",
+    "here", "hers", "herself", "him", "himself", "his", "how", "i", "if",
+    "in", "indicator", "into", "is", "isn", "isn't", "it", "it's", "its",
+    "itself", "iv", "j", "just", "large", "k", "l", "ll", "m", "ma",
+    "many", "me", "mightn", "mightn't", "more", "most", "much", "mustn",
+    "mustn't", "my", "myself", "n", "needn", "needn't", "new", "no",
+    "nor", "not", "now", "o", "of", "off", "on", "once", "one", "only",
+    "or", "other", "our", "ours", "ourselves", "out", "over", "own", "p",
+    "previously", "q", "r", "re", "result", "s", "same", "shan",
+    "shan't", "she", "she's", "should", "should've", "shouldn",
+    "shouldn't", "show", "shown", "so", "some", "stand", "such", "t",
+    "technique", "th", "than", "that", "that'll", "the", "their",
+    "theirs", "them", "themselves", "then", "there", "these", "they",
+    "this", "those", "through", "to", "too", "two", "type", "u", "under",
+    "until", "up", "use", "used", "using", "v", "ve", "very", "w", "was",
+    "wasn", "wasn't", "we", "were", "weren", "weren't", "what", "when",
+    "where", "whereas", "which", "while", "who", "whom", "why", "will",
+    "with", "won", "won't", "would", "wouldn", "wouldn't", "x", "y",
+    "you", "you'd", "you'll", "you're", "you've", "your", "yours",
+    "yourself", "yourselves", "z", "'nt", "'s", "'nt'",
+)

@@ -257,7 +257,7 @@ PACK_BUDGET = 1024
     oracle=f"""
 SELECT lang, seq_id,
        COUNT(*) AS n_docs,
-       SUM(n_tok) AS seq_tokens,
+       CAST(SUM(n_tok) AS BIGINT) AS seq_tokens,
        MIN(doc_id) AS first_doc,
        MAX(doc_id) AS last_doc
 FROM (

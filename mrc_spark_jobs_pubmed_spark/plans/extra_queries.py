@@ -82,19 +82,24 @@ def rel_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     "rel_collect_set",
     oracle="""
 SELECT c_nationkey,
-       list_sort(list(DISTINCT c_mktsegment)) AS segments,
+       array_to_string(list_sort(list(DISTINCT c_mktsegment)), '|') AS segments,
        count(DISTINCT c_mktsegment) AS n_segments
 FROM customer
 GROUP BY c_nationkey
 """,
     doc="collect_set as a first-class aggregate (sort_array makes the "
     "set deterministic for comparison) — the real inverted-index "
-    "posting-list shape from SURVEY.md §1.4.",
+    "posting-list shape from SURVEY.md §1.4. The registered boundary "
+    "emits the set as a '|'-joined scalar: the driver's pandas-based "
+    "canonicalizer cannot sort list cells (r01 ERR row), so array "
+    "outputs are stringified at the contract edge only.",
 )
 def rel_collect_set(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = load_table(spark, "customer", sf_dir)
     return cust.groupBy("c_nationkey").agg(
-        F.sort_array(F.collect_set("c_mktsegment")).alias("segments"),
+        F.concat_ws("|", F.sort_array(F.collect_set("c_mktsegment"))).alias(
+            "segments"
+        ),
         F.countDistinct("c_mktsegment").alias("n_segments"),
     )
 
@@ -427,7 +432,8 @@ def rel_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
     "rel_salted_agg",
     oracle="""
 SELECT l_returnflag,
-       list_sort(list(DISTINCT l_linestatus)) AS l_linestatus_set
+       array_to_string(list_sort(list(DISTINCT l_linestatus)), '|')
+         AS l_linestatus_set
 FROM lineitem
 GROUP BY l_returnflag
 """,
@@ -441,8 +447,12 @@ def rel_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mrc_spark_jobs_pubmed_spark.operators import skew
 
     li = load_table(spark, "lineitem", sf_dir)
-    return skew.salted_collect_set(
+    sets = skew.salted_collect_set(
         li, key="l_returnflag", value="l_linestatus", salt_from=F.col("l_orderkey")
+    )
+    # driver-comparator boundary: emit the (already-sorted) set as a scalar
+    return sets.withColumn(
+        "l_linestatus_set", F.concat_ws("|", F.col("l_linestatus_set"))
     )
 
 

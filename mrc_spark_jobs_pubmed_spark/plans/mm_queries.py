@@ -50,26 +50,32 @@ SELECT doc_id AS media_id,
        16 + CAST('0x' || substr(md5(text), 1, 2) AS INTEGER) AS width,
        16 + CAST('0x' || substr(md5(text), 3, 2) AS INTEGER) AS height,
        octet_length(encode(text)) AS n_bytes,
-       [round(CAST('0x' || substr(md5(text), 2*i-1, 2) AS INTEGER) / 255.0, 6)
-        for i in range(1, 9)] AS features
+       array_to_string(
+         [printf('%.6f',
+                 round(CAST('0x' || substr(md5(text), 2*i-1, 2) AS INTEGER)
+                       / 255.0, 6))
+          for i in range(1, 9)], '|') AS features
 FROM documents
 """,
     doc="Media decode + feature extraction through Arrow-batched "
     "mapInPandas; the deterministic stub kernel (md5-derived dims + "
     "8-dim feature vector) is recomputed in SQL by the oracle, so the "
-    "whole Python crossing is value-checked end to end.",
+    "whole Python crossing is value-checked end to end. The vector is "
+    "emitted as a '|'-joined %.6f scalar at the contract edge (the "
+    "driver's pandas canonicalizer cannot sort list cells — r01 ERR).",
 )
 def mm_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     decoded = M.decode_features(_media(spark, sf_dir))
-    # float32 storage re-canonicalized to 6dp doubles to match the oracle
+    # float32 storage re-canonicalized to 6dp doubles, then one scalar
     return decoded.select(
         "media_id",
         "width",
         "height",
         "n_bytes",
-        F.expr("transform(features, x -> round(cast(x AS double), 6))").alias(
-            "features"
-        ),
+        F.expr(
+            "concat_ws('|', transform(features,"
+            " x -> format_string('%.6f', round(cast(x AS double), 6))))"
+        ).alias("features"),
     )
 
 

@@ -55,3 +55,28 @@ def test_query_matches_oracle(spark, duck, name):
     assert _canon(spark_rows, spark_cols) == _canon(duck_rows, duck_cols), (
         f"{name}: value mismatch"
     )
+
+
+def test_driver_window_covers_every_family():
+    """The driver writes official CORRECTNESS rows for only the first ~50
+    registered queries; assert the curated window covers every query
+    family so no family ships without an official row (r01 gap)."""
+    names = list(plans.all_queries())
+    window = names[:50]
+    families = {n.split("_")[0] for n in names}
+    window_families = {n.split("_")[0] for n in window}
+    assert families == window_families, (
+        f"families missing from driver window: {families - window_families}"
+    )
+    assert "text_word_topk" in window  # flagship
+    # the four r01 driver-red rows must sit inside the checked window
+    for must in ("rel_collect_set", "rel_salted_agg", "mm_decode_features",
+                 "corpus_pack_greedy"):
+        assert must in window, f"{must} outside driver window"
+
+
+def test_driver_window_is_consistent():
+    """DRIVER_WINDOW names must all exist (set_priority raises on typos)
+    and leave headroom for the driver's 50-row cap."""
+    assert len(plans.DRIVER_WINDOW) <= 50
+    assert len(set(plans.DRIVER_WINDOW)) == len(plans.DRIVER_WINDOW)
