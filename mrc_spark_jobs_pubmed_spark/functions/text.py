@@ -30,7 +30,7 @@ from collections.abc import Sequence
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
-from mrc_spark_jobs_pubmed_spark.functions.stopwords import STOPWORDS
+from mrc_spark_jobs_pubmed_spark.functions.stopwords import MRC_STOPWORDS, STOPWORDS
 
 # --- cleaning (A13-A16) ----------------------------------------------------
 
@@ -188,6 +188,271 @@ def _nltk_lemmatize_udf():
     return _lemmatize
 
 
+# --- POS tagging (A18) + Penn→WordNet map (A19) + tagged lemmas (A21) ------
+#
+# The reference v2 job tags each token with nltk.pos_tag, maps the Penn
+# tag to a WordNet class, and lemmatizes with that class
+# (extract-keywords-from-abstracts/extract_keywords_from_all_abstracts.py:
+# 52-79). The engine compiles the same three stages to Catalyst Column
+# expressions: a suffix-heuristic tagger (adverb/verb/adjective/noun), the
+# Penn→WordNet map as data, and per-class detachment rules in the style of
+# WordNet's morphy (strip -ing/-ed with e-restoration for verbs; identity
+# for adjectives/adverbs whose tagged suffixes are already lemma forms;
+# the existing noun rule table otherwise). When nltk is installed the
+# real pos_tag+WordNet path is available behind the same interface
+# (`use_nltk=True`). Divergence from full WordNet (no lexicon lookup) is
+# deliberate and oracle-consistent: the DuckDB SQL mirror is generated
+# from the SAME rule tables.
+
+# The reference's Penn→WordNet mapping (A19), verbatim as data:
+# J*→adjective, V*→verb, N*→noun, R*→adverb, else no tag.
+PENN_TO_WORDNET: tuple[tuple[str, str], ...] = (
+    ("J", "a"),
+    ("V", "v"),
+    ("N", "n"),
+    ("R", "r"),
+)
+
+
+def penn_to_wordnet(tag: str) -> str | None:
+    """Python form of the A19 map, used by the nltk pandas_udf seam."""
+    for prefix, wn in PENN_TO_WORDNET:
+        if tag.startswith(prefix):
+            return wn
+    return None
+
+
+# Suffix-heuristic POS classes on cleaned lowercase tokens (A18). Ordered;
+# first match wins; default is noun — the same default the plain
+# lemmatizer uses, so the POS path strictly refines it.
+POS_SUFFIX_RULES: tuple[tuple[str, str], ...] = (
+    ("ly$", "r"),
+    ("(ing|ed)$", "v"),
+    ("(ous|ive|able|ible|ful|less|ic|ical|al)$", "a"),
+)
+POS_DEFAULT_TAG = "n"
+
+
+def pos_tag_token_col(tok: Column) -> Column:
+    """Heuristic WordNet POS class for one token, as a Column."""
+    expr = None
+    for pat, tag in POS_SUFFIX_RULES:
+        cond = tok.rlike(pat)
+        expr = F.when(cond, F.lit(tag)) if expr is None else expr.when(cond, F.lit(tag))
+    return expr.otherwise(F.lit(POS_DEFAULT_TAG))
+
+
+def pos_tag_sql(expr: str) -> str:
+    """The same POS heuristic as ANSI SQL."""
+    parts = ["CASE"]
+    for pat, tag in POS_SUFFIX_RULES:
+        parts.append(f"WHEN regexp_matches({expr}, '{pat}') THEN '{tag}'")
+    parts.append(f"ELSE '{POS_DEFAULT_TAG}' END")
+    return " ".join(parts)
+
+
+# Irregular verb forms (exact match, checked before any suffix rule).
+# Includes -ire/-use/-op stems the detachment rules cannot resolve
+# without a lexicon (required/caused/developed).
+VERB_IRREGULAR: tuple[tuple[str, str], ...] = (
+    ("found", "find"),
+    ("made", "make"),
+    ("given", "give"),
+    ("taken", "take"),
+    ("seen", "see"),
+    ("shown", "show"),
+    ("done", "do"),
+    ("known", "know"),
+    ("chosen", "choose"),
+    ("driven", "drive"),
+    ("grown", "grow"),
+    ("drawn", "draw"),
+    ("written", "write"),
+    ("begun", "begin"),
+    ("became", "become"),
+    ("went", "go"),
+    ("held", "hold"),
+    ("kept", "keep"),
+    ("led", "lead"),
+    ("left", "leave"),
+    ("lost", "lose"),
+    ("met", "meet"),
+    ("paid", "pay"),
+    ("said", "say"),
+    ("built", "build"),
+    ("brought", "bring"),
+    ("bought", "buy"),
+    ("thought", "think"),
+    ("taught", "teach"),
+    ("caught", "catch"),
+    ("died", "die"),
+    ("dying", "die"),
+    ("lying", "lie"),
+    ("tying", "tie"),
+    ("underlying", "underlie"),
+    ("caused", "cause"),
+    ("causing", "cause"),
+    ("developed", "develop"),
+    ("developing", "develop"),
+    ("required", "require"),
+    ("requiring", "require"),
+    ("acquired", "acquire"),
+    ("controlled", "control"),
+    ("controlling", "control"),
+    ("labelled", "label"),
+    ("labelling", "label"),
+)
+
+# Words that end in -ing/-ed but are not inflected verbs (nouns, function
+# words, -ed adjectives) — never stripped.
+VERB_KEEP: tuple[str, ...] = (
+    "morning",
+    "evening",
+    "something",
+    "anything",
+    "everything",
+    "nothing",
+    "spring",
+    "string",
+    "thing",
+    "king",
+    "ring",
+    "wing",
+    "sibling",
+    "meaning",
+    "infrared",
+    "sacred",
+    "hundred",
+    "unchanged",
+)
+
+# Ordered verb detachment rules (match/strip regex, replacement, min token
+# length). Anchored patterns → at most one replacement site, so Spark
+# (replace-all, $1) and DuckDB (RE2, \1) behave identically; RE2 has no
+# pattern backreferences, so doubled consonants are enumerated per letter.
+VERB_SUFFIX_RULES: tuple[tuple[str, str, int], ...] = (
+    ("ied$", "y", 5),  # studied → study
+    *[(f"{c}{c}(ing|ed)$", c, 6) for c in "bdgkmnprt"],  # running → run
+    ("eating$", "eat", 7),  # treating → treat
+    ("eated$", "eat", 6),  # repeated → repeat
+    ("easing$", "ease", 8),  # increasing → increase
+    ("eased$", "ease", 7),  # decreased → decrease
+    ("ating$", "ate", 6),  # evaluating → evaluate
+    ("ated$", "ate", 5),  # associated → associate
+    ("([^aeiou])iling$", "$1ile", 7),  # profiling → profile (failing → fail)
+    ("([^aeiou])iled$", "$1ile", 6),  # compiled → compile (failed → fail)
+    ("([^aeiouy][vcg])ing$", "$1e", 7),  # observing → observe
+    ("([^aeiouy][vcg])ed$", "$1e", 6),  # experienced → experience
+    ("([^aeiou][aeiouy][^aeiouwxyl])ing$", "$1e", 6),  # making → make
+    ("([^aeiou][aeiouy][^aeiouwxyl])ed$", "$1e", 5),  # compared → compare
+    ("ing$", "", 6),  # learning → learn, modeling → model
+    ("([^e])ed$", "$1", 5),  # performed → perform (speed/agreed kept)
+)
+
+
+def _verb_lemma_col(tok: Column) -> Column:
+    """Verb detachment chain as a Column (irregulars handled by caller)."""
+    expr = None
+    for pat, repl, min_len in VERB_SUFFIX_RULES:
+        cond = tok.rlike(pat) & (F.length(tok) >= min_len)
+        out = F.regexp_replace(tok, pat, repl)
+        expr = F.when(cond, out) if expr is None else expr.when(cond, out)
+    return expr.otherwise(tok)
+
+
+def _verb_lemma_sql(expr: str) -> str:
+    parts = ["CASE"]
+    for pat, repl, min_len in VERB_SUFFIX_RULES:
+        duck_repl = repl.replace("$1", "\\1")
+        parts.append(
+            f"WHEN regexp_matches({expr}, '{pat}') AND length({expr}) >= {min_len} "
+            f"THEN regexp_replace({expr}, '{pat}', '{duck_repl}')"
+        )
+    parts.append(f"ELSE {expr} END")
+    return " ".join(parts)
+
+
+def lemmatize_token_pos_col(tok: Column) -> Column:
+    """POS-aware lemmatizer for one token (A21), pure Column.
+
+    Structure mirrors the reference's tagged path: classify (A18), map
+    to a WordNet class (A19 — encoded in the branch order below), then
+    lemmatize per class: adverbs/adjectives are identity (their tagged
+    suffixes are lemma forms), verbs run the detachment rules, nouns run
+    the existing rule table.
+    """
+    expr = None
+    for word, lemma in VERB_IRREGULAR:
+        cond = tok == F.lit(word)
+        expr = F.when(cond, F.lit(lemma)) if expr is None else expr.when(cond, F.lit(lemma))
+    expr = expr.when(tok.isin(*VERB_KEEP), tok)
+    expr = expr.when(tok.rlike(POS_SUFFIX_RULES[0][0]), tok)  # 'r': identity
+    expr = expr.when(tok.rlike(POS_SUFFIX_RULES[1][0]), _verb_lemma_col(tok))
+    expr = expr.when(tok.rlike(POS_SUFFIX_RULES[2][0]), tok)  # 'a': identity
+    return expr.otherwise(lemmatize_token_col(tok))
+
+
+def lemma_pos_sql(expr: str) -> str:
+    """The SAME POS-aware lemmatizer as ANSI SQL (DuckDB oracle mirror)."""
+    parts = ["CASE"]
+    for word, lemma in VERB_IRREGULAR:
+        parts.append(f"WHEN {expr} = '{word}' THEN '{lemma}'")
+    keep_list = ", ".join(f"'{w}'" for w in VERB_KEEP)
+    parts.append(f"WHEN {expr} IN ({keep_list}) THEN {expr}")
+    parts.append(f"WHEN regexp_matches({expr}, '{POS_SUFFIX_RULES[0][0]}') THEN {expr}")
+    parts.append(
+        f"WHEN regexp_matches({expr}, '{POS_SUFFIX_RULES[1][0]}') "
+        f"THEN {_verb_lemma_sql(expr)}"
+    )
+    parts.append(f"WHEN regexp_matches({expr}, '{POS_SUFFIX_RULES[2][0]}') THEN {expr}")
+    parts.append(f"ELSE {lemma_sql(expr)} END")
+    return " ".join(parts)
+
+
+def lemmatize_tokens_pos(col: Column, use_nltk: bool = False) -> Column:
+    """POS-aware lemmatize over an array<string> column (A18+A19+A21).
+
+    Default backend is the pure-Column heuristic above. `use_nltk=True`
+    swaps in the reference's exact nltk path (pos_tag → Penn→WordNet →
+    tagged WordNetLemmatizer) as an Arrow-batched pandas_udf.
+    """
+    if use_nltk:
+        return _nltk_pos_lemmatize_udf()(col)
+    return F.transform(col, lemmatize_token_pos_col)
+
+
+def _nltk_pos_lemmatize_udf():
+    try:
+        import nltk  # noqa: F401
+        from nltk.stem import WordNetLemmatizer  # noqa: F401
+    except ImportError as exc:  # pragma: no cover - nltk absent in this env
+        raise ImportError("nltk not installed; use the rule-table backend") from exc
+
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    @F.pandas_udf(T.ArrayType(T.StringType()))
+    def _lemmatize(s: pd.Series) -> pd.Series:  # pragma: no cover
+        import nltk
+        from nltk.stem import WordNetLemmatizer
+
+        lem = WordNetLemmatizer()
+
+        def one(toks):
+            if toks is None:
+                return None
+            tagged = nltk.pos_tag(list(toks))
+            out = []
+            for word, penn in tagged:
+                wn = penn_to_wordnet(penn)
+                out.append(word if wn is None else lem.lemmatize(word, wn))
+            return out
+
+        return s.map(one)
+
+    return _lemmatize
+
+
 # --- composite: the reference keyword pipeline -----------------------------
 
 
@@ -203,6 +468,24 @@ def keywords(
     if lemmatize:
         toks = lemmatize_tokens(toks)
     return distinct_tokens(toks)
+
+
+def keywords_v2(
+    col: Column,
+    stopwords: Sequence[str] = MRC_STOPWORDS,
+    use_nltk: bool = False,
+) -> Column:
+    """The v2 keyword pipeline: POS-aware lemmas + the mrc domain list.
+
+    Mirrors the reference's lemmatize_sentence order (extract_keywords_
+    from_all_abstracts.py:65-79): tokenize → POS-tag → tagged lemmatize →
+    dedupe → THEN stopword-filter (v1 filters stopwords before
+    lemmatizing; v2 after, so inflections of stopwords — 'used', 'shown'
+    — are caught by their lemma or by the list's own inflected entries).
+    """
+    toks = tokenize(clean_text(col))
+    toks = lemmatize_tokens_pos(toks, use_nltk=use_nltk)
+    return F.array_except(toks, F.array(*[F.lit(w) for w in stopwords]))
 
 
 def keywords_sql(expr: str, stopwords: Sequence[str] = STOPWORDS) -> tuple[str, str]:

@@ -38,6 +38,7 @@ from mrc_spark_jobs_pubmed_spark.plans import (  # noqa: F401,E402
 DRIVER_WINDOW: list[str] = [
     # flagship + text family (r01: no official rows)
     "text_word_topk",
+    "text_keywords_v2",
     "text_token_stats",
     "text_tfidf_top_terms",
     "text_inverted_index",

@@ -11,11 +11,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from mrc_spark_jobs_pubmed_spark.functions.stopwords import STOPWORDS
+from mrc_spark_jobs_pubmed_spark.functions import text as TX
+from mrc_spark_jobs_pubmed_spark.functions.stopwords import MRC_STOPWORDS, STOPWORDS
 from mrc_spark_jobs_pubmed_spark.functions.text import (
     clean_text,
     clean_text_sql,
     keywords,
+    lemma_pos_sql,
     lemma_sql,
     tokenize,
 )
@@ -174,4 +176,50 @@ def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.log((F.col("n_docs_total") + F.lit(1.0)) / (F.col("df") + F.lit(1.0))), 6
             ).alias("idf"),
         )
+    )
+
+
+# --- keywords v2: POS-aware lemmas + mrc domain stopword list ---------------
+
+_MRC_STOPLIST_SQL = ", ".join(
+    "'" + w.replace("'", "''") + "'" for w in MRC_STOPWORDS
+)
+
+
+@register(
+    "text_keywords_v2",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(string_split_regex({clean_text_sql('text')}, '\\s+')) AS tok
+  FROM documents
+),
+lemmas AS (
+  SELECT DISTINCT doc_id, {lemma_pos_sql('tok')} AS word
+  FROM toks
+  WHERE length(tok) > 0
+)
+SELECT doc_id,
+       array_to_string(list_sort(list(word)), ' ') AS keywords
+FROM lemmas
+WHERE word NOT IN ({_MRC_STOPLIST_SQL})
+GROUP BY doc_id
+""",
+    doc="The reference v2 keywords job (extract_keywords_from_all_"
+    "abstracts.py:52-79): POS-tag (A18, suffix heuristic), Penn→WordNet "
+    "map (A19), tagged lemmatize (A21), dedupe, THEN the 224-word mrc "
+    "domain stopword filter — one row per doc, keywords space-joined "
+    "(the reference's CSV cell). The oracle SQL is generated from the "
+    "same POS/lemma rule tables, so both engines run identical "
+    "semantics; the nltk backend swaps in via use_nltk=True when "
+    "installed.",
+)
+def text_keywords_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    kw = TX.keywords_v2(F.col("text"))
+    return (
+        docs.select("doc_id", F.explode(kw).alias("word"))
+        .distinct()
+        .groupBy("doc_id")
+        .agg(F.concat_ws(" ", F.array_sort(F.collect_list("word"))).alias("keywords"))
     )
