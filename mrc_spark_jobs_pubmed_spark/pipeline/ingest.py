@@ -92,6 +92,63 @@ def mock_fetcher(url: str) -> str:
     return "\n".join(records)
 
 
+# --- real-HTTP adapters for the two ingest seams ---------------------------
+#
+# The same (year, month) -> (fetch_url, total) and url -> body contracts
+# as the mocks above, backed by NCBI E-utilities exactly as the reference
+# builds them (job_pubmed_submit.py:63-79: esearch with usehistory then
+# efetch against the returned WebEnv). `post` is injectable so the retry
+# classification is unit-testable against canned responses; the default
+# lazily imports requests, keeping CI hermetic (mocks stay the default
+# everywhere — these adapters are the documented swap-in, never exercised
+# against the live service in tests).
+
+EUTILS_BASE = "https://eutils.ncbi.nlm.nih.gov/entrez/eutils"
+
+
+def esearch_url(year: int, month: int) -> str:
+    """The reference's month-window esearch URL, December wrapping to
+    January 1 of the next year (job_pubmed_submit.py:66-69)."""
+    if month != 12:
+        maxdate = f"{year}/{month + 1}/01"
+    else:
+        maxdate = f"{year + 1}/01/01"
+    return (
+        f"{EUTILS_BASE}/esearch.fcgi?db=pubmed&mindate={year}/{month}/01"
+        f"&maxdate={maxdate}&usehistory=y&retmode=json"
+    )
+
+
+def _default_post(url: str):  # pragma: no cover - live network
+    import requests
+
+    return requests.post(url, timeout=60)
+
+
+def http_search(
+    year: int, month: int, post: Callable = _default_post
+) -> tuple[str, int]:
+    """requests-backed `search` seam: esearch → (efetch_url, total)."""
+    data = post(esearch_url(year, month)).json()
+    webenv = data["esearchresult"]["webenv"]
+    total = int(data["esearchresult"]["count"])
+    fetch_url = (
+        f"{EUTILS_BASE}/efetch.fcgi?db=pubmed&retmax=9999"
+        f"&query_key=1&webenv={webenv}"
+    )
+    return fetch_url, total
+
+
+def http_fetcher(url: str, post: Callable = _default_post) -> str:
+    """requests-backed `fetcher` seam: efetch page → body text.
+
+    Returns the body verbatim — transient-failure classification
+    (RETRY_MARKERS) and the bounded retry loop live in `fetch_pages`, so
+    the mock and HTTP backends share one retry policy.
+    """
+    return post(url).text
+
+
 def build_work_table(
     spark: SparkSession,
     begin_year: int,
@@ -114,7 +171,11 @@ def expand_pages(work: DataFrame, page_size: int = PAGE_SIZE) -> DataFrame:
     (job_pubmed_submit.py:40), which is what makes re-runs idempotent.
     """
     return (
-        work.select(
+        # months with no records yield zero pages, not a sequence() error
+        # (Spark throws on bounds 0..-1; the reference's range(0, 0) was a
+        # graceful no-op — parity requires the explicit filter)
+        work.filter(F.col("total_records") > 0)
+        .select(
             "year",
             "month",
             "fetch_url",

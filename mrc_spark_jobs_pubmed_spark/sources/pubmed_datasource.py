@@ -91,18 +91,30 @@ class PubmedStreamReader(DataSourceStreamReader):
             for m in range(1, 13)
         ]
         self.months_per_batch = int(options.get("months_per_batch", "3"))
+        # in-memory progress; after a checkpoint restart the engine replays
+        # the committed offset through partitions()/commit(), which re-seed
+        # these so latestOffset stays monotonic (never behind the committed
+        # start — a fresh instance starting at 0 would otherwise hand the
+        # engine reversed/empty batch ranges)
+        self._cur = 0
+        self._committed = 0
 
     def initialOffset(self) -> dict:
         return {"idx": 0}
 
     def latestOffset(self) -> dict:
-        # advance a bounded window per micro-batch; a real HTTP source
-        # would report server-side availability here instead
-        cur = getattr(self, "_cur", 0)
-        self._cur = min(cur + self.months_per_batch, len(self.months))
+        # advance a bounded window per micro-batch, monotonic w.r.t. both
+        # this instance's progress and any offset committed/replayed from a
+        # checkpoint; a real HTTP source would report server-side
+        # availability here instead
+        base = max(self._cur, self._committed)
+        self._cur = min(base + self.months_per_batch, len(self.months))
         return {"idx": self._cur}
 
     def partitions(self, start: dict, end: dict):
+        # seeing a start beyond our counter means we restarted from a
+        # checkpoint — adopt it so the next latestOffset resumes there
+        self._cur = max(self._cur, start["idx"], end["idx"])
         return [
             MonthPartition(y, m) for (y, m) in self.months[start["idx"] : end["idx"]]
         ]
@@ -111,7 +123,7 @@ class PubmedStreamReader(DataSourceStreamReader):
         return self._batch.read(partition)
 
     def commit(self, end: dict) -> None:
-        pass
+        self._committed = max(self._committed, end["idx"])
 
 
 class PubmedDataSource(DataSource):

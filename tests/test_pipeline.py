@@ -204,3 +204,84 @@ def test_parse_quarantine_splits_good_and_bad(spark):
     assert {r.pmid for r in good.collect()} == {"1", "2"}
     raws = [r.raw_line for r in bad.collect()]
     assert len(raws) == 2 and any("not json" in r for r in raws)
+
+
+def test_pagination_empty_month_yields_zero_pages(spark):
+    """A month with total_records == 0 must produce no pages, not a
+    sequence() bounds error (the reference's range(0, 0) was a no-op)."""
+    from mrc_spark_jobs_pubmed_spark.pipeline import ingest
+
+    work = ingest.build_work_table(
+        spark, 2019, 2019, search=lambda y, m: (f"http://x/{y}-{m}", 0)
+    )
+    assert ingest.expand_pages(work).count() == 0
+
+
+def test_pagination_mixed_empty_and_nonempty_months(spark):
+    from mrc_spark_jobs_pubmed_spark.pipeline import ingest
+
+    work = ingest.build_work_table(
+        spark,
+        2019,
+        2019,
+        search=lambda y, m: (f"http://x/{y}-{m}", 25000 if m == 3 else 0),
+    )
+    pages = ingest.expand_pages(work).collect()
+    assert {(p.year, p.month, p.offset) for p in pages} == {
+        (2019, 3, 0),
+        (2019, 3, 10000),
+        (2019, 3, 20000),
+    }
+
+
+def test_http_adapters_with_canned_responses(spark):
+    """The requests-backed seams, driven end to end on canned responses:
+    esearch JSON -> work table; efetch bodies with one transient
+    rate-limit response -> retry classification in fetch_pages."""
+    import json as _json
+
+    from mrc_spark_jobs_pubmed_spark.pipeline import ingest
+
+    class Resp:
+        def __init__(self, body):
+            self.text = body
+
+        def json(self):
+            return _json.loads(self.text)
+
+    calls = []
+
+    def canned_post(url):
+        calls.append(url)
+        if "esearch" in url:
+            return Resp(
+                '{"esearchresult": {"webenv": "WE_1", "count": "15000"}}'
+            )
+        # first efetch attempt per URL is rate-limited, then succeeds
+        if calls.count(url) == 1:
+            return Resp("API rate limit exceeded")
+        return Resp('{"pmid": "1", "medent": {"abstract": "ok"}}')
+
+    def search(year, month):
+        return ingest.http_search(year, month, post=canned_post)
+
+    def fetcher(url):
+        return ingest.http_fetcher(url, post=canned_post)
+
+    # esearch builds the reference URL shape, December wraps the year
+    assert "mindate=2019/12/01" in ingest.esearch_url(2019, 12)
+    assert "maxdate=2020/01/01" in ingest.esearch_url(2019, 12)
+    # months unpadded, matching the reference's str(month) URL building
+    assert "maxdate=2019/3/01" in ingest.esearch_url(2019, 2)
+
+    work = ingest.build_work_table(spark, 2019, 2019, search=search)
+    row = work.first()
+    assert row.total_records == 15000
+    assert "webenv=WE_1" in row.fetch_url
+
+    pages = ingest.expand_pages(work.limit(1))
+    fetched = ingest.fetch_pages(pages, fetcher=fetcher, max_retries=3).collect()
+    assert len(fetched) == 2  # 15000 records -> offsets 0 and 10000
+    for r in fetched:
+        assert r.payload is not None and "pmid" in r.payload
+        assert r.n_attempts == 2  # one rate-limited attempt, one success

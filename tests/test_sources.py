@@ -151,3 +151,33 @@ def test_orc_roundtrip_with_pushdown(spark, tmp_path):
     )
     # filter reaches the ORC scan, projection stays schema-pruned
     assert "PushedFilters: [IsNotNull(value), GreaterThan(value," in plan
+
+
+def test_pubmed_stream_offsets_monotonic_across_restart():
+    """latestOffset must never fall behind a committed/checkpointed
+    offset: a fresh reader instance (restart) that replays committed
+    state through partitions()/commit() resumes there, not at 0."""
+    from mrc_spark_jobs_pubmed_spark.sources.pubmed_datasource import (
+        PubmedStreamReader,
+    )
+
+    opts = {"begin_year": "2019", "end_year": "2020", "months_per_batch": "5"}
+    r1 = PubmedStreamReader(opts)
+    assert r1.initialOffset() == {"idx": 0}
+    assert r1.latestOffset() == {"idx": 5}
+    assert r1.latestOffset() == {"idx": 10}
+    r1.commit({"idx": 10})
+
+    # simulated restart: new instance, engine replays the committed range
+    r2 = PubmedStreamReader(opts)
+    parts = r2.partitions({"idx": 5}, {"idx": 10})
+    assert len(parts) == 5
+    r2.commit({"idx": 10})
+    nxt = r2.latestOffset()
+    assert nxt == {"idx": 15}  # resumes AFTER the committed month, not at 5
+    assert len(r2.partitions({"idx": 10}, nxt)) == 5
+
+    # offsets are clamped at the end of the work list (24 months)
+    for _ in range(10):
+        last = r2.latestOffset()
+    assert last == {"idx": 24}
