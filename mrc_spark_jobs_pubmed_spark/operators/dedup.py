@@ -476,3 +476,89 @@ def connected_components(
         if changed == 0:
             break
     return lab.select(F.col("node").alias(id_col), F.col("label").alias("component"))
+
+
+# --- line-level dedup (CCNet-style) -----------------------------------------
+#
+# Real LLM pipelines drop lines that recur across many documents
+# (boilerplate, navigation chrome, license headers) before any document-
+# level dedup. The fixture corpus has no newlines, so "lines" are
+# deterministic fixed-width word windows; on real data the splitter is
+# `split(text, '\n')` with the same downstream plan. Shape at 100 TB:
+# one narrow pass builds lines per doc (pure Column, no shuffle), one
+# hash-agg counts distinct docs per line, hot lines broadcast back as an
+# anti-join set (their count is tiny by construction — only lines above
+# the threshold), and docs reassemble with a positional sort inside the
+# aggregate, never a global sort.
+
+LINE_WORDS = 10
+
+
+def pseudo_lines(text: Column, width: int = LINE_WORDS) -> Column:
+    """array<string> of `width`-word windows over the whitespace tokens."""
+    toks = F.split(text, r"\s+")
+    n = F.size(toks)
+    idx = F.sequence(F.lit(0), F.floor((n - 1) / width).cast("int"))
+    return F.transform(
+        idx, lambda i: F.array_join(F.slice(toks, i * width + 1, width), " ")
+    )
+
+
+def pseudo_lines_sql(text_expr: str, width: int = LINE_WORDS) -> str:
+    """DuckDB mirror of `pseudo_lines` (1-based inclusive list slices)."""
+    toks = f"string_split_regex({text_expr}, '\\s+')"
+    return (
+        f"[array_to_string({toks}[i*{width}+1 : i*{width}+{width}], ' ') "
+        f"for i in range(0, CAST(floor((len({toks})-1)/{width}) AS BIGINT) + 1)]"
+    )
+
+
+def drop_common_lines(
+    docs: DataFrame,
+    max_docs_per_line: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    width: int = LINE_WORDS,
+) -> DataFrame:
+    """Remove lines that appear in more than `max_docs_per_line` distinct
+    docs; returns (id, text_kept, n_lines, n_lines_dropped).
+
+    The hot-line set is the output of the frequency aggregate filtered to
+    the threshold — at corpus scale it is orders of magnitude smaller
+    than the line table, so the removal join broadcasts.
+    """
+    lines = docs.select(
+        F.col(id_col),
+        F.posexplode(pseudo_lines(F.col(text_col), width)).alias("pos", "line"),
+    )
+    hot = (
+        lines.groupBy("line")
+        .agg(F.countDistinct(id_col).alias("n_docs"))
+        .filter(F.col("n_docs") > max_docs_per_line)
+        .select("line")
+    )
+    kept = lines.join(F.broadcast(hot), "line", "left_anti")
+    per_doc = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                lambda s: s["line"],
+            ),
+            " ",
+        ).alias("text_kept"),
+        F.count("*").alias("n_lines_kept"),
+    )
+    totals = docs.select(
+        F.col(id_col), F.size(pseudo_lines(F.col(text_col), width)).alias("n_lines")
+    )
+    return (
+        totals.join(per_doc, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("text_kept", F.lit("")).alias("text_kept"),
+            "n_lines",
+            (F.col("n_lines") - F.coalesce("n_lines_kept", F.lit(0)))
+            .cast("long")
+            .alias("n_lines_dropped"),
+        )
+    )

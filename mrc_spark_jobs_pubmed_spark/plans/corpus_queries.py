@@ -548,3 +548,67 @@ def corpus_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.select("doc_id", "source", F.row_number().over(w).alias("pos"))
         .where(F.col("pos") <= DOMAIN_CAP)
     )
+
+
+# --- CCNet-style line-level dedup -------------------------------------------
+
+LINE_DEDUP_WIDTH = 3  # pseudo-line width; real corpora split on '\n' instead
+LINE_DEDUP_MAX_DOCS = 2
+
+
+def _register_line_dedup() -> None:
+    from mrc_spark_jobs_pubmed_spark.operators.dedup import (
+        drop_common_lines,
+        pseudo_lines_sql,
+    )
+
+    w, k = LINE_DEDUP_WIDTH, LINE_DEDUP_MAX_DOCS
+    lines_sql = pseudo_lines_sql("text", w)
+
+    @register(
+        "corpus_line_dedup",
+        oracle=f"""
+WITH base AS (
+  SELECT doc_id, {lines_sql} AS ls FROM documents
+),
+lines AS (
+  SELECT doc_id, i AS pos, ls[i + 1] AS line
+  FROM base, unnest(range(len(ls))) t(i)
+),
+hot AS (
+  SELECT line
+  FROM (SELECT line, count(DISTINCT doc_id) AS n FROM lines GROUP BY line)
+  WHERE n > {k}
+),
+kept AS (
+  SELECT * FROM lines WHERE line NOT IN (SELECT line FROM hot)
+),
+per_doc AS (
+  SELECT doc_id,
+         string_agg(line, ' ' ORDER BY pos) AS text_kept,
+         count(*) AS n_kept
+  FROM kept GROUP BY doc_id
+)
+SELECT b.doc_id,
+       coalesce(p.text_kept, '') AS text_kept,
+       len(b.ls) AS n_lines,
+       CAST(len(b.ls) - coalesce(p.n_kept, 0) AS BIGINT) AS n_lines_dropped
+FROM base b LEFT JOIN per_doc p USING (doc_id)
+""",
+        doc="CCNet-style line-level dedup: lines recurring in more than "
+        f"{k} distinct docs (boilerplate) are dropped corpus-wide, docs "
+        "reassembled in line order. Fixture corpus has no newlines, so "
+        f"lines are deterministic {w}-word windows; real corpora swap the "
+        "splitter for split(text, chr(10)) with the same plan. Scale "
+        "shape: narrow line build, one hash-agg for frequencies, hot "
+        "lines broadcast anti-join (tiny by construction), positional "
+        "re-agg — no global sort anywhere.",
+    )
+    def corpus_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+        docs = load_table(spark, "documents", sf_dir)
+        return drop_common_lines(
+            docs, max_docs_per_line=k, width=w
+        )
+
+
+_register_line_dedup()

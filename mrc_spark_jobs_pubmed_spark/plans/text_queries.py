@@ -223,3 +223,87 @@ def text_keywords_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.concat_ws(" ", F.array_sort(F.collect_list("word"))).alias("keywords"))
     )
+
+
+# --- BM25 retrieval ----------------------------------------------------------
+
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_TERMS = ("join", "scan", "window")
+BM25_TOPK = 20
+
+
+@register(
+    "text_bm25_topk",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split_regex(text, '\\s+')) AS word
+  FROM documents
+),
+toks_ne AS (SELECT * FROM toks WHERE length(word) > 0),
+dl AS (SELECT doc_id, count(*) AS dl FROM toks_ne GROUP BY doc_id),
+stats AS (
+  SELECT (SELECT count(*) FROM documents) AS n_docs,
+         (SELECT avg(dl) FROM dl) AS avgdl
+),
+qtf AS (
+  SELECT doc_id, word, count(*) AS tf
+  FROM toks_ne
+  WHERE word IN ({", ".join(f"'{t}'" for t in BM25_TERMS)})
+  GROUP BY doc_id, word
+),
+df_t AS (SELECT word, count(*) AS df FROM qtf GROUP BY word),
+scored AS (
+  SELECT qtf.doc_id,
+         sum(ln((stats.n_docs - df_t.df + 0.5) / (df_t.df + 0.5) + 1.0)
+             * qtf.tf * ({BM25_K1} + 1.0)
+             / (qtf.tf + {BM25_K1} * (1.0 - {BM25_B}
+                                      + {BM25_B} * dl.dl / stats.avgdl))
+         ) AS s
+  FROM qtf
+  JOIN df_t USING (word)
+  JOIN dl USING (doc_id)
+  CROSS JOIN stats
+  GROUP BY qtf.doc_id
+)
+SELECT doc_id, round(s, 6) AS bm25
+FROM scored
+ORDER BY round(s, 6) DESC, doc_id
+LIMIT {BM25_TOPK}
+""",
+    doc="BM25 retrieval (Okapi, k1=1.2 b=0.75) for a fixed term set — the "
+    "scoring half of a search/RAG stack over the corpus. Plan shape at "
+    "scale: the term filter lands immediately after tokenization so only "
+    "query-term postings shuffle; df and the (N, avgdl) corpus stats are "
+    "1-row/3-row aggregates broadcast to the postings; doc length joins "
+    "co-partitioned on doc_id; final top-k is TakeOrderedAndProject, "
+    "never a global sort.",
+)
+def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.split(F.col("text"), r"\s+")).alias("word"),
+    ).filter(F.length("word") > 0)
+    dl = toks.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    qtf = (
+        toks.filter(F.col("word").isin(*BM25_TERMS))
+        .groupBy("doc_id", "word")
+        .agg(F.count("*").alias("tf"))
+    )
+    df_t = qtf.groupBy("word").agg(F.count("*").alias("df"))
+    stats = docs.agg(F.count("*").alias("n_docs")).crossJoin(
+        dl.agg(F.avg("dl").alias("avgdl"))
+    )
+    idf = F.log((F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0)
+    denom = F.col("tf") + BM25_K1 * (
+        1.0 - BM25_B + BM25_B * F.col("dl") / F.col("avgdl")
+    )
+    scored = (
+        qtf.join(F.broadcast(df_t), "word")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(F.round(F.sum(idf * F.col("tf") * (BM25_K1 + 1.0) / denom), 6).alias("bm25"))
+    )
+    return scored.orderBy(F.desc("bm25"), F.asc("doc_id")).limit(BM25_TOPK)

@@ -33,8 +33,14 @@ def get_session(
     so this is an upper bound, not a hand-tuned constant.
     """
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    # local[N] runs all N executor threads in the driver JVM; Spark's 1g
+    # default heap OOMs around sf1 (6M-row lineitem + 32 concurrent
+    # hash-agg partitions). Must be set before the JVM launches, hence
+    # here and not per-query. On a real cluster spark-submit overrides.
+    driver_mem = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g")
     builder = (
         SparkSession.builder.appName(app_name)
+        .config("spark.driver.memory", driver_mem)
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")

@@ -133,3 +133,33 @@ def test_ngram_stats_topk_avoids_global_sort(spark):
         df._jdf.queryExecution(), "formatted"
     )
     assert "TakeOrderedAndProject" in plan
+
+
+def test_line_dedup_reassembles_and_drops(spark):
+    """Invariants: with an impossible threshold nothing drops and docs
+    reassemble verbatim; with threshold 0 every line shared by 2+ docs
+    drops; counts are consistent."""
+    from mrc_spark_jobs_pubmed_spark.operators.dedup import drop_common_lines
+
+    rows = [
+        (1, "a b c d e f"),   # lines (w=3): 'a b c', 'd e f'
+        (2, "a b c x y z"),   # shares 'a b c' with doc 1
+        (3, "p q r"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+
+    keep_all = {
+        r.doc_id: r
+        for r in drop_common_lines(docs, max_docs_per_line=9, width=3).collect()
+    }
+    assert keep_all[1].text_kept == "a b c d e f"
+    assert all(r.n_lines_dropped == 0 for r in keep_all.values())
+
+    strict = {
+        r.doc_id: r
+        for r in drop_common_lines(docs, max_docs_per_line=1, width=3).collect()
+    }
+    assert strict[1].text_kept == "d e f"      # 'a b c' in 2 docs -> dropped
+    assert strict[2].text_kept == "x y z"
+    assert strict[3].text_kept == "p q r"
+    assert strict[1].n_lines == 2 and strict[1].n_lines_dropped == 1

@@ -221,3 +221,20 @@ def test_q22_anti_join_and_scalar_broadcast(spark):
     plan = _physical(spark, "rel_q22_idle_customers")
     assert "LeftAnti" in plan
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_bm25_topk_plan_shape(spark):
+    """BM25: top-k must be TakeOrderedAndProject, and the tiny df/stats
+    aggregates must broadcast to the postings."""
+    plan = _physical(spark, "text_bm25_topk")
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastExchange" in plan
+
+
+def test_line_dedup_hot_lines_broadcast(spark):
+    """Line dedup: the hot-line removal is a broadcast anti-join (the
+    hot set is tiny by construction), never a shuffled join of the full
+    line table against itself."""
+    plan = _physical(spark, "corpus_line_dedup")
+    assert "BroadcastExchange" in plan
+    assert plan.count("CartesianProduct") == 0
