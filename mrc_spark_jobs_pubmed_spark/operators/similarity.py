@@ -181,3 +181,114 @@ def topk_pairs_blocked(
         tile_topk, "vec_a long, vec_b long, cosine double"
     )
     return candidates.orderBy(F.desc("cosine"), F.asc("vec_a"), F.asc("vec_b")).limit(k)
+
+
+# --- euclidean distance / k-means IVF / semantic dedup ---------------------
+
+
+def l2dist(a: Column, b: Column) -> Column:
+    """Euclidean distance as a sequential left fold — same accumulation
+    order as DuckDB's list_distance on DOUBLE[], so both engines produce
+    bit-identical doubles (the property every oracle here leans on)."""
+    return F.sqrt(
+        F.aggregate(
+            F.zip_with(_dvec(a), _dvec(b), lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+
+
+def kmeans_assign(
+    emb: DataFrame, k: int = 8, iters: int = 2, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """Lloyd's k-means as pure DataFrame ops: (vec_id, cid, d).
+
+    Deterministic end to end: centroids initialize from the k lowest-id
+    vectors (no RNG), and assignment breaks distance ties by lowest
+    centroid id via a lexicographic struct-min — never `min_by`, whose
+    tie winner is undefined.
+
+    Scale shape: each iteration is one broadcast join (k centroids ship
+    to every executor; the 100 TB side never shuffles for assignment)
+    plus one centroid-update aggregation whose result is k×dim doubles —
+    a few KB regardless of corpus size. The per-dimension update uses
+    posexplode + hash-agg (codegen'd, map-side partial avg) rather than
+    array-lambda folds. This is the IVF coarse quantizer: `cid` is the
+    partition/bucket key for ANN probing, with k ≈ sqrt(n) at scale.
+    """
+    e = emb.select(F.col(id_col).alias("vec_id"), _dvec(F.col(vec_col)).alias("v"))
+    cents = e.filter(F.col("vec_id") < k).select(
+        F.col("vec_id").cast("int").alias("cid"), F.col("v").alias("c")
+    )
+    for _ in range(iters):
+        assigned = (
+            e.join(F.broadcast(cents))
+            .select("vec_id", "v", "cid", l2dist(F.col("v"), F.col("c")).alias("d"))
+            .groupBy("vec_id")
+            .agg(
+                F.min(F.struct("d", "cid")).alias("m"),
+                F.first("v").alias("v"),
+            )
+            .select("vec_id", "v", F.col("m.cid").alias("cid"))
+        )
+        cents = (
+            assigned.select("cid", F.posexplode("v").alias("pos", "x"))
+            .groupBy("cid", "pos")
+            .agg(F.avg("x").alias("m"))
+            .groupBy("cid")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "m"))), lambda s: s.m
+                ).alias("c")
+            )
+        )
+    return (
+        e.join(F.broadcast(cents))
+        .select("vec_id", "cid", l2dist(F.col("v"), F.col("c")).alias("d"))
+        .groupBy("vec_id")
+        .agg(F.min(F.struct("d", "cid")).alias("m"))
+        .select("vec_id", F.col("m.cid").alias("cid"), F.col("m.d").alias("d"))
+    )
+
+
+def semdedup_removed(
+    emb: DataFrame, tau: float, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """SemDeDup-style semantic dedup: (dup_id, kept_id, max_cosine).
+
+    A vector is REMOVED iff a lower-id vector in the same coarse bucket
+    has cosine > tau with it; the lowest such witness is reported as the
+    kept representative. One-pass and greedy-deterministic (no
+    iteration-order dependence), matching the published SemDeDup recipe
+    of clustering then pruning within-cluster near-duplicates.
+
+    Scale shape: the pairwise compare is confined to sign-bit buckets
+    (bucket_id — the same coarse quantizer the ANN path uses), so the
+    join is an equi-join on bucket with per-bucket quadratic cost, never
+    a global all-pairs; at 100 TB the bucket key moves to the k-means
+    `cid` with k sized to cap bucket occupancy, identical plan shape.
+    """
+    e = emb.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).alias("emb"),
+        bucket_id(F.col(vec_col)).alias("bucket"),
+    )
+    a, b = e.alias("a"), e.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.bucket") == F.col("b.bucket"))
+        & (F.col("a.vec_id") < F.col("b.vec_id")),
+    ).select(
+        F.col("a.vec_id").alias("keep_cand"),
+        F.col("b.vec_id").alias("dup_cand"),
+        cosine(F.col("a.emb"), F.col("b.emb")).alias("cos"),
+    )
+    return (
+        pairs.where(F.col("cos") > tau)
+        .groupBy(F.col("dup_cand").alias("dup_id"))
+        .agg(
+            F.min("keep_cand").alias("kept_id"),
+            F.round(F.max("cos"), 6).alias("max_cosine"),
+        )
+    )

@@ -20,6 +20,7 @@ from mrc_spark_jobs_pubmed_spark.plans import (  # noqa: F401,E402
     corpus_queries,
     dedup_queries,
     extra_queries,
+    mixing_queries,
     mm_queries,
     relational_queries,
     similarity_queries,
@@ -60,19 +61,21 @@ DRIVER_WINDOW: list[str] = [
     # TPC-H batch 2 (r01: no official rows)
     "rel_q4_order_priority",
     "rel_q6_forecast_revenue",
-    "rel_q7_nation_volume",
-    "rel_q8_market_share",
-    "rel_q9_product_profit",
     "rel_q10_returned_items",
     "rel_q12_priority_class",
-    "rel_q13_order_count_dist",
     "rel_q14_promo_revenue",
     "rel_q15_top_supplier",
     "rel_q16_supplier_variety",
-    "rel_q17_small_qty_revenue",
     "rel_q18_big_orders",
     "rel_q19_disjunctive",
     "rel_q22_idle_customers",
+    # round-2 additions: dataset mixing, semantic dedup, k-means IVF,
+    # cross-corpus fuzzy join, random projection (new `emb` family)
+    "corpus_mix_weighted",
+    "sim_semdedup",
+    "sim_kmeans_ivf",
+    "dedup_lsh_join",
+    "emb_random_projection",
     # r01 driver-red rows, fixed this round — must show green
     "rel_collect_set",
     "rel_salted_agg",

@@ -116,3 +116,84 @@ def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         D.minhash_band_keys(D.shingle_rows(docs, distinct=False))
     ).select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
     return D.connected_components(docs, pairs)
+
+
+# --- cross-corpus fuzzy (LSH) join -----------------------------------------
+
+FUZZY_JOIN_TAU = 0.2
+
+
+@register(
+    "dedup_lsh_join",
+    oracle=f"""
+WITH {D.minhash_ctes_sql()},
+cand AS (
+  SELECT DISTINCT b.doc_id AS batch_doc, a.doc_id AS corpus_doc
+  FROM bands a JOIN bands b
+    ON a.band_id = b.band_id AND a.band_key = b.band_key
+  WHERE a.doc_id % 2 = 0 AND b.doc_id % 2 = 1
+),
+sets AS (SELECT doc_id, list(DISTINCT shingle) AS sh FROM shingle_rows GROUP BY doc_id)
+SELECT batch_doc, corpus_doc,
+       round(ninter::DOUBLE / (na + nb - ninter), 6) AS jaccard
+FROM (
+  SELECT batch_doc, corpus_doc,
+         len(list_intersect(sa.sh, sb.sh)) AS ninter,
+         len(sa.sh) AS na, len(sb.sh) AS nb
+  FROM cand JOIN sets sa ON sa.doc_id = cand.corpus_doc
+            JOIN sets sb ON sb.doc_id = cand.batch_doc
+)
+WHERE ninter::DOUBLE / (na + nb - ninter) >= {FUZZY_JOIN_TAU}
+""",
+    doc="Cross-corpus fuzzy join: an incoming batch (odd doc_ids) "
+    "LSH-joined against the existing corpus (even doc_ids) on MinHash "
+    "band keys, candidates verified by exact shingle Jaccard. The "
+    "fuzzy analogue of corpus_incremental_dedup's exact anti-join: "
+    "candidate generation is a band-key equi-join (never batch x "
+    "corpus all-pairs), and the Jaccard verify touches only candidate "
+    "pairs — per-doc shingle sets join in as single array rows, so "
+    "verify cost is O(candidates), not O(corpus).",
+)
+def dedup_lsh_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    bands = D.minhash_band_keys(D.shingle_rows(docs, distinct=False))
+    corpus_b = bands.filter(F.col("doc_id") % 2 == 0).alias("a")
+    batch_b = bands.filter(F.col("doc_id") % 2 == 1).alias("b")
+    cand = (
+        corpus_b.join(
+            batch_b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_key") == F.col("b.band_key")),
+        )
+        .select(
+            F.col("b.doc_id").alias("batch_doc"),
+            F.col("a.doc_id").alias("corpus_doc"),
+        )
+        .distinct()
+    )
+    sets = (
+        D.shingle_rows(docs, distinct=True)
+        .groupBy("doc_id")
+        .agg(F.collect_list("shingle").alias("sh"))
+    )
+    sa, sb = sets.alias("sa"), sets.alias("sb")
+    scored = (
+        cand.join(sa, F.col("sa.doc_id") == F.col("corpus_doc"))
+        .join(sb, F.col("sb.doc_id") == F.col("batch_doc"))
+        .select(
+            "batch_doc",
+            "corpus_doc",
+            F.size(F.array_intersect(F.col("sa.sh"), F.col("sb.sh"))).alias("ninter"),
+            F.size(F.col("sa.sh")).alias("na"),
+            F.size(F.col("sb.sh")).alias("nb"),
+        )
+        .withColumn(
+            "jaccard",
+            F.col("ninter").cast("double")
+            / (F.col("na") + F.col("nb") - F.col("ninter")),
+        )
+    )
+    return (
+        scored.where(F.col("jaccard") >= FUZZY_JOIN_TAU)
+        .select("batch_doc", "corpus_doc", F.round("jaccard", 6).alias("jaccard"))
+    )

@@ -1,0 +1,233 @@
+"""Dataset-mixing queries: weighted source mixing, exact stratified
+splits, and model-based quality scoring over `documents`.
+
+These are the composition stage of a training-data pipeline — after
+filtering and dedup, a corpus build decides HOW MUCH of each source to
+train on (mixture weights, possibly > 1 epoch), carves reproducible
+train/val/test splits, and applies a learned quality scorer. The
+reference corpus stops at keyword extraction
+(spark-pubmed-word-count/word_count.py:61-65); this is [ext] surface in
+the spirit of published corpus builds (Gopher/Dolma-style source
+weighting, C4-style held-out splits).
+
+Scale notes (100 TB):
+- mixing is a per-row expression + `explode(sequence(...))` — zero
+  shuffle; upsampled copies are generated where the data lives, never
+  collected. A weight table with thousands of sources would become a
+  broadcast-joined dim instead of a literal CASE, same plan shape.
+- the stratified split is ONE window shuffle on the stratum key —
+  identical shape to any per-group ranking; at scale the stratum
+  cardinality (sources × langs) is millions of rows per partition at
+  most, and a skewed mega-source is exactly the AQE skew-split case.
+- quality scoring is pure per-row arithmetic — fully codegen'd, no
+  Python, no shuffle; a real model upgrade swaps the literal weights
+  for a broadcast coefficient vector (linear) or an Arrow-batched
+  pandas_udf (non-linear) without changing the plan shape.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mrc_spark_jobs_pubmed_spark.operators.dedup import tokens_col, tokens_sql
+from mrc_spark_jobs_pubmed_spark.plans.registry import register
+from mrc_spark_jobs_pubmed_spark.sources.catalog import load_table
+
+# --- weighted source mixing ------------------------------------------------
+
+# Mixture weights per source: epochs-per-doc, fractional part applied by
+# deterministic hash (no RNG — stable across runs, engines, executors,
+# and re-partitioning). Sources not listed train at weight 1.0; weight
+# 0.0 drops the source entirely.
+MIX_WEIGHTS: dict[str, float] = {
+    "src0": 2.5,  # high-quality source: 2 full epochs + 50% of a third
+    "src1": 0.25,  # noisy source: keep a quarter
+    "src2": 0.0,  # blocked source: drop
+    "src3": 1.5,
+}
+
+
+def _frac_hex(frac: float) -> str:
+    """Fractional keep-rate -> 8-hex-char md5-prefix threshold."""
+    return format(int(frac * (1 << 32)), "08x")
+
+
+def _n_copies_case_sql() -> str:
+    """Shared Spark-SQL/DuckDB CASE expression for copies-per-doc.
+
+    md5('mix:' || doc_id) is the per-doc uniform draw (salted so it is
+    independent of the sampling/split hashes); floor(weight) full copies
+    plus one more when the draw falls under the fractional threshold.
+    """
+    arms = []
+    for src, w in sorted(MIX_WEIGHTS.items()):
+        base, frac = int(w), w - int(w)
+        expr = str(base)
+        if frac > 0:
+            expr = (
+                f"{base} + (CASE WHEN substr(md5(concat('mix:', "
+                f"CAST(doc_id AS STRING))), 1, 8) < '{_frac_hex(frac)}' "
+                f"THEN 1 ELSE 0 END)"
+            )
+        arms.append(f"WHEN '{src}' THEN {expr}")
+    return f"(CASE source {' '.join(arms)} ELSE 1 END)"
+
+
+@register(
+    "corpus_mix_weighted",
+    oracle=f"""
+SELECT doc_id, source, CAST(unnest(range(1, n_copies + 1)) AS BIGINT) AS epoch_copy
+FROM (
+  SELECT doc_id, source, {_n_copies_case_sql()} AS n_copies
+  FROM documents
+)
+WHERE n_copies > 0
+""",
+    doc="Weighted dataset mixing: per-source mixture weights applied as "
+    "deterministic-hash epochs (floor(w) full copies + hash-gated "
+    "fractional copy). Zero shuffle — copies are generated in place "
+    "with explode(sequence(...)), never collected or re-sampled; the "
+    "standard Gopher/Dolma-style source-weighting idiom at scale.",
+)
+def corpus_mix_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    return (
+        docs.select("doc_id", "source", F.expr(_n_copies_case_sql()).alias("n_copies"))
+        .where(F.col("n_copies") > 0)
+        .select(
+            "doc_id",
+            "source",
+            F.explode(F.sequence(F.lit(1), F.col("n_copies"))).alias("copy_i"),
+        )
+        .select("doc_id", "source", F.col("copy_i").cast("long").alias("epoch_copy"))
+    )
+
+
+# --- exact stratified train/val/test split ---------------------------------
+
+# 80/10/10 by integer arithmetic (r*10 <= n*8 etc.) so both engines cut
+# at identical rows — no float boundary, no ceil()-dialect drift.
+
+
+@register(
+    "corpus_split_stratified",
+    oracle="""
+SELECT doc_id, source,
+       CASE WHEN r * 10 <= n * 8 THEN 'train'
+            WHEN r * 10 <= n * 9 THEN 'val'
+            ELSE 'test' END AS split
+FROM (
+  SELECT doc_id, source,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY substr(md5(concat('split:', CAST(doc_id AS STRING))), 1, 8),
+                                     doc_id) AS r,
+         count(*) OVER (PARTITION BY source) AS n
+  FROM documents
+)
+""",
+    doc="Exact stratified train/val/test split: rank docs inside each "
+    "source by a salted doc-id hash, cut at 80/10/10 with integer "
+    "arithmetic. One window shuffle on the stratum key; proportions "
+    "are exact per stratum (not just in expectation), reproducible "
+    "across runs and engines, and new docs only ever shift ranks "
+    "within their own stratum.",
+)
+def corpus_split_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, "documents", sf_dir)
+    h = F.substring(F.md5(F.concat(F.lit("split:"), F.col("doc_id").cast("string"))), 1, 8)
+    w = Window.partitionBy("source")
+    ranked = docs.select(
+        "doc_id",
+        "source",
+        F.row_number().over(w.orderBy(h.asc(), F.col("doc_id").asc())).alias("r"),
+        F.count("*").over(w).alias("n"),
+    )
+    return ranked.select(
+        "doc_id",
+        "source",
+        F.when(F.col("r") * 10 <= F.col("n") * 8, "train")
+        .when(F.col("r") * 10 <= F.col("n") * 9, "val")
+        .otherwise("test")
+        .alias("split"),
+    )
+
+
+# --- fixed-weight quality classifier ---------------------------------------
+
+# Logistic scorer over cheap per-doc features — the plumbing for
+# fastText/KenLM-style model-based quality filtering (the learned
+# weights here are illustrative constants; a trained model drops in as
+# a broadcast coefficient vector with the same plan shape).
+_QC_STOPWORDS = ("the", "of", "and", "a", "in", "to", "is")
+_QC_STOP_SQL = "[" + ", ".join(f"'{w}'" for w in _QC_STOPWORDS) + "]"
+_QC_STOP_SPARK = "array(" + ", ".join(f"'{w}'" for w in _QC_STOPWORDS) + ")"
+
+
+@register(
+    "corpus_quality_classifier",
+    oracle=f"""
+SELECT doc_id, n_tok, stop_ratio, digit_ratio, mean_tok_len, score,
+       score >= 0.5 AS keep
+FROM (
+  SELECT doc_id, n_tok, stop_ratio, digit_ratio, mean_tok_len,
+         round(1 / (1 + exp(-(-2.0 + 6.0 * stop_ratio - 8.0 * digit_ratio
+                              + 0.5 * ln(1 + n_tok)
+                              - 0.3 * abs(mean_tok_len - 4.5)))), 6) AS score
+  FROM (
+    SELECT doc_id,
+           len(toks) AS n_tok,
+           len(list_filter(toks, t -> list_contains({_QC_STOP_SQL}, t)))::DOUBLE
+             / len(toks) AS stop_ratio,
+           length(regexp_replace(text, '[^0-9]', '', 'g'))::DOUBLE
+             / length(text) AS digit_ratio,
+           list_sum(list_transform(toks, t -> length(t)))::DOUBLE
+             / len(toks) AS mean_tok_len
+    FROM (SELECT doc_id, text, {tokens_sql('text')} AS toks FROM documents)
+    WHERE len(toks) > 0
+  )
+)
+""",
+    doc="Model-based quality scoring: logistic score over per-doc "
+    "features (stopword ratio, digit ratio, token-length shape, "
+    "log-length). Pure codegen'd per-row arithmetic — zero shuffle, "
+    "no Python; the keep flag gates the corpus at a score threshold "
+    "exactly like a fastText quality classifier would at scale.",
+)
+def corpus_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    toks = tokens_col(F.col("text"))
+    feats = docs.select(
+        "doc_id",
+        "text",
+        toks.alias("toks"),
+    ).where(F.size("toks") > 0)
+    feats = feats.select(
+        "doc_id",
+        F.size("toks").cast("long").alias("n_tok"),
+        (
+            F.expr(f"size(filter(toks, t -> array_contains({_QC_STOP_SPARK}, t)))").cast(
+                "double"
+            )
+            / F.size("toks")
+        ).alias("stop_ratio"),
+        (
+            F.length(F.regexp_replace("text", "[^0-9]", "")).cast("double")
+            / F.length("text")
+        ).alias("digit_ratio"),
+        (
+            F.expr("aggregate(toks, 0, (acc, t) -> acc + length(t))").cast("double")
+            / F.size("toks")
+        ).alias("mean_tok_len"),
+    )
+    z = (
+        F.lit(-2.0)
+        + F.lit(6.0) * F.col("stop_ratio")
+        - F.lit(8.0) * F.col("digit_ratio")
+        + F.lit(0.5) * F.log(F.lit(1) + F.col("n_tok"))
+        - F.lit(0.3) * F.abs(F.col("mean_tok_len") - F.lit(4.5))
+    )
+    scored = feats.withColumn("score", F.round(F.lit(1) / (F.lit(1) + F.exp(-z)), 6))
+    return scored.withColumn("keep", F.col("score") >= 0.5)

@@ -172,3 +172,142 @@ def sim_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("n_hits").cast("double") / TOP_K).alias("recall"),
         )
     )
+
+
+# --- semantic dedup (SemDeDup-style) ---------------------------------------
+
+SEMDEDUP_TAU = 0.35  # sits at ~p99 of within-bucket cosine on the fixture
+
+
+@register(
+    "sim_semdedup",
+    oracle=f"""
+WITH e AS (
+  SELECT vec_id, embedding, {S.bucket_id_sql('embedding')} AS bucket
+  FROM embeddings
+)
+SELECT dup_cand AS dup_id, min(keep_cand) AS kept_id, round(max(cos), 6) AS max_cosine
+FROM (
+  SELECT a.vec_id AS keep_cand, b.vec_id AS dup_cand,
+         {S.cosine_sql('a.embedding', 'b.embedding')} AS cos
+  FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+)
+WHERE cos > {SEMDEDUP_TAU}
+GROUP BY dup_cand
+""",
+    doc="SemDeDup-style semantic dedup: prune vectors whose cosine to a "
+    "lower-id vector in the same coarse bucket exceeds tau. Pairwise "
+    "compare is bucket-confined (the ANN coarse quantizer), never "
+    "global all-pairs — the published SemDeDup recipe of cluster-then-"
+    "prune, one-pass and greedy-deterministic.",
+)
+def sim_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, "embeddings", sf_dir)
+    return S.semdedup_removed(emb, SEMDEDUP_TAU)
+
+
+# --- k-means IVF coarse quantizer ------------------------------------------
+
+KMEANS_K = 8
+KMEANS_ITERS = 2
+
+
+def _kmeans_sql() -> str:
+    """Unrolled Lloyd iterations as CTEs — deterministic init (lowest-k
+    ids), struct-min assignment (distance then cid tie-break), exact
+    mirror of operators.similarity.kmeans_assign."""
+    dim = 64
+    ctes = [
+        "e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)",
+        f"c0 AS (SELECT CAST(vec_id AS INT) AS cid, v AS c FROM e WHERE vec_id < {KMEANS_K})",
+    ]
+    for it in range(KMEANS_ITERS):
+        ctes.append(
+            f"a{it} AS (SELECT e.vec_id, "
+            f"min({{'d': list_distance(e.v, c{it}.c), 'cid': c{it}.cid}}).cid AS cid "
+            f"FROM e CROSS JOIN c{it} GROUP BY e.vec_id)"
+        )
+        ctes.append(
+            f"c{it + 1} AS (SELECT cid, list(m ORDER BY i) AS c FROM ("
+            f"SELECT a{it}.cid AS cid, t.i AS i, avg(e.v[t.i]) AS m "
+            f"FROM a{it} JOIN e USING (vec_id) CROSS JOIN range(1, {dim + 1}) t(i) "
+            f"GROUP BY a{it}.cid, t.i) GROUP BY cid)"
+        )
+    last = f"c{KMEANS_ITERS}"
+    return (
+        "WITH " + ",\n".join(ctes) + f""",
+fin AS (
+  SELECT e.vec_id,
+         min({{'d': list_distance(e.v, {last}.c), 'cid': {last}.cid}}) AS m
+  FROM e CROSS JOIN {last} GROUP BY e.vec_id
+)
+SELECT m.cid AS cluster_id, count(*) AS n_vecs, min(vec_id) AS min_vec,
+       round(avg(m.d), 6) AS avg_dist
+FROM fin GROUP BY m.cid
+"""
+    )
+
+
+@register(
+    "sim_kmeans_ivf",
+    oracle=_kmeans_sql(),
+    doc="k-means IVF coarse quantizer: Lloyd's algorithm as pure "
+    "DataFrame ops (2 iterations, deterministic lowest-id init, "
+    "struct-min tie-break), reported as per-cluster occupancy + mean "
+    "distance. Each iteration broadcasts k centroids (a few KB) to the "
+    "data — the big side never shuffles; cluster id is the ANN "
+    "partition key at scale (k ≈ sqrt(n)).",
+)
+def sim_kmeans_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, "embeddings", sf_dir)
+    assigned = S.kmeans_assign(emb, k=KMEANS_K, iters=KMEANS_ITERS)
+    return assigned.groupBy(F.col("cid").alias("cluster_id")).agg(
+        F.count("*").alias("n_vecs"),
+        F.min("vec_id").alias("min_vec"),
+        F.round(F.avg("d"), 6).alias("avg_dist"),
+    )
+
+
+# --- deterministic random projection (64 -> 8 dims) ------------------------
+
+
+def _rp_matrix(out_dim: int = 8, in_dim: int = 64, seed: int = 42) -> list[list[int]]:
+    """Seeded ±1 (Achlioptas-style) projection matrix — a compile-time
+    constant of the operator, identical literals on both engines."""
+    import random
+
+    rng = random.Random(seed)
+    return [[rng.choice((1, -1)) for _ in range(in_dim)] for _ in range(out_dim)]
+
+
+_RP = _rp_matrix()
+
+
+def _rp_expr(j: int, elem: "callable") -> str:
+    terms = "".join(
+        (" + " if w > 0 else " - ") + elem(i) for i, w in enumerate(_RP[j])
+    )
+    return f"round(({terms.lstrip(' +')}) / 8.0, 6)"
+
+
+@register(
+    "emb_random_projection",
+    oracle="SELECT vec_id, "
+    + ", ".join(
+        _rp_expr(j, lambda i: f"CAST(embedding[{i + 1}] AS DOUBLE)") + f" AS p{j}"
+        for j in range(8)
+    )
+    + " FROM embeddings",
+    doc="Random-projection dimensionality reduction (64 -> 8 dims) with "
+    "a seeded ±1 Achlioptas matrix embedded as plan literals: pure "
+    "per-row codegen'd arithmetic, zero shuffle, no Python. The JL "
+    "sketch that front-ends clustering/ANN at scale; output as scalar "
+    "columns so any engine or comparator consumes it directly.",
+)
+def emb_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, "embeddings", sf_dir)
+    cols = [
+        F.expr(_rp_expr(j, lambda i: f"CAST(embedding[{i}] AS DOUBLE)")).alias(f"p{j}")
+        for j in range(8)
+    ]
+    return emb.select("vec_id", *cols)

@@ -238,3 +238,35 @@ def test_line_dedup_hot_lines_broadcast(spark):
     plan = _physical(spark, "corpus_line_dedup")
     assert "BroadcastExchange" in plan
     assert plan.count("CartesianProduct") == 0
+
+
+def test_mixing_queries_stay_narrow(spark):
+    # weighted mixing + quality scoring are per-row: zero Exchange, no
+    # Python eval; the explode never forces a shuffle
+    for name in ("corpus_mix_weighted", "corpus_quality_classifier",
+                 "emb_random_projection"):
+        plan = _physical(spark, name)
+        assert "Exchange" not in plan, name
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, name
+
+
+def test_stratified_split_is_one_window_shuffle(spark):
+    # exact stratified split: exactly one shuffle (the stratum window)
+    plan = _physical(spark, "corpus_split_stratified")
+    assert plan.count("+- Exchange") == 1
+
+
+def test_kmeans_broadcasts_centroids(spark):
+    # every assignment join broadcasts the k-row centroid side; the
+    # embeddings scan must never shuffle for assignment
+    plan = _physical(spark, "sim_kmeans_ivf")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_semdedup_and_lsh_join_avoid_cartesian(spark):
+    # pairwise compares are bucket/band equi-joins, never all-pairs
+    for name in ("sim_semdedup", "dedup_lsh_join"):
+        plan = _physical(spark, name)
+        assert "CartesianProduct" not in plan, name
