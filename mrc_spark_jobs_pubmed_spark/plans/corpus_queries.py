@@ -612,3 +612,47 @@ FROM base b LEFT JOIN per_doc p USING (doc_id)
 
 
 _register_line_dedup()
+
+
+# --- unigram-LM document scoring (perplexity proxy) ------------------------
+
+
+@register(
+    "corpus_unigram_logprob",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, t.tok AS tok
+  FROM (SELECT doc_id, {_TOKS_SQL} AS toklist FROM documents),
+       unnest(toklist) AS t(tok)
+),
+vocab AS (SELECT tok, count(*) AS n FROM toks GROUP BY tok),
+tot AS (SELECT sum(n) AS total FROM vocab)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_tok,
+       round(avg(ln(n::DOUBLE / total)), 6) AS avg_logprob
+FROM toks JOIN vocab USING (tok) CROSS JOIN tot
+GROUP BY doc_id
+""",
+    doc="Unigram-LM document scoring (CCNet-style perplexity proxy): "
+    "corpus token frequencies -> per-doc mean log-probability; "
+    "out-of-distribution docs score low and gate the corpus. Two "
+    "hash-agg shuffles (vocab build, per-doc mean) + one token->vocab "
+    "join; at 100 TB the vocab is pruned to top-V with an OOV default "
+    "and ships as a broadcast, making the join map-side.",
+)
+def corpus_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    toks = docs.select("doc_id", F.explode(tokens_col(F.col("text"))).alias("tok"))
+    vocab = toks.groupBy("tok").agg(F.count("*").alias("n"))
+    tot = vocab.agg(F.sum("n").alias("total"))
+    return (
+        toks.join(vocab, "tok")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_tok"),
+            F.round(
+                F.avg(F.log(F.col("n").cast("double") / F.col("total"))), 6
+            ).alias("avg_logprob"),
+        )
+    )

@@ -197,3 +197,59 @@ def dedup_lsh_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.where(F.col("jaccard") >= FUZZY_JOIN_TAU)
         .select("batch_doc", "corpus_doc", F.round("jaccard", 6).alias("jaccard"))
     )
+
+
+# --- SimHash Hamming-neighbor pairs ----------------------------------------
+
+SIMHASH_HAM_MAX = 3  # <= 3 differing bits over the 32-bit fingerprint
+
+
+@register(
+    "dedup_simhash_hamming",
+    oracle=f"""
+WITH sig AS ({D.simhash_fingerprints_sql()}),
+bands AS (
+  SELECT doc_id, simhash, t.b AS band_id, (simhash >> (8 * t.b)) & 255 AS band_val
+  FROM sig CROSS JOIN unnest([0, 1, 2, 3]) t(b)
+)
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       bit_count(xor(a.simhash, b.simhash)) AS hamming
+FROM bands a JOIN bands b
+  ON a.band_id = b.band_id AND a.band_val = b.band_val AND a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= {SIMHASH_HAM_MAX}
+""",
+    doc="SimHash near-dup pairs: byte-band LSH over the 32-bit "
+    "fingerprint (pigeonhole: Hamming <= 3 implies one of 4 bands "
+    "matches exactly), then exact bit_count(xor) verify on candidates "
+    "only. The fingerprint table is 12 bytes/doc, so candidate "
+    "generation joins a tiny projection — never all-pairs; at 64-bit "
+    "scale the same plan uses 8 bands.",
+)
+def dedup_simhash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    sig = D.simhash_fingerprints(docs)
+    bands = sig.select(
+        "doc_id",
+        "simhash",
+        F.explode(F.array(*[F.lit(b) for b in range(4)])).alias("band_id"),
+    ).withColumn(
+        "band_val",
+        F.expr("shiftright(simhash, 8 * band_id) & 255"),
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    ham = F.bit_count(F.expr("a.simhash ^ b.simhash"))
+    return (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .where(ham <= SIMHASH_HAM_MAX)
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            ham.alias("hamming"),
+        )
+        .distinct()
+    )

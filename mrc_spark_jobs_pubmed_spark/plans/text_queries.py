@@ -307,3 +307,89 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.round(F.sum(idf * F.col("tf") * (BM25_K1 + 1.0) / denom), 6).alias("bm25"))
     )
     return scored.orderBy(F.desc("bm25"), F.asc("doc_id")).limit(BM25_TOPK)
+
+
+# --- count-min sketch heavy hitters ----------------------------------------
+
+CMS_DEPTH = 4
+CMS_WIDTH = 256
+CMS_TOPK = 10
+
+
+from mrc_spark_jobs_pubmed_spark.operators.dedup import tokens_sql as _dedup_tokens_sql
+
+_CMS_TOKS_SQL = _dedup_tokens_sql("text")
+
+
+def _cms_w_sql(d_expr: str, tok_expr: str, dialect: str) -> str:
+    """Bucket index hash_d(tok) % W, engine-neutral: first 8 hex chars of
+    md5(d || ':' || tok) decoded to a long, mod W. Spark decodes via
+    conv(); DuckDB (no conv) via positional instr powers."""
+    h = f"md5(concat(CAST({d_expr} AS STRING), ':', {tok_expr}))"
+    if dialect == "spark":
+        v = f"CAST(conv(substr({h}, 1, 8), 16, 10) AS BIGINT)"
+    else:
+        from mrc_spark_jobs_pubmed_spark.operators.dedup import _hex2long
+
+        v = _hex2long(h, 1)
+    return f"({v} % {CMS_WIDTH})"
+
+
+@register(
+    "text_cms_heavy_hitters",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, t.tok AS tok
+  FROM (SELECT doc_id, {_CMS_TOKS_SQL} AS toklist FROM documents),
+       unnest(toklist) AS t(tok)
+),
+hashed AS (
+  SELECT tok, d.d AS d, {_cms_w_sql('d.d', 'tok', 'duckdb')} AS w
+  FROM toks CROSS JOIN unnest([0, 1, 2, 3]) d(d)
+),
+cms AS (SELECT d, w, count(*) AS cnt FROM hashed GROUP BY d, w),
+top AS (
+  SELECT tok, count(*) AS exact_n FROM toks GROUP BY tok
+  ORDER BY exact_n DESC, tok LIMIT {CMS_TOPK}
+),
+probes AS (
+  SELECT tok, exact_n, d.d AS d, {_cms_w_sql('d.d', 'tok', 'duckdb')} AS w
+  FROM top CROSS JOIN unnest([0, 1, 2, 3]) d(d)
+)
+SELECT probes.tok AS word, CAST(exact_n AS BIGINT) AS exact_n,
+       CAST(min(cnt) AS BIGINT) AS cms_est
+FROM probes JOIN cms USING (d, w)
+GROUP BY probes.tok, exact_n
+""",
+    doc="Count-min sketch heavy hitters: the CMS builds as ONE hash-agg "
+    "over (depth, bucket) — a 4x256 table regardless of corpus size, "
+    "the mergeable-sketch idiom for streaming/distributed counting — "
+    "then the exact top-10 words are probed back through the sketch "
+    "(estimate = min over depth rows). Output pairs exact counts with "
+    "CMS estimates, so the sketch's overcount bound is value-checked.",
+)
+def text_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mrc_spark_jobs_pubmed_spark.operators.dedup import tokens_col
+
+    docs = load_table(spark, "documents", sf_dir)
+    toks = docs.select(F.explode(tokens_col(F.col("text"))).alias("tok"))
+    ds = F.explode(F.array(*[F.lit(d) for d in range(CMS_DEPTH)])).alias("d")
+    hashed = toks.select("tok", ds).withColumn(
+        "w", F.expr(_cms_w_sql("d", "tok", "spark"))
+    )
+    cms = hashed.groupBy("d", "w").agg(F.count("*").alias("cnt"))
+    top = (
+        toks.groupBy("tok")
+        .agg(F.count("*").alias("exact_n"))
+        .orderBy(F.desc("exact_n"), F.asc("tok"))
+        .limit(CMS_TOPK)
+    )
+    probes = top.select("tok", "exact_n", ds).withColumn(
+        "w", F.expr(_cms_w_sql("d", "tok", "spark"))
+    )
+    return (
+        probes.join(cms, ["d", "w"])
+        .groupBy(F.col("tok").alias("word"), "exact_n")
+        .agg(F.min("cnt").cast("long").alias("cms_est"))
+        .select("word", F.col("exact_n").cast("long").alias("exact_n"), "cms_est")
+    )
