@@ -66,8 +66,11 @@ def clean_text_sql(expr: str) -> str:
 
 
 def tokenize(col: Column) -> Column:
-    """Whitespace tokenizer → array<string>, empty tokens dropped."""
-    return F.filter(F.split(col, "\\s+"), lambda w: F.length(w) > 0)
+    """Whitespace tokenizer → array<string>, empty tokens dropped.
+
+    One codegen'd `regexp_extract_all('\\S+')` pass — value-identical to
+    split-then-drop-empties without the interpreted `filter` lambda."""
+    return F.regexp_extract_all(col, F.lit(r"\S+"), F.lit(0))
 
 
 # --- stopwords (A23) / dedup (A24) ----------------------------------------

@@ -35,8 +35,13 @@ SIMHASH_BITS = 32  # 8 hex chars of md5
 
 
 def tokens_col(text: Column) -> Column:
-    """Whitespace tokens of already-clean text (documents fixture)."""
-    return F.filter(F.split(F.trim(text), "\\s+"), lambda t: F.length(t) > 0)
+    """Whitespace tokens of already-clean text (documents fixture).
+
+    `regexp_extract_all('\\S+')` — maximal non-whitespace runs — is
+    value-identical to split-then-drop-empties (verified on fixtures +
+    edge cases) but is a single codegen'd expression with no interpreted
+    `filter` lambda."""
+    return F.regexp_extract_all(text, F.lit(r"\S+"), F.lit(0))
 
 
 def tokens_sql(expr: str) -> str:
