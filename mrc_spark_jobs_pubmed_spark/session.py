@@ -51,9 +51,11 @@ def get_session(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
-        # events.parquet carries TIMESTAMP(NANOS); Spark has no ns timestamp
-        # type, so read the raw int64 and convert at the catalog boundary
-        # (sources/catalog.py truncates to micros, matching DuckDB's read).
+        # If a fixture generation ships events.ts as TIMESTAMP(NANOS) (no
+        # Spark equivalent type), sources/catalog.py detects it from the
+        # parquet footer and reads the raw int64 under this flag, truncating
+        # to micros. Harmless when the fixture is micros (the current one):
+        # the flag only changes how ns columns surface.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.ui.enabled", "false")
     )

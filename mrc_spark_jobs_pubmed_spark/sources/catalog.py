@@ -87,14 +87,15 @@ TABLE_SCHEMAS: dict[str, T.StructType] = {
             T.StructField("l_shipdate", T.TimestampType()),
         ]
     ),
-    # ts is TIMESTAMP(NANOS) in the parquet file — no Spark equivalent type.
-    # Declared as the raw int64 (spark.sql.legacy.parquet.nanosAsLong) and
-    # truncated to a micros timestamp in load_table, matching how DuckDB
-    # reads the same column (ns → µs truncation).
+    # ts unit varies between fixture generations (TIMESTAMP(MICROS) today,
+    # TIMESTAMP(NANOS) in an earlier drop). load_table sniffs the parquet
+    # footer and adapts: micros reads directly as TimestampType; nanos reads
+    # the raw int64 (spark.sql.legacy.parquet.nanosAsLong) and truncates to
+    # micros, matching how DuckDB reads the same column.
     "events": T.StructType(
         [
             T.StructField("event_id", T.LongType()),
-            T.StructField("ts", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
             T.StructField("user_id", T.LongType()),
             T.StructField("event_type", T.StringType()),
             T.StructField("value", T.DoubleType()),
@@ -127,14 +128,69 @@ def table_path(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
 
 
+def _parquet_timestamp_unit(path: str, column: str) -> str | None:
+    """Read the physical timestamp unit ('us', 'ns', ...) from a parquet footer.
+
+    The unit is a property of the file, not the logical schema, and fixture
+    regeneration has changed it between rounds (nanos → micros). One footer
+    read (pyarrow, no data scan) per load keeps the conversion correct no
+    matter which unit the current fixture carries. Returns None when the
+    footer can't be read or the column isn't a timestamp — callers fall back
+    to the declared schema.
+    """
+    try:
+        import pyarrow.parquet as pq
+
+        target = path
+        if os.path.isdir(path):
+            parts = sorted(
+                f for f in os.listdir(path) if f.endswith(".parquet")
+            )
+            if not parts:
+                return None
+            target = os.path.join(path, parts[0])
+        field = pq.read_schema(target).field(column)
+        unit = getattr(field.type, "unit", None)
+        return unit
+    except Exception:
+        return None
+
+
+def events_read_plan(sf_dir: str) -> tuple[T.StructType, bool]:
+    """(read schema, needs ns→µs conversion) for the events table at sf_dir.
+
+    Spark has no nanosecond timestamp type; when the footer says the fixture
+    is TIMESTAMP(NANOS), the column is read as the raw int64 (under
+    spark.sql.legacy.parquet.nanosAsLong) and must be truncated to micros
+    with ``timestamp_micros(ts div 1000)`` — the same truncation DuckDB
+    applies. When it is micros (the current fixture), it reads directly as
+    TimestampType. Shared by the batch loader and the streaming source so
+    both stay unit-correct.
+    """
+    schema = TABLE_SCHEMAS["events"]
+    if _parquet_timestamp_unit(table_path(sf_dir, "events"), "ts") == "ns":
+        schema = T.StructType(
+            [
+                T.StructField("ts", T.LongType()) if f.name == "ts" else f
+                for f in schema.fields
+            ]
+        )
+        return schema, True
+    return schema, False
+
+
 def load_table(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> DataFrame:
     """Read one fixture table with its declared schema."""
     if name not in TABLE_SCHEMAS:
         raise KeyError(f"unknown table {name!r}; known: {sorted(TABLE_SCHEMAS)}")
-    df = spark.read.schema(TABLE_SCHEMAS[name]).parquet(table_path(sf_dir, name))
+    path = table_path(sf_dir, name)
     if name == "events":
-        df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
-    return df
+        schema, needs_ns_conversion = events_read_plan(sf_dir)
+        df = spark.read.schema(schema).parquet(path)
+        if needs_ns_conversion:
+            df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        return df
+    return spark.read.schema(TABLE_SCHEMAS[name]).parquet(path)
 
 
 def load_tables(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> dict[str, DataFrame]:

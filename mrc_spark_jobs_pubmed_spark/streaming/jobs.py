@@ -17,7 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from mrc_spark_jobs_pubmed_spark.sources.catalog import TABLE_SCHEMAS
+from mrc_spark_jobs_pubmed_spark.sources.catalog import events_read_plan
 
 WATERMARK = "10 minutes"
 TUMBLE = "5 minutes"
@@ -34,14 +34,19 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     the same downstream plan.
     """
     # The file source requires a directory; pathGlobFilter narrows the
-    # listing to the events table within the fixture dir.
+    # listing to the events table within the fixture dir. The read schema
+    # (and whether a ns→µs truncation is needed) comes from the parquet
+    # footer via events_read_plan, same as the batch loader.
+    schema, needs_ns_conversion = events_read_plan(sf_dir)
     raw = (
-        spark.readStream.schema(TABLE_SCHEMAS["events"])
+        spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", "1")
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    return raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    if needs_ns_conversion:
+        raw = raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return raw
 
 
 def tumbling_counts(events: DataFrame, with_watermark: bool = True) -> DataFrame:

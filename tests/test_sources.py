@@ -5,6 +5,7 @@ from __future__ import annotations
 
 import json
 
+import pytest
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.functions import udtf
@@ -181,3 +182,28 @@ def test_pubmed_stream_offsets_monotonic_across_restart():
     for _ in range(10):
         last = r2.latestOffset()
     assert last == {"idx": 24}
+
+
+@pytest.mark.parametrize("sf_dir", [
+    "/root/testdata/sf0.001",
+    "/root/testdata/sf0.01",
+    "/root/testdata/sf0.1",
+])
+def test_events_ts_unit_matches_duckdb(spark, duck, sf_dir):
+    """Guard against timestamp-unit drift in the events fixture.
+
+    The fixture's parquet timeUnit changed between rounds (nanos -> micros)
+    and silently broke every time-window query. This invariant pins the
+    loader to whatever the footer actually says: Spark's min/max ts must
+    equal DuckDB's read of the same file, at every fixture scale.
+    """
+    from mrc_spark_jobs_pubmed_spark.sources.catalog import load_table
+
+    row = load_table(spark, "events", sf_dir).selectExpr(
+        "min(ts) AS lo", "max(ts) AS hi"
+    ).first()
+    d_lo, d_hi = duck.execute(
+        f"SELECT min(ts), max(ts) FROM read_parquet('{sf_dir}/events.parquet')"
+    ).fetchone()
+    assert row["lo"].replace(tzinfo=None) == d_lo.replace(tzinfo=None)
+    assert row["hi"].replace(tzinfo=None) == d_hi.replace(tzinfo=None)
