@@ -30,71 +30,71 @@ from mrc_spark_jobs_pubmed_spark.plans import (  # noqa: F401,E402
 )
 
 # The round driver writes official CORRECTNESS rows for only the first
-# ~50 entries of queries(), in order. Curate that window so every query
-# family (SURVEY.md §2) has official rows: the r01-unchecked families
-# (text/sim/stream/TPC-H batch 2) in full, the four r01-red rows
-# (now fixed), the flagship, and the headline bench queries. Everything
-# else stays registered (full surface) and is covered by the identical
-# local harness (scripts/driver_check.py, tests/test_oracle.py).
+# ~50 entries of queries(), in order. Rotate that window each round so
+# every registered query eventually carries an official row. Round 3:
+# the six events-ts casualties (fixed this round — must show green)
+# lead, then the 25 queries that have never appeared in an official
+# CORRECTNESS file (r01 ∪ r02), then sim_brp_lsh_buckets (upgraded from
+# rows-only to a value-gated property check this round), then the
+# flagship + headline bench queries for round-over-round continuity.
+# Everything else stays registered (full surface) and is covered by the
+# identical local harness (scripts/driver_check.py, tests/test_oracle.py).
 DRIVER_WINDOW: list[str] = [
-    # flagship + text family (r01: no official rows)
-    "text_word_topk",
-    "text_keywords_v2",
-    "text_token_stats",
-    "text_tfidf_top_terms",
-    "text_inverted_index",
-    "text_keyword_pairs",
-    # similarity family (r01: no official rows)
-    "sim_cosine_topk",
-    "sim_ann_bucketed",
-    "sim_ann_recall",
-    "sim_neardup_top_pairs",
-    "sim_lsh_bucket_stats",
-    "sim_brp_lsh_buckets",
-    # streaming family (r01: no official rows)
+    # events-ts bug casualties, fixed this round — must show green
     "stream_tumbling_counts",
     "stream_sliding_avg",
     "stream_session_windows",
-    "stream_dedup_counts",
     "stream_interval_join",
     "stream_static_enrich",
-    # TPC-H batch 2 (r01: no official rows)
-    "rel_q4_order_priority",
-    "rel_q6_forecast_revenue",
-    "rel_q10_returned_items",
-    "rel_q12_priority_class",
-    "rel_q14_promo_revenue",
-    "rel_q15_top_supplier",
-    "rel_q16_supplier_variety",
-    "rel_q18_big_orders",
-    "rel_q19_disjunctive",
-    "rel_q22_idle_customers",
-    # round-2 additions: dataset mixing, semantic dedup, k-means IVF,
-    # cross-corpus fuzzy join, random projection (new `emb` family)
-    "corpus_mix_weighted",
-    "sim_semdedup",
-    "sim_kmeans_ivf",
-    "dedup_lsh_join",
-    "emb_random_projection",
-    # r01 driver-red rows, fixed this round — must show green
-    "rel_collect_set",
-    "rel_salted_agg",
-    "mm_decode_features",
-    "corpus_pack_greedy",
-    # headline bench queries + one representative per remaining family
+    "rel_asof_join",
+    # never-official queries (not in CORRECTNESS r01/r02): round-2
+    # additions first, then the relational/TPC-H long tail
+    "corpus_line_dedup",
+    "text_bm25_topk",
+    "text_cms_heavy_hitters",
+    "dedup_simhash_hamming",
+    "corpus_unigram_logprob",
+    "corpus_split_stratified",
+    "corpus_quality_classifier",
+    "rel_q7_nation_volume",
+    "rel_q8_market_share",
+    "rel_q9_product_profit",
+    "rel_q13_order_count_dist",
+    "rel_q17_small_qty_revenue",
+    "rel_pivot",
+    "rel_grouping_sets",
+    "rel_agg_stats",
+    "rel_approx_distinct",
+    "rel_approx_percentile",
+    "rel_semi_join",
+    "rel_anti_join",
+    "rel_set_ops",
+    "rel_string_funcs",
+    "rel_date_funcs",
+    "rel_math_case",
+    "rel_json_props",
+    "rel_nested_struct",
+    # upgraded from rows-only to value-gated this round
+    "sim_brp_lsh_buckets",
+    # flagship + headline bench queries (continuity across rounds)
+    "text_word_topk",
     "rel_q1_pricing_summary",
     "rel_q3_shipping_priority",
     "rel_q5_region_revenue",
     "rel_window_running_total",
-    "rel_asof_join",
     "dedup_minhash_bands",
+    "dedup_simhash",
     "dedup_jaccard_top_pairs",
+    "sim_cosine_topk",
+    "sim_neardup_top_pairs",
     "ta_quality",
     "llm_corpus_prep",
     "corpus_repetition",
+    "corpus_pack_greedy",
+    "stream_dedup_counts",
+    "mm_decode_features",
     "src_pubmed_pages",
     "udf_pandas_scalar",
-    "udtf_split_words",
 ]
 
 set_priority(DRIVER_WINDOW)
