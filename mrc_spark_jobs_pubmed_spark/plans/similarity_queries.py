@@ -126,12 +126,79 @@ def sim_neardup_top_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "sim_brp_lsh_buckets",
-    oracle=None,  # spark.ml random projections aren't SQL-reproducible
-    doc="BucketedRandomProjectionLSH (spark.ml, seed=42) bucket per "
-    "vector — the library LSH path; rows-only driver check.",
+    oracle="""
+SELECT count(*) AS n_vectors,
+       TRUE AS one_bucket_per_vector,
+       TRUE AS n_buckets_nontrivial,
+       TRUE AS locality_ok
+FROM embeddings
+""",
+    doc="BucketedRandomProjectionLSH (spark.ml, seed=42). The bucket ids "
+    "themselves aren't SQL-reproducible (seeded random projection), so — "
+    "following the rel_approx_distinct pattern — the query emits the "
+    "properties a correct LSH must satisfy and the oracle asserts them: "
+    "exactly one bucket per vector (count preserved), a non-trivial "
+    "split (≥2 buckets), and locality (mean pairwise cosine within "
+    "buckets exceeds the global mean). Both means are EXACT all-pairs "
+    "values computed in O(n·d) without any pair join, via the centroid "
+    "identity mean-pairwise-cos = (‖Σv̂‖² − n) / (n(n−1)) over "
+    "unit-normalized vectors — the same trick that makes this check "
+    "runnable at 100 TB (posexplode → two tiny hash-aggs).",
 )
 def sim_brp_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return S.brp_lsh_buckets(load_table(spark, "embeddings", sf_dir))
+    emb = load_table(spark, "embeddings", sf_dir)
+    buckets = S.brp_lsh_buckets(emb)  # vec_id, bucket
+    be = buckets.join(emb.select("vec_id", "embedding"), "vec_id")
+
+    # Unit-normalize, explode to (bucket, dimension, component) and sum
+    # per (bucket, pos): the per-bucket centroid sums S_b. Zero vectors
+    # (norm 0) are skipped — cosine is undefined for them.
+    comp = (
+        be.withColumn("nrm", S.l2norm(F.col("embedding")))
+        .filter(F.col("nrm") > 0)
+        .select("bucket", "nrm", F.posexplode("embedding").alias("pos", "val"))
+        .select("bucket", "pos", (F.col("val") / F.col("nrm")).alias("val"))
+    )
+    bucket_sums = comp.groupBy("bucket", "pos").agg(F.sum("val").alias("s"))
+    # Per-bucket: ‖S_b‖² and n_b → pair-weighted pooled within-bucket mean.
+    per_bucket = (
+        bucket_sums.groupBy("bucket")
+        .agg(F.sum(F.col("s") * F.col("s")).alias("s2"))
+        .join(buckets.groupBy("bucket").agg(F.count("*").alias("n")), "bucket")
+    )
+    within = per_bucket.agg(
+        (
+            F.sum(F.col("s2") - F.col("n"))
+            / F.sum(F.col("n") * (F.col("n") - F.lit(1)))
+        ).alias("within_mean"),
+        F.count("*").alias("n_buckets"),
+    )
+    # Global mean over ALL pairs from the same partial sums: Σ_b S_b = S.
+    global_ = bucket_sums.groupBy("pos").agg(F.sum("s").alias("g")).agg(
+        F.sum(F.col("g") * F.col("g")).alias("g2")
+    )
+    stats = buckets.agg(
+        F.count("*").alias("n_rows"), F.countDistinct("vec_id").alias("n_ids")
+    )
+    n_total = emb.agg(F.count("*").alias("n_emb"))
+    return (
+        stats.crossJoin(n_total)
+        .crossJoin(within)
+        .crossJoin(global_)
+        .select(
+            F.col("n_emb").alias("n_vectors"),
+            (
+                (F.col("n_rows") == F.col("n_emb"))
+                & (F.col("n_ids") == F.col("n_emb"))
+            ).alias("one_bucket_per_vector"),
+            (F.col("n_buckets") >= 2).alias("n_buckets_nontrivial"),
+            (
+                F.col("within_mean")
+                > (F.col("g2") - F.col("n_emb"))
+                / (F.col("n_emb") * (F.col("n_emb") - F.lit(1)))
+            ).alias("locality_ok"),
+        )
+    )
 
 
 @register(
