@@ -70,6 +70,28 @@ def topk_cosine(df: DataFrame, query_vec: list[float], k: int = 10) -> DataFrame
     )
 
 
+def topk_cosine_q(df: DataFrame, qdf: DataFrame, k: int = 10) -> DataFrame:
+    """Exact top-k by cosine against a 1-row query DataFrame — one job.
+
+    The list-literal form (`topk_cosine`) needs a driver round-trip to
+    fetch the query vector first: a whole extra Spark job per execution,
+    which at interactive scale is pure fixed overhead and at cluster
+    scale is a scheduling barrier. Here the query row rides a broadcast
+    nested-loop join (1 row, so "nested loop" is a single pass) and the
+    plan stays one job ending in TakeOrderedAndProject.
+    """
+    q = F.broadcast(qdf.select(F.col("embedding").alias("_qe")))
+    return (
+        df.join(q)
+        .select(
+            "vec_id",
+            F.round(cosine(F.col("embedding"), F.col("_qe")), 6).alias("cosine"),
+        )
+        .orderBy(F.desc("cosine"), F.asc("vec_id"))
+        .limit(k)
+    )
+
+
 def bucket_id(col: Column, bits: int = N_BUCKET_BITS) -> Column:
     """IVF-ish bucket: sign bits of the first `bits` dimensions."""
     expr = None

@@ -14,13 +14,6 @@ QUERY_VEC_ID = 0
 TOP_K = 10
 
 
-def _query_vec(spark: SparkSession, sf_dir: str) -> list[float]:
-    """Driver-side lookup of the query vector (one row — a parameter
-    fetch, not a data loop)."""
-    emb = load_table(spark, "embeddings", sf_dir)
-    return list(emb.filter(F.col("vec_id") == QUERY_VEC_ID).first().embedding)
-
-
 @register(
     "sim_cosine_topk",
     oracle=f"""
@@ -33,12 +26,14 @@ ORDER BY cosine DESC, vec_id
 LIMIT {TOP_K}
 """,
     doc="Exact ANN baseline: brute-force cosine top-k against vec_id=0. "
-    "Single scan, JVM-side fold, TakeOrderedAndProject — no global sort.",
+    "Single scan, JVM-side fold, TakeOrderedAndProject — no global sort. "
+    "The query vector rides a 1-row broadcast join (no driver fetch), so "
+    "the whole query is ONE Spark job.",
 )
 def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, "embeddings", sf_dir)
-    qv = _query_vec(spark, sf_dir)
-    return S.topk_cosine(emb.filter(F.col("vec_id") != QUERY_VEC_ID), qv, TOP_K)
+    qdf = emb.filter(F.col("vec_id") == QUERY_VEC_ID)
+    return S.topk_cosine_q(emb.filter(F.col("vec_id") != QUERY_VEC_ID), qdf, TOP_K)
 
 
 @register(
@@ -89,13 +84,25 @@ LIMIT {TOP_K}
 )
 def sim_ann_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, "embeddings", sf_dir)
-    qv = _query_vec(spark, sf_dir)
-    qbucket = sum((1 << i) for i, v in enumerate(qv[: S.N_BUCKET_BITS]) if v > 0)
-    cands = emb.filter(
-        (F.col("vec_id") != QUERY_VEC_ID)
-        & (S.bucket_id(F.col("embedding")) == F.lit(qbucket))
+    # The query's bucket is computed inside the plan from the broadcast
+    # query row — no driver round-trip; at scale the same equality
+    # becomes a partition-pruning predicate on a bucket-partitioned
+    # layout.
+    qdf = emb.filter(F.col("vec_id") == QUERY_VEC_ID).select(
+        F.col("embedding").alias("_qe"),
+        S.bucket_id(F.col("embedding")).alias("_qbucket"),
     )
-    return S.topk_cosine(cands, qv, TOP_K)
+    return (
+        emb.filter(F.col("vec_id") != QUERY_VEC_ID)
+        .join(F.broadcast(qdf))
+        .filter(S.bucket_id(F.col("embedding")) == F.col("_qbucket"))
+        .select(
+            "vec_id",
+            F.round(S.cosine(F.col("embedding"), F.col("_qe")), 6).alias("cosine"),
+        )
+        .orderBy(F.desc("cosine"), F.asc("vec_id"))
+        .limit(TOP_K)
+    )
 
 
 @register(
