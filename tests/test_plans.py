@@ -46,6 +46,16 @@ def test_cosine_topk_avoids_global_sort(spark):
     assert "TakeOrderedAndProject" in plan
 
 
+def test_cosine_topk_query_vector_is_broadcast_not_collected(spark):
+    """The query vector must ride the plan (1-row broadcast join), not a
+    driver-side .first() fetch — one Spark job, no scheduling barrier."""
+    plan = _physical(spark, "sim_cosine_topk")
+    assert "BroadcastNestedLoopJoin" in plan
+    # the bucket equality becomes the join key → broadcast HASH join
+    bucketed = _physical(spark, "sim_ann_bucketed")
+    assert "BroadcastHashJoin" in bucketed
+
+
 def test_q1_aggregate_is_partial_then_final(spark):
     # map-side combine: two HashAggregate nodes around the exchange
     plan = _physical(spark, "rel_q1_pricing_summary")

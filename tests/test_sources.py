@@ -207,3 +207,47 @@ def test_events_ts_unit_matches_duckdb(spark, duck, sf_dir):
     ).fetchone()
     assert row["lo"].replace(tzinfo=None) == d_lo.replace(tzinfo=None)
     assert row["hi"].replace(tzinfo=None) == d_hi.replace(tzinfo=None)
+
+
+def test_events_nanos_fixture_fallback(spark, tmp_path):
+    """The ns→µs fallback path: a TIMESTAMP(NANOS) events.parquet must load
+    with the same values a micros file would carry (truncation, DuckDB
+    semantics), driven purely by the footer sniff."""
+    import datetime
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from mrc_spark_jobs_pubmed_spark.sources.catalog import events_read_plan, load_table
+
+    base = datetime.datetime(2024, 1, 1, 0, 0, 0)
+    rows = {
+        "event_id": [1, 2],
+        "ts": [base, base + datetime.timedelta(minutes=90, microseconds=123456)],
+        "user_id": [10, 11],
+        "event_type": ["view", "click"],
+        "value": [1.0, 2.0],
+        "props": ["{}", "{}"],
+    }
+    table = pa.table(
+        rows,
+        schema=pa.schema(
+            [
+                ("event_id", pa.int64()),
+                ("ts", pa.timestamp("ns")),
+                ("user_id", pa.int64()),
+                ("event_type", pa.string()),
+                ("value", pa.float64()),
+                ("props", pa.string()),
+            ]
+        ),
+    )
+    pq.write_table(table, str(tmp_path / "events.parquet"), store_schema=False)
+
+    schema, needs_conversion = events_read_plan(str(tmp_path))
+    assert needs_conversion
+    got = sorted(
+        (r["event_id"], r["ts"].replace(tzinfo=None))
+        for r in load_table(spark, "events", str(tmp_path)).collect()
+    )
+    assert got == [(1, base), (2, base + datetime.timedelta(minutes=90, microseconds=123456))]
