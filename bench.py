@@ -44,6 +44,9 @@ HEADLINE = (
     "llm_corpus_prep",
     "corpus_repetition",
     "corpus_pack_greedy",
+    # round-2 flagship additions (CCNet-style line dedup, BM25 ranking)
+    "corpus_line_dedup",
+    "text_bm25_topk",
 )
 
 

@@ -321,18 +321,27 @@ from mrc_spark_jobs_pubmed_spark.operators.dedup import tokens_sql as _dedup_tok
 _CMS_TOKS_SQL = _dedup_tokens_sql("text")
 
 
-def _cms_w_sql(d_expr: str, tok_expr: str, dialect: str) -> str:
-    """Bucket index hash_d(tok) % W, engine-neutral: first 8 hex chars of
-    md5(d || ':' || tok) decoded to a long, mod W. Spark decodes via
-    conv(); DuckDB (no conv) via positional instr powers."""
-    h = f"md5(concat(CAST({d_expr} AS STRING), ':', {tok_expr}))"
-    if dialect == "spark":
-        v = f"CAST(conv(substr({h}, 1, 8), 16, 10) AS BIGINT)"
-    else:
-        from mrc_spark_jobs_pubmed_spark.operators.dedup import _hex2long
+def _cms_halves_sql(tok_expr: str, dialect: str) -> tuple[str, str]:
+    """(h1, h2) — the two 32-bit halves of md5(tok), engine-neutral.
 
-        v = _hex2long(h, 1)
-    return f"({v} % {CMS_WIDTH})"
+    ONE md5 per distinct token; the per-depth bucket is derived
+    arithmetically (Kirsch-Mitzenmacher, same scheme as the MinHash
+    signature): w_d = (h1 + d*h2) % WIDTH. Spark decodes hex via
+    conv(); DuckDB (no conv) via positional instr powers."""
+    h = f"md5({tok_expr})"
+    if dialect == "spark":
+        return (
+            f"CAST(conv(substr({h}, 1, 8), 16, 10) AS BIGINT)",
+            f"CAST(conv(substr({h}, 9, 8), 16, 10) AS BIGINT)",
+        )
+    from mrc_spark_jobs_pubmed_spark.operators.dedup import _hex2long
+
+    return _hex2long(h, 1), _hex2long(h, 9)
+
+
+def _cms_w_sql(d_expr: str, tok_expr: str, dialect: str) -> str:
+    h1, h2 = _cms_halves_sql(tok_expr, dialect)
+    return f"(({h1} + {d_expr} * {h2}) % {CMS_WIDTH})"
 
 
 @register(
@@ -343,13 +352,14 @@ WITH toks AS (
   FROM (SELECT doc_id, {_CMS_TOKS_SQL} AS toklist FROM documents),
        unnest(toklist) AS t(tok)
 ),
+counts AS (SELECT tok, count(*) AS n FROM toks GROUP BY tok),
 hashed AS (
-  SELECT tok, d.d AS d, {_cms_w_sql('d.d', 'tok', 'duckdb')} AS w
-  FROM toks CROSS JOIN unnest([0, 1, 2, 3]) d(d)
+  SELECT n, d.d AS d, {_cms_w_sql('d.d', 'tok', 'duckdb')} AS w
+  FROM counts CROSS JOIN unnest([0, 1, 2, 3]) d(d)
 ),
-cms AS (SELECT d, w, count(*) AS cnt FROM hashed GROUP BY d, w),
+cms AS (SELECT d, w, sum(n) AS cnt FROM hashed GROUP BY d, w),
 top AS (
-  SELECT tok, count(*) AS exact_n FROM toks GROUP BY tok
+  SELECT tok, n AS exact_n FROM counts
   ORDER BY exact_n DESC, tok LIMIT {CMS_TOPK}
 ),
 probes AS (
@@ -366,21 +376,28 @@ GROUP BY probes.tok, exact_n
     "the mergeable-sketch idiom for streaming/distributed counting — "
     "then the exact top-10 words are probed back through the sketch "
     "(estimate = min over depth rows). Output pairs exact counts with "
-    "CMS estimates, so the sketch's overcount bound is value-checked.",
+    "CMS estimates, so the sketch's overcount bound is value-checked. "
+    "Both the sketch and the exact top-k derive from ONE shared "
+    "word-count aggregation (CMS cell = sum of frequencies of tokens "
+    "hashing there — identical to counting instances), so md5 runs "
+    "once per DISTINCT token, not 4x per token instance; the per-depth "
+    "bucket is Kirsch-Mitzenmacher-derived from the two md5 halves.",
 )
 def text_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mrc_spark_jobs_pubmed_spark.operators.dedup import tokens_col
 
     docs = load_table(spark, "documents", sf_dir)
     toks = docs.select(F.explode(tokens_col(F.col("text"))).alias("tok"))
+    counts = toks.groupBy("tok").agg(F.count("*").alias("n"))
     ds = F.explode(F.array(*[F.lit(d) for d in range(CMS_DEPTH)])).alias("d")
-    hashed = toks.select("tok", ds).withColumn(
-        "w", F.expr(_cms_w_sql("d", "tok", "spark"))
+    cms = (
+        counts.select("tok", "n", ds)
+        .withColumn("w", F.expr(_cms_w_sql("d", "tok", "spark")))
+        .groupBy("d", "w")
+        .agg(F.sum("n").alias("cnt"))
     )
-    cms = hashed.groupBy("d", "w").agg(F.count("*").alias("cnt"))
     top = (
-        toks.groupBy("tok")
-        .agg(F.count("*").alias("exact_n"))
+        counts.select("tok", F.col("n").alias("exact_n"))
         .orderBy(F.desc("exact_n"), F.asc("tok"))
         .limit(CMS_TOPK)
     )
