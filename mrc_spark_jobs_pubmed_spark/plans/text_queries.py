@@ -273,11 +273,12 @@ LIMIT {BM25_TOPK}
 """,
     doc="BM25 retrieval (Okapi, k1=1.2 b=0.75) for a fixed term set — the "
     "scoring half of a search/RAG stack over the corpus. Plan shape at "
-    "scale: the term filter lands immediately after tokenization so only "
-    "query-term postings shuffle; df and the (N, avgdl) corpus stats are "
-    "1-row/3-row aggregates broadcast to the postings; doc length joins "
-    "co-partitioned on doc_id; final top-k is TakeOrderedAndProject, "
-    "never a global sort.",
+    "scale: ONE tokenize pass and ONE doc_id shuffle produce per-doc "
+    "(dl, tf per query term) as a pivoted aggregation; stack() unpivots "
+    "the handful of term columns back to postings rows, so doc length "
+    "never needs a second aggregation or a join. df and the (N, avgdl) "
+    "corpus stats are 1-row aggregates broadcast to the postings; final "
+    "top-k is TakeOrderedAndProject, never a global sort.",
 )
 def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, "documents", sf_dir)
@@ -285,15 +286,20 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.explode(F.split(F.col("text"), r"\s+")).alias("word"),
     ).filter(F.length("word") > 0)
-    dl = toks.groupBy("doc_id").agg(F.count("*").alias("dl"))
-    qtf = (
-        toks.filter(F.col("word").isin(*BM25_TERMS))
-        .groupBy("doc_id", "word")
-        .agg(F.count("*").alias("tf"))
-    )
+    tf_cols = [
+        F.sum(F.when(F.col("word") == t, 1).otherwise(0)).alias(f"tf_{i}")
+        for i, t in enumerate(BM25_TERMS)
+    ]
+    perdoc = toks.groupBy("doc_id").agg(F.count("*").alias("dl"), *tf_cols)
+    stack_args = ", ".join(f"'{t}', tf_{i}" for i, t in enumerate(BM25_TERMS))
+    qtf = perdoc.select(
+        "doc_id",
+        "dl",
+        F.expr(f"stack({len(BM25_TERMS)}, {stack_args}) AS (word, tf)"),
+    ).filter(F.col("tf") > 0)
     df_t = qtf.groupBy("word").agg(F.count("*").alias("df"))
     stats = docs.agg(F.count("*").alias("n_docs")).crossJoin(
-        dl.agg(F.avg("dl").alias("avgdl"))
+        perdoc.agg(F.avg("dl").alias("avgdl"))
     )
     idf = F.log((F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0)
     denom = F.col("tf") + BM25_K1 * (
@@ -301,7 +307,6 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     scored = (
         qtf.join(F.broadcast(df_t), "word")
-        .join(dl, "doc_id")
         .crossJoin(F.broadcast(stats))
         .groupBy("doc_id")
         .agg(F.round(F.sum(idf * F.col("tf") * (BM25_K1 + 1.0) / denom), 6).alias("bm25"))
