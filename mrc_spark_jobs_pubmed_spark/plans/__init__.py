@@ -83,7 +83,6 @@ DRIVER_WINDOW: list[str] = [
     "rel_q5_region_revenue",
     "rel_window_running_total",
     "dedup_minhash_bands",
-    "dedup_simhash",
     "dedup_jaccard_top_pairs",
     "sim_cosine_topk",
     "sim_neardup_top_pairs",
@@ -91,10 +90,11 @@ DRIVER_WINDOW: list[str] = [
     "llm_corpus_prep",
     "corpus_repetition",
     "corpus_pack_greedy",
-    "stream_dedup_counts",
     "mm_decode_features",
     "src_pubmed_pages",
     "udf_pandas_scalar",
+    "udtf_split_words",
+    "emb_random_projection",
 ]
 
 set_priority(DRIVER_WINDOW)

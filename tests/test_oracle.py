@@ -69,9 +69,11 @@ def test_driver_window_covers_every_family():
         f"families missing from driver window: {families - window_families}"
     )
     assert "text_word_topk" in window  # flagship
-    # the four r01 driver-red rows must sit inside the checked window
-    for must in ("rel_collect_set", "rel_salted_agg", "mm_decode_features",
-                 "corpus_pack_greedy"):
+    # the six r02 driver-red rows (events-ts bug, fixed in r3) must sit
+    # inside the checked window so the fix gets official green rows
+    for must in ("stream_tumbling_counts", "stream_sliding_avg",
+                 "stream_session_windows", "stream_interval_join",
+                 "stream_static_enrich", "rel_asof_join"):
         assert must in window, f"{must} outside driver window"
 
 
