@@ -385,3 +385,63 @@ def emb_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
         for j in range(8)
     ]
     return emb.select("vec_id", *cols)
+
+
+@register(
+    "emb_int8_quantize",
+    oracle="""
+WITH q AS (
+  SELECT vec_id,
+         list_max(list_transform(CAST(embedding AS DOUBLE[]), x -> abs(x))) / 127 AS scale,
+         CAST(embedding AS DOUBLE[]) AS e
+  FROM embeddings
+),
+deq AS (
+  SELECT vec_id, scale, e,
+         list_transform(e, x -> floor(x / scale + 0.5) * scale) AS d
+  FROM q WHERE scale > 0
+)
+SELECT vec_id,
+       round(scale, 6) AS scale,
+       round(sqrt(list_dot_product(list_transform(list_zip(e, d),
+                                                  p -> p[1] - p[2]),
+                                   list_transform(list_zip(e, d),
+                                                  p -> p[1] - p[2]))), 6) AS l2_err,
+       round(list_dot_product(e, d) /
+             (sqrt(list_dot_product(e, e)) * sqrt(list_dot_product(d, d))), 6)
+         AS cos_orig_deq
+FROM deq
+""",
+    doc="Int8 symmetric quantization of the embedding column — the "
+    "compression step a 100 TB vector corpus applies before ANN "
+    "shipping/serving (4x smaller vectors, cheaper shuffles). Per-vector "
+    "absmax scale (s = max|x|/127), q_i = floor(x_i/s + 0.5) — "
+    "deterministic half-up without engine-specific rounding — and the "
+    "query emits the measurable quality contract per vector: the scale, "
+    "the L2 reconstruction error, and cos(original, dequantized). Pure "
+    "per-row codegen'd arithmetic, zero shuffle, no Python.",
+)
+def emb_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, "embeddings", sf_dir)
+    e = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    base = emb.select("vec_id", e.alias("e")).withColumn(
+        "scale", F.array_max(F.transform(F.col("e"), F.abs)) / F.lit(127.0)
+    ).filter(F.col("scale") > 0)
+    deq = base.withColumn(
+        "d",
+        F.transform(
+            F.col("e"), lambda x: F.floor(x / F.col("scale") + F.lit(0.5)) * F.col("scale")
+        ),
+    )
+    diff = F.zip_with(F.col("e"), F.col("d"), lambda a, b: a - b)
+    l2_err = F.sqrt(
+        F.aggregate(
+            F.transform(diff, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x
+        )
+    )
+    return deq.select(
+        "vec_id",
+        F.round("scale", 6).alias("scale"),
+        F.round(l2_err, 6).alias("l2_err"),
+        F.round(S.cosine(F.col("e"), F.col("d")), 6).alias("cos_orig_deq"),
+    )

@@ -46,6 +46,12 @@ def test_cosine_topk_avoids_global_sort(spark):
     assert "TakeOrderedAndProject" in plan
 
 
+def test_int8_quantize_is_narrow_zero_shuffle(spark):
+    plan = _physical(spark, "emb_int8_quantize")
+    assert "Exchange" not in plan
+    assert "Python" not in plan  # pure JVM arithmetic
+
+
 def test_cosine_topk_query_vector_is_broadcast_not_collected(spark):
     """The query vector must ride the plan (1-row broadcast join), not a
     driver-side .first() fetch — one Spark job, no scheduling barrier."""
