@@ -342,6 +342,109 @@ def sim_kmeans_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- product quantization (4 x 16-dim subspaces, 8 codes each) -------------
+
+PQ_M = 4  # subspaces
+PQ_SUBDIM = 16  # dims per subspace (4 x 16 = 64)
+PQ_K = 8  # codes per subspace
+PQ_ITERS = 2
+
+
+def _pq_subspace_ctes(m: int) -> tuple[list[str], str]:
+    """Namespaced Lloyd CTEs for subspace `m`; returns (ctes, fin_name).
+
+    Same deterministic recipe as `_kmeans_sql` (lowest-id init,
+    struct-min tie-break), applied to the 1-based slice
+    v[m*16+1 : (m+1)*16]."""
+    lo, hi = m * PQ_SUBDIM + 1, (m + 1) * PQ_SUBDIM
+    s = f"_m{m}"
+    ctes = [
+        f"e{s} AS (SELECT vec_id, (CAST(embedding AS DOUBLE[]))[{lo}:{hi}] AS v"
+        " FROM embeddings)",
+        f"c0{s} AS (SELECT CAST(vec_id AS INT) AS cid, v AS c FROM e{s}"
+        f" WHERE vec_id < {PQ_K})",
+    ]
+    for it in range(PQ_ITERS):
+        ctes.append(
+            f"a{it}{s} AS (SELECT e{s}.vec_id, "
+            f"min({{'d': list_distance(e{s}.v, c{it}{s}.c), 'cid': c{it}{s}.cid}}).cid AS cid "
+            f"FROM e{s} CROSS JOIN c{it}{s} GROUP BY e{s}.vec_id)"
+        )
+        ctes.append(
+            f"c{it + 1}{s} AS (SELECT cid, list(m ORDER BY i) AS c FROM ("
+            f"SELECT a{it}{s}.cid AS cid, t.i AS i, avg(e{s}.v[t.i]) AS m "
+            f"FROM a{it}{s} JOIN e{s} USING (vec_id) CROSS JOIN range(1, {PQ_SUBDIM + 1}) t(i) "
+            f"GROUP BY a{it}{s}.cid, t.i) GROUP BY cid)"
+        )
+    last = f"c{PQ_ITERS}{s}"
+    ctes.append(
+        f"fin{s} AS (SELECT e{s}.vec_id, "
+        f"min({{'d': list_distance(e{s}.v, {last}.c), 'cid': {last}.cid}}) AS m "
+        f"FROM e{s} CROSS JOIN {last} GROUP BY e{s}.vec_id)"
+    )
+    return ctes, f"fin{s}"
+
+
+def _pq_sql() -> str:
+    all_ctes: list[str] = []
+    fins: list[str] = []
+    for m in range(PQ_M):
+        ctes, fin = _pq_subspace_ctes(m)
+        all_ctes += ctes
+        fins.append(fin)
+    joins = " ".join(f"JOIN {f} USING (vec_id)" for f in fins[1:])
+    codes = ", ".join(f"{f}.m.cid AS c{m}" for m, f in enumerate(fins))
+    err = " + ".join(f"{f}.m.d * {f}.m.d" for f in fins)
+    return (
+        "WITH "
+        + ",\n".join(all_ctes)
+        + f"""
+SELECT {fins[0]}.vec_id AS vec_id, {codes},
+       round(sqrt({err}), 6) AS recon_err
+FROM {fins[0]} {joins}
+"""
+    )
+
+
+@register(
+    "emb_pq_codes",
+    oracle=_pq_sql(),
+    doc="Product quantization: the 64-d embedding split into 4 16-d "
+    "subspaces, each quantized by its own deterministic k-means "
+    "codebook (8 codes, lowest-id init, struct-min tie-break — the "
+    "same Lloyd recipe as sim_kmeans_ivf per subspace). Output is the "
+    "4-byte PQ code per vector plus the exact reconstruction error "
+    "(sqrt of summed per-subspace squared distances) — the IVF-PQ "
+    "compression step that turns a 256-byte vector into 4 bytes for "
+    "cluster-scale ANN. Each subspace's training is a broadcast join "
+    "(codebook is KBs) + tiny centroid agg; the corpus never shuffles.",
+)
+def emb_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, "embeddings", sf_dir)
+    out = None
+    err = None
+    for m in range(PQ_M):
+        sub = emb.select(
+            "vec_id",
+            F.slice(F.col("embedding"), m * PQ_SUBDIM + 1, PQ_SUBDIM).alias(
+                "embedding"
+            ),
+        )
+        a = S.kmeans_assign(sub, k=PQ_K, iters=PQ_ITERS).select(
+            "vec_id",
+            F.col("cid").alias(f"c{m}"),
+            (F.col("d") * F.col("d")).alias(f"_d2_{m}"),
+        )
+        out = a if out is None else out.join(a, "vec_id")
+        term = F.col(f"_d2_{m}")
+        err = term if err is None else err + term
+    return out.select(
+        "vec_id",
+        *[F.col(f"c{m}") for m in range(PQ_M)],
+        F.round(F.sqrt(err), 6).alias("recon_err"),
+    )
+
+
 # --- deterministic random projection (64 -> 8 dims) ------------------------
 
 
