@@ -221,10 +221,10 @@ def l2dist(a: Column, b: Column) -> Column:
     )
 
 
-def kmeans_assign(
+def kmeans_centroids(
     emb: DataFrame, k: int = 8, iters: int = 2, id_col: str = "vec_id", vec_col: str = "embedding"
 ) -> DataFrame:
-    """Lloyd's k-means as pure DataFrame ops: (vec_id, cid, d).
+    """Trained Lloyd codebook as a DataFrame: (cid, c array<double>).
 
     Deterministic end to end: centroids initialize from the k lowest-id
     vectors (no RNG), and assignment breaks distance ties by lowest
@@ -236,8 +236,7 @@ def kmeans_assign(
     plus one centroid-update aggregation whose result is k×dim doubles —
     a few KB regardless of corpus size. The per-dimension update uses
     posexplode + hash-agg (codegen'd, map-side partial avg) rather than
-    array-lambda folds. This is the IVF coarse quantizer: `cid` is the
-    partition/bucket key for ANN probing, with k ≈ sqrt(n) at scale.
+    array-lambda folds.
     """
     e = emb.select(F.col(id_col).alias("vec_id"), _dvec(F.col(vec_col)).alias("v"))
     cents = e.filter(F.col("vec_id") < k).select(
@@ -265,6 +264,17 @@ def kmeans_assign(
                 ).alias("c")
             )
         )
+    return cents
+
+
+def assign_to_centroids(
+    emb: DataFrame, cents: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """Nearest-centroid assignment against a given codebook:
+    (vec_id, cid, d). One broadcast join — the data side never shuffles;
+    ties break to the lowest cid via struct-min (same contract as
+    training)."""
+    e = emb.select(F.col(id_col).alias("vec_id"), _dvec(F.col(vec_col)).alias("v"))
     return (
         e.join(F.broadcast(cents))
         .select("vec_id", "cid", l2dist(F.col("v"), F.col("c")).alias("d"))
@@ -272,6 +282,19 @@ def kmeans_assign(
         .agg(F.min(F.struct("d", "cid")).alias("m"))
         .select("vec_id", F.col("m.cid").alias("cid"), F.col("m.d").alias("d"))
     )
+
+
+def kmeans_assign(
+    emb: DataFrame, k: int = 8, iters: int = 2, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """Lloyd's k-means as pure DataFrame ops: (vec_id, cid, d).
+
+    Training (`kmeans_centroids`) + final assignment
+    (`assign_to_centroids`); `cid` is the IVF partition/bucket key for
+    ANN probing, with k ≈ sqrt(n) at scale.
+    """
+    cents = kmeans_centroids(emb, k=k, iters=iters, id_col=id_col, vec_col=vec_col)
+    return assign_to_centroids(emb, cents, id_col=id_col, vec_col=vec_col)
 
 
 def semdedup_removed(

@@ -445,6 +445,97 @@ def emb_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- PQ asymmetric-distance (ADC) top-k ------------------------------------
+
+ADC_TOP_K = 10
+
+
+def _pq_adc_sql() -> str:
+    """ADC search over the PQ codes: per-subspace query→centroid distance
+    tables (M×K = 32 rows total), looked up by each vector's code and
+    summed. Reuses the `_pq_subspace_ctes` codebooks verbatim."""
+    all_ctes: list[str] = []
+    fins: list[str] = []
+    for m in range(PQ_M):
+        ctes, fin = _pq_subspace_ctes(m)
+        all_ctes += ctes
+        fins.append(fin)
+        lo, hi = m * PQ_SUBDIM + 1, (m + 1) * PQ_SUBDIM
+        all_ctes.append(
+            f"q_m{m} AS (SELECT (CAST(embedding AS DOUBLE[]))[{lo}:{hi}] AS qv"
+            f" FROM embeddings WHERE vec_id = {QUERY_VEC_ID})"
+        )
+        all_ctes.append(
+            f"dt_m{m} AS (SELECT cid, list_distance(qv, c) AS dm"
+            f" FROM c{PQ_ITERS}_m{m} CROSS JOIN q_m{m})"
+        )
+    joins = " ".join(f"JOIN {f} USING (vec_id)" for f in fins[1:])
+    dt_joins = " ".join(
+        f"JOIN dt_m{m} d{m} ON d{m}.cid = {f}.m.cid" for m, f in enumerate(fins)
+    )
+    adc = " + ".join(f"d{m}.dm * d{m}.dm" for m in range(PQ_M))
+    return (
+        "WITH "
+        + ",\n".join(all_ctes)
+        + f"""
+SELECT {fins[0]}.vec_id AS vec_id, round(sqrt({adc}), 6) AS adc_dist
+FROM {fins[0]} {joins} {dt_joins}
+WHERE {fins[0]}.vec_id <> {QUERY_VEC_ID}
+ORDER BY adc_dist, vec_id
+LIMIT {ADC_TOP_K}
+"""
+    )
+
+
+@register(
+    "sim_pq_adc_topk",
+    oracle=_pq_adc_sql(),
+    doc="IVF-PQ asymmetric-distance (ADC) top-k: the query stays "
+    "full-precision while the corpus is searched through its 4-byte PQ "
+    "codes. Per subspace, the query→centroid distances form a tiny M×K "
+    "lookup table (32 doubles) built from the deterministic codebooks "
+    "of emb_pq_codes; the approximate distance per vector is the sqrt "
+    "of summed table entries at its codes. Scale shape: the distance "
+    "tables broadcast (KBs), each lookup is a broadcast equi-join on "
+    "the 1-byte code — the corpus never shuffles and never touches its "
+    "float vectors at query time, which is the entire point of PQ at "
+    "100 TB (search RAM = codes, not vectors); final top-k is "
+    "TakeOrderedAndProject. Completes the PQ story: emb_pq_codes "
+    "compresses, this searches the compressed form.",
+)
+def sim_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, "embeddings", sf_dir)
+    out = None
+    adc = None
+    for m in range(PQ_M):
+        sub = emb.select(
+            "vec_id",
+            F.slice(F.col("embedding"), m * PQ_SUBDIM + 1, PQ_SUBDIM).alias(
+                "embedding"
+            ),
+        )
+        cents = S.kmeans_centroids(sub, k=PQ_K, iters=PQ_ITERS)
+        codes = S.assign_to_centroids(sub, cents).select("vec_id", "cid")
+        q = sub.filter(F.col("vec_id") == QUERY_VEC_ID).select(
+            F.col("embedding").alias("_qv")
+        )
+        dt = (
+            cents.join(F.broadcast(q))
+            .select("cid", S.l2dist(F.col("_qv"), F.col("c")).alias("dm"))
+            .select("cid", (F.col("dm") * F.col("dm")).alias(f"_d2_{m}"))
+        )
+        a = codes.join(F.broadcast(dt), "cid").select("vec_id", f"_d2_{m}")
+        out = a if out is None else out.join(a, "vec_id")
+        term = F.col(f"_d2_{m}")
+        adc = term if adc is None else adc + term
+    return (
+        out.filter(F.col("vec_id") != QUERY_VEC_ID)
+        .select("vec_id", F.round(F.sqrt(adc), 6).alias("adc_dist"))
+        .orderBy(F.asc("adc_dist"), F.asc("vec_id"))
+        .limit(ADC_TOP_K)
+    )
+
+
 # --- deterministic random projection (64 -> 8 dims) ------------------------
 
 

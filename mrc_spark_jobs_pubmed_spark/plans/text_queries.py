@@ -415,3 +415,98 @@ def text_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min("cnt").cast("long").alias("cms_est"))
         .select("word", F.col("exact_n").cast("long").alias("exact_n"), "cms_est")
     )
+
+
+# --- sparse TF-IDF document similarity (inverted-index all-pairs) -----------
+
+DOCSIM_DF_MIN = 2  # drop hapax terms: they can't link two docs
+DOCSIM_DF_MAX = 50  # posting-list cap: prune stop-like hot terms
+DOCSIM_TOP_PAIRS = 50
+
+
+@register(
+    "text_doc_sim_pairs",
+    oracle=f"""
+WITH {_KEYWORDS_CTE},
+  n AS (SELECT count(*) AS n_docs FROM documents),
+  w AS (
+    SELECT word,
+           CAST(round(1000000 * ln((n.n_docs + 1.0) / (count(*) + 1.0))
+                              * ln((n.n_docs + 1.0) / (count(*) + 1.0))) AS BIGINT)
+             AS w2
+    FROM kw CROSS JOIN n
+    GROUP BY word, n.n_docs
+    HAVING count(*) BETWEEN {DOCSIM_DF_MIN} AND {DOCSIM_DF_MAX}
+  ),
+  wkw AS (SELECT kw.doc_id, kw.word, w.w2 FROM kw JOIN w USING (word)),
+  norms AS (SELECT doc_id, sum(w2) AS norm2 FROM wkw GROUP BY doc_id),
+  dots AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, sum(a.w2) AS dot
+    FROM wkw a JOIN wkw b ON a.word = b.word AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+  )
+SELECT doc_a, doc_b,
+       round(dot / sqrt(CAST(na.norm2 AS DOUBLE) * CAST(nb.norm2 AS DOUBLE)), 6)
+         AS cosine
+FROM dots
+JOIN norms na ON na.doc_id = doc_a
+JOIN norms nb ON nb.doc_id = doc_b
+ORDER BY cosine DESC, doc_a, doc_b
+LIMIT {DOCSIM_TOP_PAIRS}
+""",
+    doc="Sparse TF-IDF document similarity through the inverted index: "
+    "top-50 most-similar doc pairs by cosine over idf²-weighted keyword "
+    "vectors. The pair space is generated by a posting-list self-join "
+    "(docs sharing a term), never doc×doc all-pairs — the Bayardo-style "
+    "df cap (2 ≤ df ≤ 50) prunes stop-like hot terms so join fan-out is "
+    "bounded by Σ df² over surviving terms, the standard sparse "
+    "all-pairs-similarity design at corpus scale. Weights are scaled to "
+    "integer micro-units before summing, so dot products and norms are "
+    "exact BIGINTs (summation-order-independent across engines and "
+    "partitionings) and the single float op — the final normalize — is "
+    "bit-identical everywhere. One shuffle on word (the join), one on "
+    "the pair key (the dot agg); top-k is TakeOrderedAndProject.",
+)
+def text_doc_sim_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    kw = _keywords_long(spark, sf_dir)
+    docs = load_table(spark, "documents", sf_dir)
+    n_total = docs.agg(F.count("*").alias("n_docs"))
+    idf = F.log((F.col("n_docs") + F.lit(1.0)) / (F.col("df") + F.lit(1.0)))
+    w = (
+        kw.groupBy("word")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df").between(DOCSIM_DF_MIN, DOCSIM_DF_MAX))
+        .crossJoin(F.broadcast(n_total))
+        .select("word", F.round(F.lit(1e6) * idf * idf).cast("long").alias("w2"))
+    )
+    wkw = kw.join(F.broadcast(w), "word").select("doc_id", "word", "w2")
+    norms = wkw.groupBy("doc_id").agg(F.sum("w2").alias("norm2"))
+    a, b = wkw.alias("a"), wkw.alias("b")
+    dots = (
+        a.join(
+            b,
+            (F.col("a.word") == F.col("b.word"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.sum("a.w2").alias("dot"))
+    )
+    na = norms.select(F.col("doc_id").alias("doc_a"), F.col("norm2").alias("_na"))
+    nb = norms.select(F.col("doc_id").alias("doc_b"), F.col("norm2").alias("_nb"))
+    return (
+        dots.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.col("dot")
+                / F.sqrt(F.col("_na").cast("double") * F.col("_nb").cast("double")),
+                6,
+            ).alias("cosine"),
+        )
+        .orderBy(F.desc("cosine"), F.asc("doc_a"), F.asc("doc_b"))
+        .limit(DOCSIM_TOP_PAIRS)
+    )
