@@ -20,6 +20,7 @@ from mrc_spark_jobs_pubmed_spark.plans import (  # noqa: F401,E402
     corpus_queries,
     dedup_queries,
     extra_queries,
+    graph_queries,
     mixing_queries,
     mm_queries,
     relational_queries,

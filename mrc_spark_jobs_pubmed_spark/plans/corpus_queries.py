@@ -656,3 +656,61 @@ def corpus_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("avg_logprob"),
         )
     )
+
+
+# --- merge/upsert (MERGE INTO semantics as a declarative plan) --------------
+
+
+@register(
+    "corpus_merge_upsert",
+    oracle="""
+WITH batch AS (
+  SELECT doc_id, text || ' [rev2]' AS text, lang, source
+  FROM documents WHERE doc_id % 7 = 0
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, text, lang, source
+  FROM documents WHERE doc_id % 13 = 0
+),
+merged AS (
+  SELECT coalesce(b.doc_id, d.doc_id) AS doc_id,
+         coalesce(b.text, d.text) AS text,
+         CASE WHEN b.doc_id IS NULL THEN 'keep'
+              WHEN d.doc_id IS NULL THEN 'insert'
+              ELSE 'update' END AS action
+  FROM documents d FULL JOIN batch b ON d.doc_id = b.doc_id
+)
+SELECT doc_id, action, md5(text) AS text_md5 FROM merged
+""",
+    doc="MERGE INTO semantics (Delta/Iceberg-style upsert) as a pure "
+    "declarative plan: an incoming batch (revised rows for doc_id %% 7, "
+    "brand-new rows keyed past the corpus range for doc_id %% 13) "
+    "full-outer-joined to the corpus on the key — matched rows take the "
+    "batch version ('update'), unmatched batch rows append ('insert'), "
+    "untouched corpus rows pass through ('keep'). Every output row is "
+    "tagged with its action and the md5 of its final text, so the "
+    "oracle value-checks the complete merge result, not just counts. "
+    "Scale shape: ONE equi-join shuffle on the key — the same plan a "
+    "lakehouse MERGE compiles to for its find-touched-files phase; at "
+    "100 TB the batch side is typically small enough to broadcast, "
+    "turning the merge map-side.",
+)
+def corpus_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    updates = docs.filter(F.col("doc_id") % 7 == 0).select(
+        "doc_id", F.concat(F.col("text"), F.lit(" [rev2]")).alias("text")
+    )
+    inserts = docs.filter(F.col("doc_id") % 13 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+    )
+    batch = updates.unionByName(inserts)
+    d = docs.select(F.col("doc_id").alias("d_id"), F.col("text").alias("d_text"))
+    b = batch.select(F.col("doc_id").alias("b_id"), F.col("text").alias("b_text"))
+    merged = d.join(b, d.d_id == b.b_id, "full").select(
+        F.coalesce("b_id", "d_id").alias("doc_id"),
+        F.coalesce("b_text", "d_text").alias("text"),
+        F.when(F.col("b_id").isNull(), F.lit("keep"))
+        .when(F.col("d_id").isNull(), F.lit("insert"))
+        .otherwise(F.lit("update"))
+        .alias("action"),
+    )
+    return merged.select("doc_id", "action", F.md5("text").alias("text_md5"))

@@ -501,3 +501,82 @@ def src_pubmed_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_attempts",
         F.col("payload").isNotNull().alias("has_payload"),
     )
+
+
+@register(
+    "rel_funnel_steps",
+    oracle="""
+WITH v AS (
+  SELECT user_id, min(ts) AS t1 FROM events WHERE event_type = 'view'
+  GROUP BY user_id
+),
+c AS (
+  SELECT e.user_id, min(e.ts) AS t2
+  FROM events e JOIN v ON e.user_id = v.user_id AND e.ts >= v.t1
+  WHERE e.event_type = 'click'
+  GROUP BY e.user_id
+),
+p AS (
+  SELECT e.user_id, min(e.ts) AS t3
+  FROM events e JOIN c ON e.user_id = c.user_id AND e.ts >= c.t2
+  WHERE e.event_type = 'purchase'
+  GROUP BY e.user_id
+)
+SELECT (SELECT count(*) FROM v) AS n_view,
+       (SELECT count(*) FROM c) AS n_click,
+       (SELECT count(*) FROM p) AS n_purchase,
+       round((SELECT count(*) FROM c) * 1.0 / (SELECT count(*) FROM v), 6)
+         AS view_to_click,
+       round((SELECT count(*) FROM p) * 1.0 / (SELECT count(*) FROM c), 6)
+         AS click_to_purchase
+""",
+    doc="Ordered funnel analysis over the event stream: per user, first "
+    "view, then the earliest click at-or-after it, then the earliest "
+    "purchase at-or-after that — stage populations and conversion "
+    "rates. Each stage is one filtered hash-agg on user_id joined to "
+    "the previous stage's anchor time; all three shuffles share the "
+    "user_id key, so at scale AQE/co-partitioning lines them up and "
+    "the stage joins are exchange-reusing equi-joins (the classic "
+    "sessionized-funnel shape, never a self-cross of the event log). "
+    "Counts are exact integers; the two rates are single float "
+    "divisions of those integers, bit-identical across engines.",
+)
+def rel_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") >= F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") >= F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    nv = v.agg(F.count("*").alias("n_view"))
+    nc = c.agg(F.count("*").alias("n_click"))
+    np_ = p.agg(F.count("*").alias("n_purchase"))
+    return (
+        nv.crossJoin(nc)
+        .crossJoin(np_)
+        .select(
+            "n_view",
+            "n_click",
+            "n_purchase",
+            F.round(F.col("n_click") * F.lit(1.0) / F.col("n_view"), 6).alias(
+                "view_to_click"
+            ),
+            F.round(
+                F.col("n_purchase") * F.lit(1.0) / F.col("n_click"), 6
+            ).alias("click_to_purchase"),
+        )
+    )

@@ -1,0 +1,133 @@
+"""Graph analytics over relationship tables derived from the fixtures.
+
+Same family as `dedup_cluster_components` (iterative label propagation):
+fixed-iteration graph algorithms expressed as joins + aggregations, with
+the iteration count a compile-time constant so the DuckDB oracle can
+unroll the identical computation as CTEs.
+
+Determinism note: PageRank's inner loop sums per-node contributions —
+a float sum whose accumulation order differs between engines and between
+partitionings of the same engine. The operator therefore runs in FIXED-
+POINT INTEGER arithmetic (ranks in 1e-12 units, integer division for
+the out-degree split and the damping factor), making every iteration
+exactly reproducible on any engine, any partitioning, any cluster size.
+That property is not a test convenience: bit-reproducible ranks are what
+make incremental re-runs diffable at 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mrc_spark_jobs_pubmed_spark.plans.registry import register
+from mrc_spark_jobs_pubmed_spark.sources.catalog import load_table
+
+PR_ITERS = 3
+PR_TOP = 20
+_SUPP_OFFSET = 10_000_000  # suppkey namespace shift so node ids are disjoint
+
+
+def _pagerank_sql() -> str:
+    ctes = [
+        """e0 AS (
+  SELECT DISTINCT o_custkey AS src, l_suppkey + 10000000 AS dst
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+)""",
+        "edges AS (SELECT src, dst FROM e0 UNION ALL SELECT dst AS src, src AS dst FROM e0)",
+        "deg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY src)",
+        "n AS (SELECT count(*) AS n_nodes FROM deg)",
+        "r0 AS (SELECT src AS node, CAST(round(1e12 / n_nodes) AS BIGINT) AS r"
+        " FROM deg CROSS JOIN n)",
+        "base AS (SELECT CAST(round(0.15 * 1e12 / n_nodes) AS BIGINT) AS b FROM n)",
+    ]
+    for it in range(PR_ITERS):
+        ctes.append(
+            f"""r{it + 1} AS (
+  SELECT e.dst AS node,
+         (SELECT b FROM base) + (85 * sum(r.r // d.outdeg)) // 100 AS r
+  FROM edges e
+  JOIN r{it} r ON e.src = r.node
+  JOIN deg d ON d.src = e.src
+  GROUP BY e.dst
+)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+SELECT node,
+       CASE WHEN node >= {_SUPP_OFFSET} THEN 'supplier' ELSE 'customer' END
+         AS node_type,
+       r AS rank_p12
+FROM r{PR_ITERS}
+ORDER BY rank_p12 DESC, node
+LIMIT {PR_TOP}
+"""
+    )
+
+
+@register(
+    "graph_pagerank",
+    oracle=_pagerank_sql(),
+    doc="PageRank (3 unrolled iterations, d=0.85) over the undirected "
+    "customer–supplier trade graph derived from lineitem×orders, in "
+    "fixed-point 1e-12-unit integer arithmetic: contribution = rank "
+    "DIV out-degree, damping = (85·sum) DIV 100 — every step exact "
+    "BIGINT math, so ranks are bit-reproducible across engines, "
+    "partitionings, and cluster sizes (a float PageRank is not: its "
+    "per-node sum order is nondeterministic). Scale shape per "
+    "iteration: one equi-join of the edge list against the current "
+    "rank vector (both shuffle-partitioned on the same key, so the "
+    "partitioning is reused across iterations) + one hash-agg on dst; "
+    "degree and rank tables carry 16 bytes/node. Top-k is "
+    "TakeOrderedAndProject. Same iterative-plan family as "
+    "dedup_cluster_components (min-label propagation).",
+)
+def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, "lineitem", sf_dir)
+    orders = load_table(spark, "orders", sf_dir)
+    e0 = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .select(
+            F.col("o_custkey").alias("src"),
+            (F.col("l_suppkey") + _SUPP_OFFSET).alias("dst"),
+        )
+        .distinct()
+    )
+    edges = e0.unionByName(
+        e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    deg = edges.groupBy("src").agg(F.count("*").alias("outdeg"))
+    n = deg.agg(F.count("*").alias("n_nodes"))
+    r = (
+        deg.crossJoin(F.broadcast(n))
+        .select(
+            F.col("src").alias("node"),
+            F.round(F.lit(1e12) / F.col("n_nodes")).cast("long").alias("r"),
+        )
+    )
+    base = n.select(
+        F.round(F.lit(0.15e12) / F.col("n_nodes")).cast("long").alias("b")
+    )
+    for _ in range(PR_ITERS):
+        r = (
+            edges.join(r, edges.src == r.node)
+            .join(deg, "src")
+            .select("dst", F.expr("r div outdeg").alias("contrib"))
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum("contrib").alias("s"))
+            .crossJoin(F.broadcast(base))
+            .select("node", (F.col("b") + F.expr("(85 * s) div 100")).alias("r"))
+        )
+    return (
+        r.select(
+            "node",
+            F.when(F.col("node") >= _SUPP_OFFSET, F.lit("supplier"))
+            .otherwise(F.lit("customer"))
+            .alias("node_type"),
+            F.col("r").alias("rank_p12"),
+        )
+        .orderBy(F.desc("rank_p12"), F.asc("node"))
+        .limit(PR_TOP)
+    )

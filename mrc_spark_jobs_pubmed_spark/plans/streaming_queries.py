@@ -88,6 +88,38 @@ def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "stream_chained_rollup",
+    oracle="""
+WITH lvl1 AS (
+  SELECT time_bucket(INTERVAL '5 minutes', ts) AS b5, event_type,
+         count(*) AS n
+  FROM events
+  GROUP BY 1, 2
+)
+SELECT CAST(time_bucket(INTERVAL '15 minutes', b5) AS TIMESTAMP) AS wstart,
+       event_type,
+       sum(n) AS n_events,
+       max(n) AS peak_5min_n,
+       count(*) AS n_subwindows
+FROM lvl1
+GROUP BY 1, 2
+""",
+    doc="Chained windowed aggregation (Spark 3.5+ window_time): 5-min "
+    "tumbling counts rolled up into 15-min windows — total events, peak "
+    "sub-window, live sub-window count per type. Integer-only outputs "
+    "so the two-level rollup is order-independent; in the stream "
+    "runtime both levels run in ONE query with bounded per-level state "
+    "(the coarse level sees one row per fine window, not the raw "
+    "stream). The 5-min buckets nest exactly in 15-min buckets, so the "
+    "oracle re-buckets the fine window starts directly.",
+)
+def stream_chained_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return J.chained_window_rollup(
+        load_table(spark, "events", sf_dir), with_watermark=False
+    )
+
+
+@register(
     "stream_dedup_counts",
     oracle="""
 SELECT event_type, count(*) AS n

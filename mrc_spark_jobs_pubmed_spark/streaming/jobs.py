@@ -96,6 +96,44 @@ def session_windows(events: DataFrame, with_watermark: bool = True) -> DataFrame
     )
 
 
+def chained_window_rollup(events: DataFrame, with_watermark: bool = True) -> DataFrame:
+    """Chained windowed aggregation: 5-minute tumbling counts rolled up
+    into 15-minute windows (total events, peak 5-min sub-window, number
+    of live sub-windows) per event_type.
+
+    Uses `window_time()` over the first aggregation's window column —
+    the Spark 3.5+ chained-time-window feature, which lets a streaming
+    query stack windowed aggs without an intermediate sink. All outputs
+    are integers, so the rollup is summation-order-independent and
+    value-checkable across engines. In streaming, each level keeps its
+    own bounded state under the same watermark; the coarse level's
+    input is one row per (5-min window, type) — tiny regardless of
+    event volume, which is exactly why rollups chain this way at scale
+    instead of re-aggregating the raw stream twice.
+    """
+    src = events.withWatermark("ts", WATERMARK) if with_watermark else events
+    lvl1 = src.groupBy(F.window("ts", TUMBLE).alias("w"), "event_type").agg(
+        F.count("*").alias("n")
+    )
+    return (
+        lvl1.groupBy(
+            F.window(F.window_time("w"), "15 minutes").alias("w2"), "event_type"
+        )
+        .agg(
+            F.sum("n").alias("n_events"),
+            F.max("n").alias("peak_5min_n"),
+            F.count("*").alias("n_subwindows"),
+        )
+        .select(
+            F.col("w2.start").alias("wstart"),
+            "event_type",
+            "n_events",
+            "peak_5min_n",
+            "n_subwindows",
+        )
+    )
+
+
 def dedup_events(events: DataFrame, with_watermark: bool = True) -> DataFrame:
     """Streaming dedup on event_id under the watermark (state is bounded
     by the watermark horizon — the streaming form of exact dedup)."""

@@ -38,6 +38,29 @@ def test_tumbling_stream_equals_batch(spark):
     assert got == want and len(got) > 0
 
 
+def test_chained_rollup_stream_emits_finalized_subset(spark):
+    # Chained stateful aggs must run in append mode (finalized windows
+    # only); complete mode trips the global-watermark correctness check.
+    stream = J.chained_window_rollup(J.read_events_stream(spark, SF))
+    q = J.run_to_memory(stream, "t_chain", "append")
+    _drain(q)
+    got = {
+        (r.wstart, r.event_type): (r.n_events, r.peak_5min_n, r.n_subwindows)
+        for r in spark.sql("SELECT * FROM t_chain").collect()
+    }
+    want = {
+        (r.wstart, r.event_type): (r.n_events, r.peak_5min_n, r.n_subwindows)
+        for r in J.chained_window_rollup(
+            _batch_events(spark), with_watermark=False
+        ).collect()
+    }
+    # Append emits only windows finalized by the watermark — every
+    # emitted row must match the batch result exactly, and the replay
+    # must have finalized a non-trivial share of them.
+    assert len(got) > 0 and set(got).issubset(set(want))
+    assert all(got[k] == want[k] for k in got)
+
+
 def test_dedup_stream_passes_unique_rows(spark):
     stream = J.dedup_events(J.read_events_stream(spark, SF))
     q = J.run_to_memory(stream.select("event_id"), "t_dedup", "append")
