@@ -580,3 +580,116 @@ def rel_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("click_to_purchase"),
         )
     )
+
+
+SALT_N = 4
+
+
+@register(
+    "rel_skew_salted_join",
+    oracle="""
+SELECT s_name,
+       sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT))
+         AS revenue_cents,
+       count(*) AS n_lines
+FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+GROUP BY s_name
+""",
+    doc="Skew-safe JOIN via salting — the join-side counterpart of "
+    "rel_salted_agg's aggregation fix: the big (fact) side gets a "
+    "deterministic salt pmod(xxhash64(row key), 4) and the small side "
+    "is replicated once per salt value (explode(sequence)), so the "
+    "join key becomes (suppkey, salt) and a pathologically hot "
+    "supplier's rows spread across 4 tasks instead of one straggler. "
+    "The oracle is the UNSALTED plain join — proving the rewrite is "
+    "exactly semantics-preserving, which is the entire point of the "
+    "lever. Revenue is rounded to integer cents per row before "
+    "summing, so the aggregate is summation-order-independent across "
+    "engines and partitionings (the salted plan's whole purpose is to "
+    "change partitioning). At 100 TB the salt fan-out N scales with "
+    "observed skew; AQE's skew-join handles moderate cases, this "
+    "explicit lever handles the per-key hot spots it can't split.",
+)
+def rel_skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, "lineitem", sf_dir)
+    supp = load_table(spark, "supplier", sf_dir)
+    big = li.select(
+        "l_suppkey",
+        F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100)
+        .cast("long")
+        .alias("cents"),
+        F.pmod(F.xxhash64("l_orderkey", "l_linenumber"), F.lit(SALT_N)).alias(
+            "salt"
+        ),
+    )
+    small = supp.select("s_suppkey", "s_name").withColumn(
+        "salt", F.explode(F.sequence(F.lit(0), F.lit(SALT_N - 1)))
+    )
+    return (
+        big.join(
+            small,
+            (big.l_suppkey == small.s_suppkey) & (big.salt == small.salt),
+        )
+        .groupBy("s_name")
+        .agg(
+            F.sum("cents").alias("revenue_cents"),
+            F.count("*").alias("n_lines"),
+        )
+    )
+
+
+ZORDER_BITS = 16
+
+
+def _zorder_terms(x_expr: str, y_expr: str, dialect: str) -> str:
+    """Bit-interleave of two 16-bit ints: z = Σ_i bit_i(x)·4^i + 2·bit_i(y)·4^i.
+    Pure integer arithmetic ((v // 2^i) % 2), identical in any dialect."""
+    terms = []
+    for i in range(ZORDER_BITS):
+        terms.append(f"(({x_expr}) // {1 << i} % 2) * {1 << (2 * i)}")
+        terms.append(f"(({y_expr}) // {1 << i} % 2) * {1 << (2 * i + 1)}")
+    joined = " + ".join(terms)
+    if dialect == "spark":
+        joined = joined.replace("//", "div")
+    return f"({joined})"
+
+
+@register(
+    "rel_zorder_layout",
+    oracle=f"""
+WITH t AS (
+  SELECT o_orderkey,
+         o_custkey % 65536 AS xk,
+         CAST(date_diff('day', DATE '1992-01-01', o_orderdate) AS BIGINT) % 65536
+           AS yk
+  FROM orders
+)
+SELECT o_orderkey,
+       {_zorder_terms('xk', 'yk', 'duckdb')} AS zkey
+FROM t
+""",
+    doc="Z-order (Morton) clustering key over (customer, order date): "
+    "16-bit normalized coordinates bit-interleaved into one BIGINT by "
+    "pure integer arithmetic — the multi-dimensional sort key behind "
+    "Delta/Iceberg OPTIMIZE ZORDER. Writing 100 TB sorted by zkey "
+    "co-locates rows close in BOTH dimensions into the same files, so "
+    "min/max file statistics prune scans for predicates on either "
+    "column (a single-column sort only prunes one). The key itself is "
+    "a zero-shuffle narrow computation; the layout write is one "
+    "range-partitioned sort by zkey. Value-checked per row on both "
+    "engines (bit math has no float or ordering hazards).",
+)
+def rel_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, "orders", sf_dir)
+    t = orders.select(
+        "o_orderkey",
+        (F.col("o_custkey") % 65536).alias("xk"),
+        (
+            F.datediff(F.col("o_orderdate"), F.lit("1992-01-01").cast("date"))
+            .cast("long")
+            % 65536
+        ).alias("yk"),
+    )
+    return t.select(
+        "o_orderkey", F.expr(_zorder_terms("xk", "yk", "spark")).alias("zkey")
+    )

@@ -510,3 +510,141 @@ def text_doc_sim_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("cosine"), F.asc("doc_a"), F.asc("doc_b"))
         .limit(DOCSIM_TOP_PAIRS)
     )
+
+
+# --- BPE pair-merge trainer (3 unrolled merges) -----------------------------
+
+BPE_VOCAB_CAP = 200  # candidate words per merge round (freq-ranked)
+BPE_MERGES = 3
+
+
+def _bpe_pairs_sql(v: str) -> str:
+    return f"""(SELECT s.syms[t.i] AS l, s.syms[t.i + 1] AS r, sum(s.freq) AS cnt
+   FROM (SELECT string_split(seq, ' ') AS syms, freq FROM {v}) s
+   CROSS JOIN range(1, 256) t(i) WHERE t.i <= len(s.syms) - 1
+   GROUP BY 1, 2)"""
+
+
+def _bpe_sql() -> str:
+    ctes = [
+        f"""bpe_toks AS (
+  SELECT unnest({_dedup_tokens_sql('text')}) AS tok FROM documents
+)""",
+        f"""bpe_freqs AS (
+  SELECT tok, count(*) AS freq FROM bpe_toks WHERE length(tok) >= 2
+  GROUP BY tok ORDER BY freq DESC, tok LIMIT {BPE_VOCAB_CAP}
+)""",
+        "v0 AS (SELECT rtrim(regexp_replace(tok, '(.)', '\\1 ', 'g')) AS seq,"
+        " freq FROM bpe_freqs)",
+    ]
+    for k in range(BPE_MERGES):
+        ctes.append(f"p{k} AS {_bpe_pairs_sql(f'v{k}')}")
+        ctes.append(f"b{k} AS (SELECT l, r, cnt FROM p{k} ORDER BY cnt DESC, l, r LIMIT 1)")
+        if k < BPE_MERGES - 1:
+            ctes.append(
+                f"""v{k + 1} AS (
+  SELECT list_reduce(string_split(v{k}.seq, ' '),
+    (acc, x) -> CASE WHEN regexp_extract(acc, '[^ ]+$') = b{k}.l AND x = b{k}.r
+                THEN regexp_replace(acc, '[^ ]+$', '') || b{k}.l || b{k}.r
+                ELSE acc || ' ' || x END) AS seq,
+         v{k}.freq AS freq
+  FROM v{k} CROSS JOIN b{k}
+)"""
+            )
+    sels = " UNION ALL ".join(
+        f"SELECT {k} AS merge_step, l AS left_sym, r AS right_sym,"
+        f" cnt AS pair_count FROM b{k}"
+        for k in range(BPE_MERGES)
+    )
+    return "WITH " + ",\n".join(ctes) + "\n" + sels
+
+
+def _bpe_merge_seq(seq_col, l_col, r_col):
+    """Greedy left-to-right application of one BPE merge (l, r) to a
+    space-separated symbol sequence, as a sequential fold: standard BPE
+    apply semantics, including the non-overlap rule ('a a a' with merge
+    (a,a) -> 'aa a')."""
+    syms = F.split(seq_col, " ")
+    return F.aggregate(
+        F.slice(syms, 2, F.size(syms) - 1),
+        F.element_at(syms, 1),
+        lambda acc, x: F.when(
+            (F.regexp_extract(acc, "[^ ]+$", 0) == l_col) & (x == r_col),
+            F.concat(F.regexp_replace(acc, "[^ ]+$", ""), l_col, r_col),
+        ).otherwise(F.concat(acc, F.lit(" "), x)),
+    )
+
+
+@register(
+    "text_bpe_merges",
+    oracle=_bpe_sql(),
+    doc="BPE tokenizer training (3 unrolled merge rounds) as pure "
+    "DataFrame ops: word frequencies -> char-spaced symbol sequences -> "
+    "per-round adjacent-pair counts (weighted by word freq, overlapping "
+    "pairs counted as standard BPE does) -> deterministic argmax pair "
+    "(count desc, pair asc) -> greedy fold-based merge apply. Output is "
+    "the learned merge table (step, left, right, count) — the artifact "
+    "an LLM pipeline ships to its tokenizer. Scale shape: the corpus "
+    "scan reduces to a freq-capped candidate vocab (one hash-agg + "
+    "top-k, the standard BPE-trainer move — merges above rank ~200 are "
+    "decided by the head of the distribution); each round is then a "
+    "few-hundred-row narrow pass with a 1-row broadcast argmax, so "
+    "round cost is independent of corpus size. The merge apply is a "
+    "sequential per-word fold (greedy non-overlap semantics are "
+    "order-dependent by definition), value-identical on both engines.",
+)
+def text_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mrc_spark_jobs_pubmed_spark.operators.dedup import tokens_col
+
+    docs = load_table(spark, "documents", sf_dir)
+    toks = docs.select(F.explode(tokens_col(F.col("text"))).alias("tok"))
+    freqs = (
+        toks.filter(F.length("tok") >= 2)
+        .groupBy("tok")
+        .agg(F.count("*").alias("freq"))
+        .orderBy(F.desc("freq"), F.asc("tok"))
+        .limit(BPE_VOCAB_CAP)
+    )
+    v = freqs.select(
+        F.rtrim(F.regexp_replace("tok", "(.)", "$1 ")).alias("seq"), "freq"
+    )
+    bests = []
+    for step in range(BPE_MERGES):
+        syms = F.split("seq", " ")
+        pairs = (
+            v.select(
+                F.explode(
+                    F.zip_with(
+                        F.slice(syms, 1, F.size(syms) - 1),
+                        F.slice(syms, 2, F.size(syms) - 1),
+                        lambda a, b: F.struct(a.alias("l"), b.alias("r")),
+                    )
+                ).alias("p"),
+                "freq",
+            )
+            .groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
+            .agg(F.sum("freq").alias("cnt"))
+        )
+        best = pairs.orderBy(F.desc("cnt"), F.asc("l"), F.asc("r")).limit(1)
+        bests.append(
+            best.select(
+                F.lit(step).alias("merge_step"),
+                F.col("l").alias("left_sym"),
+                F.col("r").alias("right_sym"),
+                F.col("cnt").alias("pair_count"),
+            )
+        )
+        if step < BPE_MERGES - 1:
+            b = F.broadcast(
+                best.select(F.col("l").alias("_bl"), F.col("r").alias("_br"))
+            )
+            v = v.crossJoin(b).select(
+                _bpe_merge_seq(F.col("seq"), F.col("_bl"), F.col("_br")).alias(
+                    "seq"
+                ),
+                "freq",
+            )
+    out = bests[0]
+    for b_ in bests[1:]:
+        out = out.unionByName(b_)
+    return out
