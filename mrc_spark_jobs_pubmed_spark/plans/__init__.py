@@ -77,19 +77,22 @@ DRIVER_WINDOW: list[str] = [
     "rel_nested_struct",
     # upgraded from rows-only to value-gated this round
     "sim_brp_lsh_buckets",
-    # flagship + headline bench queries (continuity across rounds)
+    # round-3 additions (never-official by construction)
+    "sim_pq_adc_topk",
+    "text_doc_sim_pairs",
+    "text_bpe_merges",
+    "rel_funnel_steps",
+    "rel_skew_salted_join",
+    "rel_zorder_layout",
+    "corpus_merge_upsert",
+    "graph_pagerank",
+    "stream_chained_rollup",
+    # flagship + family representatives (continuity across rounds;
+    # queries already green in BOTH r01 and r02 rotated out to make
+    # room for the never-official set)
     "text_word_topk",
-    "rel_q1_pricing_summary",
-    "rel_q3_shipping_priority",
-    "rel_q5_region_revenue",
-    "rel_window_running_total",
-    "dedup_minhash_bands",
-    "dedup_jaccard_top_pairs",
-    "sim_cosine_topk",
-    "sim_neardup_top_pairs",
     "ta_quality",
     "llm_corpus_prep",
-    "corpus_repetition",
     "corpus_pack_greedy",
     "mm_decode_features",
     "src_pubmed_pages",

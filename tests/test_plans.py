@@ -286,3 +286,48 @@ def test_semdedup_and_lsh_join_avoid_cartesian(spark):
     for name in ("sim_semdedup", "dedup_lsh_join"):
         plan = _physical(spark, name)
         assert "CartesianProduct" not in plan, name
+
+
+def test_pq_adc_topk_plan_shape(spark):
+    """ADC search: top-k never global-sorts; the code lookup joins are
+    broadcast (the distance tables are KBs); no CartesianProduct."""
+    plan = _physical(spark, "sim_pq_adc_topk")
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_doc_sim_pairs_plan_shape(spark):
+    """Sparse all-pairs similarity: candidate pairs come from a word
+    equi-join (never doc x doc cartesian), top-k via TakeOrdered."""
+    plan = _physical(spark, "text_doc_sim_pairs")
+    assert "CartesianProduct" not in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_zorder_key_is_narrow_zero_shuffle(spark):
+    plan = _physical(spark, "rel_zorder_layout")
+    assert "Exchange" not in plan
+    assert "Python" not in plan
+
+
+def test_salted_join_does_not_broadcast_fact_side(spark):
+    """The salted join must remain an equi-join on (key, salt); the
+    replicated dim side is small and may broadcast, but no cartesian."""
+    plan = _physical(spark, "rel_skew_salted_join")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_pagerank_iterations_are_equi_joins(spark):
+    """Each PageRank iteration joins edges to ranks on the node key —
+    no cartesian anywhere; the only nested-loop joins allowed are the
+    1-row broadcast of the damping base."""
+    plan = _physical(spark, "graph_pagerank")
+    assert "CartesianProduct" not in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_funnel_stages_share_user_key(spark):
+    plan = _physical(spark, "rel_funnel_steps")
+    assert "CartesianProduct" not in plan
