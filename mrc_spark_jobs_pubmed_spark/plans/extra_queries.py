@@ -693,3 +693,63 @@ def rel_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     return t.select(
         "o_orderkey", F.expr(_zorder_terms("xk", "yk", "spark")).alias("zkey")
     )
+
+
+@register(
+    "rel_event_pattern",
+    oracle="""
+WITH j AS (
+  SELECT user_id,
+         string_agg(substr(event_type, 1, 1), '' ORDER BY ts, event_id)
+           AS journey
+  FROM events
+  GROUP BY user_id
+)
+SELECT user_id,
+       length(journey) AS n_events,
+       (length(journey) - length(replace(journey, 'vcp', ''))) // 3 AS n_vcp,
+       (length(journey) - length(replace(journey, 'vc', ''))) // 2 AS n_vc
+FROM j
+""",
+    doc="Sequential pattern matching over the event stream (the "
+    "MATCH_RECOGNIZE use case): each user's events collapse to an "
+    "ordered journey string (one char per event, deterministic "
+    "(ts, event_id) order), and patterns — view→click→purchase runs "
+    "and view→click runs — are counted with the replace-length trick, "
+    "whose left-to-right non-overlap semantics are identical on every "
+    "engine. Scale shape: ONE shuffle on user_id; the journey build is "
+    "a sort-free array_sort(collect_list(struct)) whose per-user state "
+    "is the user's own event count, and the pattern counts are pure "
+    "per-row string arithmetic afterwards. The same shape handles any "
+    "regex-free subsequence pattern; true regex patterns drop in via "
+    "regexp_count on the same journey column.",
+)
+def rel_event_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    journey = F.array_join(
+        F.transform(
+            F.array_sort(
+                F.collect_list(
+                    F.struct("ts", "event_id", F.substring("event_type", 1, 1).alias("i"))
+                )
+            ),
+            lambda s: s["i"],
+        ),
+        "",
+    )
+    def _nruns(pat: str, ln: int):
+        return (
+            (F.length("journey") - F.length(F.replace(F.col("journey"), F.lit(pat), F.lit(""))))
+            / ln
+        ).cast("long")
+
+    return (
+        ev.groupBy("user_id")
+        .agg(journey.alias("journey"))
+        .select(
+            "user_id",
+            F.length("journey").alias("n_events"),
+            _nruns("vcp", 3).alias("n_vcp"),
+            _nruns("vc", 2).alias("n_vc"),
+        )
+    )

@@ -160,6 +160,32 @@ def stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "stream_interval_left_join",
+    oracle="""
+SELECT c.event_id AS click_id,
+       v.event_id AS view_id,
+       c.user_id AS c_user,
+       c.ts AS click_ts,
+       v.ts AS view_ts
+FROM (SELECT * FROM events WHERE event_type = 'click') c
+LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+  ON v.user_id = c.user_id
+ AND v.ts <= c.ts
+ AND v.ts >= c.ts - INTERVAL '10 minutes'
+""",
+    doc="Stream-stream LEFT OUTER interval join: every click with its "
+    "preceding-10-min same-user views, NULL-extended when none exist. "
+    "In the stream runtime the NULL emission is itself watermark-gated "
+    "— an unmatched left row is released only when the watermark "
+    "proves no matching right row can still arrive, so outer-join "
+    "state stays finite. Batch form value-checked here; the inner "
+    "variant's replay test drives the same join body as two streams.",
+)
+def stream_interval_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return J.click_view_interval_left_join(load_table(spark, "events", sf_dir))
+
+
+@register(
     "stream_static_enrich",
     oracle="""
 SELECT CAST(time_bucket(INTERVAL '5 minutes', ts) AS TIMESTAMP) AS wstart,

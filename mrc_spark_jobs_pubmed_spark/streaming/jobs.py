@@ -216,6 +216,44 @@ def click_view_interval_join(events: DataFrame) -> DataFrame:
     ).select("click_id", "view_id", "c_user", "click_ts", "view_ts")
 
 
+def click_view_interval_left_join(events: DataFrame) -> DataFrame:
+    """Stream-stream LEFT OUTER interval join: every click, with its
+    matching same-user views in the preceding 10 minutes — or NULLs if
+    none arrived.
+
+    Outer stream-stream joins need watermarks on BOTH sides plus the
+    two-sided time bound: a left row can only be emitted as unmatched
+    once the watermark proves no matching right row can still arrive,
+    so the NULL-extension itself is watermark-gated state eviction.
+    Same body runs in batch (the oracle-able form) and as two streams.
+    """
+    views = (
+        events.filter(F.col("event_type") == "view")
+        .withWatermark("ts", WATERMARK)
+        .select(
+            F.col("user_id").alias("v_user"),
+            F.col("ts").alias("view_ts"),
+            F.col("event_id").alias("view_id"),
+        )
+    )
+    clicks = (
+        events.filter(F.col("event_type") == "click")
+        .withWatermark("ts", WATERMARK)
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("click_ts"),
+            F.col("event_id").alias("click_id"),
+        )
+    )
+    return clicks.join(
+        views,
+        (F.col("c_user") == F.col("v_user"))
+        & (F.col("view_ts") <= F.col("click_ts"))
+        & (F.col("view_ts") >= F.col("click_ts") - F.expr("INTERVAL 10 MINUTES")),
+        "left_outer",
+    ).select("click_id", "view_id", "c_user", "click_ts", "view_ts")
+
+
 def enriched_nation_counts(
     events: DataFrame,
     customer: DataFrame,

@@ -46,8 +46,9 @@ def main() -> None:
         )
 
     registry = plans.all_queries()
+    names = sys.argv[1:] or list(HEADLINE)
     out: dict[str, dict[str, float]] = {}
-    for name in HEADLINE:
+    for name in names:
         q = registry[name]
         df = q.fn(spark, SF_DIR)
         df.write.format("noop").mode("overwrite").save()  # warm
