@@ -753,3 +753,39 @@ def rel_event_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
             _nruns("vc", 2).alias("n_vc"),
         )
     )
+
+
+@register(
+    "rel_histogram",
+    oracle="""
+SELECT CAST(floor(o_totalprice / 25000) AS BIGINT) AS bin,
+       count(*) AS n,
+       min(o_totalprice) AS lo,
+       max(o_totalprice) AS hi,
+       sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS total_cents
+FROM orders
+GROUP BY 1
+""",
+    doc="Equi-width histogram (the profiling primitive behind optimizer "
+    "statistics and data-quality dashboards): fixed 25k-wide bins of "
+    "order value with per-bin count, extrema, and an exact integer-"
+    "cents total (per-row rounding before the sum keeps the aggregate "
+    "summation-order-independent). One hash-agg whose output is the "
+    "bin-count domain — constant-size regardless of input scale; the "
+    "map-side partials do all the work.",
+)
+def rel_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, "orders", sf_dir)
+    return (
+        orders.groupBy(
+            F.floor(F.col("o_totalprice") / 25000).cast("long").alias("bin")
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.min("o_totalprice").alias("lo"),
+            F.max("o_totalprice").alias("hi"),
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias(
+                "total_cents"
+            ),
+        )
+    )

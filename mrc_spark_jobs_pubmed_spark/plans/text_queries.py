@@ -525,7 +525,9 @@ def _bpe_pairs_sql(v: str) -> str:
    GROUP BY 1, 2)"""
 
 
-def _bpe_sql() -> str:
+def _bpe_train_ctes() -> list[str]:
+    """Shared training CTEs: bpe_freqs -> v0..v2, b0..b2 (1-row argmax
+    per merge round). Used by both the trainer and the encoder oracle."""
     ctes = [
         f"""bpe_toks AS (
   SELECT unnest({_dedup_tokens_sql('text')}) AS tok FROM documents
@@ -551,12 +553,48 @@ def _bpe_sql() -> str:
   FROM v{k} CROSS JOIN b{k}
 )"""
             )
+    return ctes
+
+
+def _bpe_sql() -> str:
     sels = " UNION ALL ".join(
         f"SELECT {k} AS merge_step, l AS left_sym, r AS right_sym,"
         f" cnt AS pair_count FROM b{k}"
         for k in range(BPE_MERGES)
     )
-    return "WITH " + ",\n".join(ctes) + "\n" + sels
+    return "WITH " + ",\n".join(_bpe_train_ctes()) + "\n" + sels
+
+
+def _bpe_fold_sql(inner: str, k: int) -> str:
+    """One greedy merge application (round k's pair b{k}) to a
+    space-separated sequence expression, as a DuckDB list_reduce."""
+    return f"""list_reduce(string_split({inner}, ' '),
+    (acc, x) -> CASE WHEN regexp_extract(acc, '[^ ]+$') = b{k}.l AND x = b{k}.r
+                THEN regexp_replace(acc, '[^ ]+$', '') || b{k}.l || b{k}.r
+                ELSE acc || ' ' || x END)"""
+
+
+def _bpe_encode_sql() -> str:
+    fold = "rtrim(regexp_replace(tok, '(.)', '\\1 ', 'g'))"
+    for k in range(BPE_MERGES):
+        fold = _bpe_fold_sql(fold, k)
+    ctes = _bpe_train_ctes() + [
+        f"""dtoks AS (
+  SELECT doc_id, unnest({_dedup_tokens_sql('text')}) AS tok FROM documents
+)""",
+        f"""encoded AS (
+  SELECT doc_id, len(string_split({fold}, ' ')) AS n_sym
+  FROM dtoks CROSS JOIN b0 CROSS JOIN b1 CROSS JOIN b2
+)""",
+    ]
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + """
+SELECT doc_id, count(*) AS n_tokens, sum(n_sym) AS n_bpe_symbols
+FROM encoded GROUP BY doc_id
+"""
+    )
 
 
 def _bpe_merge_seq(seq_col, l_col, r_col):
@@ -594,6 +632,23 @@ def _bpe_merge_seq(seq_col, l_col, r_col):
     "order-dependent by definition), value-identical on both engines.",
 )
 def text_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = None
+    for step, best in enumerate(_bpe_train(spark, sf_dir)):
+        row = best.select(
+            F.lit(step).alias("merge_step"),
+            F.col("l").alias("left_sym"),
+            F.col("r").alias("right_sym"),
+            F.col("cnt").alias("pair_count"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
+
+
+def _bpe_train(spark: SparkSession, sf_dir: str) -> list[DataFrame]:
+    """Run the merge rounds; returns the 1-row argmax DataFrames
+    [(l, r, cnt), ...], each localCheckpoint'd so every consumer (the
+    merge-table output, the next round's apply, the encoder) reuses the
+    materialized row instead of replaying earlier rounds."""
     from mrc_spark_jobs_pubmed_spark.operators.dedup import tokens_col
 
     docs = load_table(spark, "documents", sf_dir)
@@ -625,15 +680,12 @@ def text_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
             .agg(F.sum("freq").alias("cnt"))
         )
-        best = pairs.orderBy(F.desc("cnt"), F.asc("l"), F.asc("r")).limit(1)
-        bests.append(
-            best.select(
-                F.lit(step).alias("merge_step"),
-                F.col("l").alias("left_sym"),
-                F.col("r").alias("right_sym"),
-                F.col("cnt").alias("pair_count"),
-            )
+        best = (
+            pairs.orderBy(F.desc("cnt"), F.asc("l"), F.asc("r"))
+            .limit(1)
+            .localCheckpoint()
         )
+        bests.append(best)
         if step < BPE_MERGES - 1:
             b = F.broadcast(
                 best.select(F.col("l").alias("_bl"), F.col("r").alias("_br"))
@@ -644,7 +696,43 @@ def text_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ),
                 "freq",
             )
-    out = bests[0]
-    for b_ in bests[1:]:
-        out = out.unionByName(b_)
-    return out
+    return bests
+
+
+@register(
+    "text_bpe_encode",
+    oracle=_bpe_encode_sql(),
+    doc="BPE tokenizer APPLY: the 3 learned merges (same training "
+    "pipeline as text_bpe_merges) applied to every document's token "
+    "stream — per doc, the whitespace token count and the resulting "
+    "BPE symbol count, the number an LLM pipeline budgets context "
+    "windows with. The merge table rides as three 1-row broadcasts "
+    "into a zero-shuffle per-row fold chain (greedy non-overlap apply, "
+    "one fold per merge round), then ONE hash-agg on doc_id. Train + "
+    "encode together close the tokenizer loop: the corpus that taught "
+    "the merges is re-tokenized by them, and both engines value-match "
+    "the full per-doc encoding.",
+)
+def text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mrc_spark_jobs_pubmed_spark.operators.dedup import tokens_col
+
+    bests = _bpe_train(spark, sf_dir)
+    docs = load_table(spark, "documents", sf_dir)
+    dtoks = docs.select("doc_id", F.explode(tokens_col(F.col("text"))).alias("tok"))
+    for k, best in enumerate(bests):
+        dtoks = dtoks.crossJoin(
+            F.broadcast(
+                best.select(F.col("l").alias(f"_l{k}"), F.col("r").alias(f"_r{k}"))
+            )
+        )
+    seq = F.rtrim(F.regexp_replace("tok", "(.)", "$1 "))
+    for k in range(BPE_MERGES):
+        seq = _bpe_merge_seq(seq, F.col(f"_l{k}"), F.col(f"_r{k}"))
+    return (
+        dtoks.select("doc_id", F.size(F.split(seq, " ")).alias("n_sym"))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.sum("n_sym").alias("n_bpe_symbols"),
+        )
+    )
