@@ -479,7 +479,17 @@ def text_doc_sim_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(n_total))
         .select("word", F.round(F.lit(1e6) * idf * idf).cast("long").alias("w2"))
     )
-    wkw = kw.join(F.broadcast(w), "word").select("doc_id", "word", "w2")
+    # The weighted posting table feeds the norms agg and BOTH sides of
+    # the pair self-join; materialize it once so the clean/tokenize/
+    # lemmatize pipeline runs a single time instead of three (at scale:
+    # one corpus scan, then all downstream work happens on the compact
+    # (doc_id, word, w2) table — 46 plan exchanges drop to the join/agg
+    # minimum).
+    wkw = (
+        kw.join(F.broadcast(w), "word")
+        .select("doc_id", "word", "w2")
+        .localCheckpoint()
+    )
     norms = wkw.groupBy("doc_id").agg(F.sum("w2").alias("norm2"))
     a, b = wkw.alias("a"), wkw.alias("b")
     dots = (
@@ -582,9 +592,10 @@ def _bpe_encode_sql() -> str:
         f"""dtoks AS (
   SELECT doc_id, unnest({_dedup_tokens_sql('text')}) AS tok FROM documents
 )""",
+        "dvocab AS (SELECT DISTINCT tok FROM dtoks)",
         f"""encoded AS (
-  SELECT doc_id, len(string_split({fold}, ' ')) AS n_sym
-  FROM dtoks CROSS JOIN b0 CROSS JOIN b1 CROSS JOIN b2
+  SELECT tok, len(string_split({fold}, ' ')) AS n_sym
+  FROM dvocab CROSS JOIN b0 CROSS JOIN b1 CROSS JOIN b2
 )""",
     ]
     return (
@@ -592,7 +603,7 @@ def _bpe_encode_sql() -> str:
         + ",\n".join(ctes)
         + """
 SELECT doc_id, count(*) AS n_tokens, sum(n_sym) AS n_bpe_symbols
-FROM encoded GROUP BY doc_id
+FROM dtoks JOIN encoded USING (tok) GROUP BY doc_id
 """
     )
 
@@ -660,9 +671,13 @@ def _bpe_train(spark: SparkSession, sf_dir: str) -> list[DataFrame]:
         .orderBy(F.desc("freq"), F.asc("tok"))
         .limit(BPE_VOCAB_CAP)
     )
+    # The candidate vocab is BPE_VOCAB_CAP rows; materialize it (and
+    # each round's merged form) so the corpus tokenize+freq scan runs
+    # once, not once per round — at scale the trainer touches the
+    # corpus exactly one time and iterates on the tiny vocab table.
     v = freqs.select(
         F.rtrim(F.regexp_replace("tok", "(.)", "$1 ")).alias("seq"), "freq"
-    )
+    ).localCheckpoint()
     bests = []
     for step in range(BPE_MERGES):
         syms = F.split("seq", " ")
@@ -690,11 +705,15 @@ def _bpe_train(spark: SparkSession, sf_dir: str) -> list[DataFrame]:
             b = F.broadcast(
                 best.select(F.col("l").alias("_bl"), F.col("r").alias("_br"))
             )
-            v = v.crossJoin(b).select(
-                _bpe_merge_seq(F.col("seq"), F.col("_bl"), F.col("_br")).alias(
-                    "seq"
-                ),
-                "freq",
+            v = (
+                v.crossJoin(b)
+                .select(
+                    _bpe_merge_seq(F.col("seq"), F.col("_bl"), F.col("_br")).alias(
+                        "seq"
+                    ),
+                    "freq",
+                )
+                .localCheckpoint()
             )
     return bests
 
@@ -706,12 +725,15 @@ def _bpe_train(spark: SparkSession, sf_dir: str) -> list[DataFrame]:
     "pipeline as text_bpe_merges) applied to every document's token "
     "stream — per doc, the whitespace token count and the resulting "
     "BPE symbol count, the number an LLM pipeline budgets context "
-    "windows with. The merge table rides as three 1-row broadcasts "
-    "into a zero-shuffle per-row fold chain (greedy non-overlap apply, "
-    "one fold per merge round), then ONE hash-agg on doc_id. Train + "
-    "encode together close the tokenizer loop: the corpus that taught "
-    "the merges is re-tokenized by them, and both engines value-match "
-    "the full per-doc encoding.",
+    "windows with. The fold chain (greedy non-overlap apply, one fold "
+    "per merge round) runs over the DISTINCT vocabulary, not the token "
+    "stream — encode cost scales with vocab size, and the resulting "
+    "(token -> symbol count) map broadcast-joins back to the instances "
+    "before ONE hash-agg on doc_id. That's the scale design of every "
+    "real tokenizer pass: the vocab table is the unit of work, the "
+    "corpus only pays a map-side lookup. Train + encode together close "
+    "the tokenizer loop, and both engines value-match the full per-doc "
+    "encoding.",
 )
 def text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mrc_spark_jobs_pubmed_spark.operators.dedup import tokens_col
@@ -719,8 +741,9 @@ def text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     bests = _bpe_train(spark, sf_dir)
     docs = load_table(spark, "documents", sf_dir)
     dtoks = docs.select("doc_id", F.explode(tokens_col(F.col("text"))).alias("tok"))
+    vocab = dtoks.select("tok").distinct()
     for k, best in enumerate(bests):
-        dtoks = dtoks.crossJoin(
+        vocab = vocab.crossJoin(
             F.broadcast(
                 best.select(F.col("l").alias(f"_l{k}"), F.col("r").alias(f"_r{k}"))
             )
@@ -728,8 +751,9 @@ def text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     seq = F.rtrim(F.regexp_replace("tok", "(.)", "$1 "))
     for k in range(BPE_MERGES):
         seq = _bpe_merge_seq(seq, F.col(f"_l{k}"), F.col(f"_r{k}"))
+    encoded = vocab.select("tok", F.size(F.split(seq, " ")).alias("n_sym"))
     return (
-        dtoks.select("doc_id", F.size(F.split(seq, " ")).alias("n_sym"))
+        dtoks.join(F.broadcast(encoded), "tok")
         .groupBy("doc_id")
         .agg(
             F.count("*").alias("n_tokens"),
