@@ -702,3 +702,138 @@ def emb_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(l2_err, 6).alias("l2_err"),
         F.round(S.cosine(F.col("e"), F.col("d")), 6).alias("cos_orig_deq"),
     )
+
+
+# --- PCA (top principal component) via deterministic power iteration --------
+
+PCA_DIM = 64
+PCA_ITERS = 3
+
+
+def _pca_sql() -> str:
+    """Unrolled power iteration over the exact integer covariance.
+
+    Determinism: per-dimension means are rounded to 6dp (absorbing
+    engine summation-order ulps), centered cross products are rounded
+    to integer micro-units PER ROW and summed as BIGINT (exact,
+    order-independent), and every subsequent dot product is a
+    sequential list fold — the same float-op sequence on both engines.
+    """
+    d = PCA_DIM
+    ctes = [
+        "e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)",
+        f"ex AS (SELECT vec_id, t.i AS i, v[t.i] AS x FROM e CROSS JOIN range(1, {d + 1}) t(i))",
+        "means AS (SELECT i, round(avg(x), 6) AS m FROM ex GROUP BY i)",
+        "cx AS (SELECT vec_id, i, x - m AS xc FROM ex JOIN means USING (i))",
+        """cov AS (
+  SELECT a.i AS i, b.i AS j,
+         sum(CAST(round(a.xc * b.xc * 1000000) AS BIGINT)) AS c
+  FROM cx a JOIN cx b USING (vec_id)
+  GROUP BY a.i, b.i
+)""",
+        "rows_ AS (SELECT i, list(CAST(c AS DOUBLE) ORDER BY j) AS cr FROM cov GROUP BY i)",
+        f"v0 AS (SELECT list_transform(range(1, {d + 1}), k -> CASE WHEN k = 1 THEN 1.0 ELSE 0.0 END) AS v)",
+    ]
+    for it in range(PCA_ITERS):
+        ctes.append(
+            f"u{it} AS (SELECT i, list_dot_product(cr, v{it}.v) AS u"
+            f" FROM rows_ CROSS JOIN v{it})"
+        )
+        ctes.append(
+            f"n{it} AS (SELECT list(u ORDER BY i) AS ul FROM u{it})"
+        )
+        ctes.append(
+            f"v{it + 1} AS (SELECT list_transform(ul,"
+            f" x -> x / sqrt(list_dot_product(ul, ul))) AS v FROM n{it})"
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+SELECT t.i AS pos, round((v{PCA_ITERS}.v)[t.i], 6) AS pc1
+FROM v{PCA_ITERS} CROSS JOIN range(1, {d + 1}) t(i)
+"""
+    )
+
+
+@register(
+    "emb_pca_power",
+    oracle=_pca_sql(),
+    doc="Top principal component of the embedding corpus by power "
+    "iteration (3 unrolled rounds) — the PCA/whitening front-end of an "
+    "embedding pipeline, as pure DataFrame ops. Cross-engine "
+    "determinism is engineered at every step: per-dimension means "
+    "round to 6dp, centered cross products round to integer "
+    "micro-units PER ROW and sum as exact BIGINTs (the covariance is "
+    "bit-identical regardless of partitioning or engine), and the "
+    "iteration's matrix-vector products are sequential list folds with "
+    "a fixed operation order. Scale shape: the corpus is touched ONCE "
+    "to build the d x d integer covariance (map-side partial sums; "
+    "shuffle payload is 64^2 longs per partition, constant in row "
+    "count); the 64-row covariance then localCheckpoints and every "
+    "power-iteration round is a broadcast of the 1-row vector against "
+    "it — cluster cost is one pass over the data plus O(d^2) driver-"
+    "free iteration, the standard big-data PCA decomposition.",
+)
+def emb_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, "embeddings", sf_dir)
+    d = PCA_DIM
+    e = emb.select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+    ex = e.select(
+        "vec_id", F.posexplode("v").alias("i0", "x")
+    ).select("vec_id", (F.col("i0") + 1).alias("i"), "x")
+    means = ex.groupBy("i").agg(F.round(F.avg("x"), 6).alias("m"))
+    cx = ex.join(F.broadcast(means), "i").select(
+        "vec_id", "i", (F.col("x") - F.col("m")).alias("xc")
+    )
+    a, b = cx.alias("a"), cx.alias("b")
+    cov = (
+        a.join(b, "vec_id")
+        .groupBy(F.col("a.i").alias("i"), F.col("b.i").alias("j"))
+        .agg(
+            F.sum(
+                F.round(F.col("a.xc") * F.col("b.xc") * 1_000_000).cast("long")
+            ).alias("c")
+        )
+    )
+    # 64 rows; consumed once per power-iteration round.
+    rows = (
+        cov.groupBy("i")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("j", F.col("c").cast("double").alias("cd")))),
+                lambda s: s["cd"],
+            ).alias("cr")
+        )
+        .localCheckpoint()
+    )
+
+    def _dot(xs, ys):
+        return F.aggregate(
+            F.zip_with(xs, ys, lambda p, q: p * q), F.lit(0.0), lambda acc, z: acc + z
+        )
+
+    vdf = rows.sparkSession.range(1).select(
+        F.array(*[F.lit(1.0 if k == 0 else 0.0) for k in range(d)]).alias("v")
+    )
+    for _ in range(PCA_ITERS):
+        u = rows.crossJoin(F.broadcast(vdf)).select(
+            "i", _dot(F.col("cr"), F.col("v")).alias("u")
+        )
+        vdf = (
+            u.agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("i", "u"))), lambda s: s["u"]
+                ).alias("ul")
+            )
+            .select(
+                F.transform(
+                    F.col("ul"), lambda x: x / F.sqrt(_dot(F.col("ul"), F.col("ul")))
+                ).alias("v")
+            )
+        )
+    return vdf.select(F.posexplode("v").alias("p0", "val")).select(
+        (F.col("p0") + 1).alias("pos"), F.round("val", 6).alias("pc1")
+    )
