@@ -714,3 +714,98 @@ def corpus_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("action"),
     )
     return merged.select("doc_id", "action", F.md5("text").alias("text_md5"))
+
+
+# --- content-defined chunking (Rabin-style CDC) -----------------------------
+
+CDC_WINDOW = 16  # rolling-hash window (chars)
+CDC_TOP = 50
+
+
+@register(
+    "corpus_cdc_chunks",
+    oracle=f"""
+WITH d AS (
+  SELECT doc_id, text,
+         list_filter(range(1, greatest(length(text) - {CDC_WINDOW - 1}, 1) + 1),
+                     i -> i = 1 OR substr(md5(substr(text, i, {CDC_WINDOW})), 32, 1) = '0')
+           AS bpos
+  FROM documents
+),
+spans AS (
+  SELECT doc_id, text,
+         unnest(list_zip(bpos, list_append(bpos[2:], length(text) + 1))) AS z
+  FROM d
+),
+chunks AS (
+  SELECT doc_id,
+         md5(substr(text, z[1], z[2] - z[1])) AS chunk_md5,
+         z[2] - z[1] AS clen
+  FROM spans
+)
+SELECT chunk_md5,
+       count(DISTINCT doc_id) AS n_docs,
+       count(*) AS n_occ,
+       min(clen) AS clen
+FROM chunks
+GROUP BY chunk_md5
+HAVING count(DISTINCT doc_id) >= 2 AND min(clen) >= 8
+ORDER BY n_docs DESC, n_occ DESC, chunk_md5
+LIMIT {CDC_TOP}
+""",
+    doc="Content-defined chunking (Rabin-style CDC): chunk boundaries "
+    "where the hash of a 16-char sliding window ends in a chosen nibble "
+    "(p=1/16, mean chunk ~16 chars), then corpus-wide reuse of the "
+    "resulting chunks — the dedup primitive that, unlike fixed-size "
+    "chunking, survives insertions/shifts because boundaries move with "
+    "content. Plan shape: the boundary scan is a per-row higher-order "
+    "filter (codegen'd md5 inside the lambda — zero shuffle, the "
+    "document never leaves its partition), chunks explode to 16-byte "
+    "hashes BEFORE the only shuffle (the reuse hash-agg), and top-k is "
+    "TakeOrderedAndProject. At 100 TB this is exactly how backup/"
+    "object-store dedup and long-doc near-dedup pipelines shard: "
+    "shuffle bytes = chunk digests, never text.",
+)
+def corpus_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    text = F.col("text")
+    seq = F.sequence(
+        F.lit(1), F.greatest(F.length(text) - (CDC_WINDOW - 1), F.lit(1))
+    )
+    bpos = F.filter(
+        seq,
+        lambda i: (i == 1)
+        | (F.substring(F.md5(text.substr(i, F.lit(CDC_WINDOW))), 32, 1) == "0"),
+    )
+    d = docs.select("doc_id", "text", bpos.alias("bpos"))
+    ends = F.concat(
+        F.slice(F.col("bpos"), 2, F.greatest(F.size("bpos") - 1, F.lit(0))),
+        F.array(F.length(text) + 1),
+    )
+    spans = d.select(
+        "doc_id",
+        "text",
+        F.explode(
+            F.zip_with(
+                F.col("bpos"), ends, lambda s, e: F.struct(s.alias("s"), e.alias("e"))
+            )
+        ).alias("z"),
+    )
+    chunks = spans.select(
+        "doc_id",
+        F.md5(text.substr(F.col("z.s"), F.col("z.e") - F.col("z.s"))).alias(
+            "chunk_md5"
+        ),
+        (F.col("z.e") - F.col("z.s")).alias("clen"),
+    )
+    return (
+        chunks.groupBy("chunk_md5")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count("*").alias("n_occ"),
+            F.min("clen").alias("clen"),
+        )
+        .filter((F.col("n_docs") >= 2) & (F.col("clen") >= 8))
+        .orderBy(F.desc("n_docs"), F.desc("n_occ"), F.asc("chunk_md5"))
+        .limit(CDC_TOP)
+    )
