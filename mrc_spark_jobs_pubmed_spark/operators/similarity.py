@@ -208,10 +208,26 @@ def topk_pairs_blocked(
 # --- euclidean distance / k-means IVF / semantic dedup ---------------------
 
 
-def l2dist(a: Column, b: Column) -> Column:
+def l2dist(a: Column, b: Column, dim: int | None = None) -> Column:
     """Euclidean distance as a sequential left fold — same accumulation
     order as DuckDB's list_distance on DOUBLE[], so both engines produce
-    bit-identical doubles (the property every oracle here leans on)."""
+    bit-identical doubles (the property every oracle here leans on).
+
+    When `dim` is known, the fold unrolls into a flat left-associated
+    arithmetic chain: identical float-op sequence (0.0+t1 == t1
+    exactly), but whole-stage-codegen'd instead of the interpreted
+    ArrayAggregate path — ~an order of magnitude faster in the k-means
+    assignment hot loop, where the distance evaluates k times per row.
+    """
+    if dim is not None:
+        da, db = _dvec(a), _dvec(b)
+        expr = None
+        for i in range(1, dim + 1):
+            t = (F.element_at(da, i) - F.element_at(db, i)) * (
+                F.element_at(da, i) - F.element_at(db, i)
+            )
+            expr = t if expr is None else expr + t
+        return F.sqrt(expr)
     return F.sqrt(
         F.aggregate(
             F.zip_with(_dvec(a), _dvec(b), lambda x, y: (x - y) * (x - y)),
@@ -222,7 +238,12 @@ def l2dist(a: Column, b: Column) -> Column:
 
 
 def kmeans_centroids(
-    emb: DataFrame, k: int = 8, iters: int = 2, id_col: str = "vec_id", vec_col: str = "embedding"
+    emb: DataFrame,
+    k: int = 8,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int | None = None,
 ) -> DataFrame:
     """Trained Lloyd codebook as a DataFrame: (cid, c array<double>).
 
@@ -245,7 +266,7 @@ def kmeans_centroids(
     for _ in range(iters):
         assigned = (
             e.join(F.broadcast(cents))
-            .select("vec_id", "v", "cid", l2dist(F.col("v"), F.col("c")).alias("d"))
+            .select("vec_id", "v", "cid", l2dist(F.col("v"), F.col("c"), dim).alias("d"))
             .groupBy("vec_id")
             .agg(
                 F.min(F.struct("d", "cid")).alias("m"),
@@ -268,7 +289,11 @@ def kmeans_centroids(
 
 
 def assign_to_centroids(
-    emb: DataFrame, cents: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+    emb: DataFrame,
+    cents: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int | None = None,
 ) -> DataFrame:
     """Nearest-centroid assignment against a given codebook:
     (vec_id, cid, d). One broadcast join — the data side never shuffles;
@@ -277,7 +302,7 @@ def assign_to_centroids(
     e = emb.select(F.col(id_col).alias("vec_id"), _dvec(F.col(vec_col)).alias("v"))
     return (
         e.join(F.broadcast(cents))
-        .select("vec_id", "cid", l2dist(F.col("v"), F.col("c")).alias("d"))
+        .select("vec_id", "cid", l2dist(F.col("v"), F.col("c"), dim).alias("d"))
         .groupBy("vec_id")
         .agg(F.min(F.struct("d", "cid")).alias("m"))
         .select("vec_id", F.col("m.cid").alias("cid"), F.col("m.d").alias("d"))
@@ -285,7 +310,12 @@ def assign_to_centroids(
 
 
 def kmeans_assign(
-    emb: DataFrame, k: int = 8, iters: int = 2, id_col: str = "vec_id", vec_col: str = "embedding"
+    emb: DataFrame,
+    k: int = 8,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int | None = None,
 ) -> DataFrame:
     """Lloyd's k-means as pure DataFrame ops: (vec_id, cid, d).
 
@@ -293,8 +323,10 @@ def kmeans_assign(
     (`assign_to_centroids`); `cid` is the IVF partition/bucket key for
     ANN probing, with k ≈ sqrt(n) at scale.
     """
-    cents = kmeans_centroids(emb, k=k, iters=iters, id_col=id_col, vec_col=vec_col)
-    return assign_to_centroids(emb, cents, id_col=id_col, vec_col=vec_col)
+    cents = kmeans_centroids(
+        emb, k=k, iters=iters, id_col=id_col, vec_col=vec_col, dim=dim
+    )
+    return assign_to_centroids(emb, cents, id_col=id_col, vec_col=vec_col, dim=dim)
 
 
 def semdedup_removed(

@@ -105,7 +105,11 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     # cache-the-graph step of any Pregel-style loop; the checkpoint
     # also truncates the growing lineage so iteration N's plan doesn't
     # replay iterations 1..N-1.
-    edges = edges.localCheckpoint()
+    # Hash-partition on src BEFORE materializing: every iteration joins
+    # on src, so the pre-shuffled layout is reused by all three rounds
+    # (the rank/degree sides arrive hash-partitioned on the same key
+    # from their own aggs) instead of re-shuffling 2|E| rows per round.
+    edges = edges.repartition("src").localCheckpoint()
     deg = edges.groupBy("src").agg(F.count("*").alias("outdeg")).localCheckpoint()
     n = deg.agg(F.count("*").alias("n_nodes"))
     r = (

@@ -334,7 +334,7 @@ FROM fin GROUP BY m.cid
 )
 def sim_kmeans_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, "embeddings", sf_dir)
-    assigned = S.kmeans_assign(emb, k=KMEANS_K, iters=KMEANS_ITERS)
+    assigned = S.kmeans_assign(emb, k=KMEANS_K, iters=KMEANS_ITERS, dim=64)
     return assigned.groupBy(F.col("cid").alias("cluster_id")).agg(
         F.count("*").alias("n_vecs"),
         F.min("vec_id").alias("min_vec"),
@@ -430,7 +430,7 @@ def emb_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "embedding"
             ),
         )
-        a = S.kmeans_assign(sub, k=PQ_K, iters=PQ_ITERS).select(
+        a = S.kmeans_assign(sub, k=PQ_K, iters=PQ_ITERS, dim=PQ_SUBDIM).select(
             "vec_id",
             F.col("cid").alias(f"c{m}"),
             (F.col("d") * F.col("d")).alias(f"_d2_{m}"),
@@ -535,7 +535,7 @@ def sim_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         assigned = (
             subs.join(F.broadcast(cents), "m")
             .select(
-                "vec_id", "m", "sv", "cid", S.l2dist(F.col("sv"), F.col("c")).alias("d")
+                "vec_id", "m", "sv", "cid", S.l2dist(F.col("sv"), F.col("c"), PQ_SUBDIM).alias("d")
             )
             .groupBy("vec_id", "m")
             .agg(F.min(F.struct("d", "cid")).alias("mm"), F.first("sv").alias("sv"))
@@ -560,7 +560,7 @@ def sim_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     cents = cents.localCheckpoint()
     codes = (
         subs.join(F.broadcast(cents), "m")
-        .select("vec_id", "m", "cid", S.l2dist(F.col("sv"), F.col("c")).alias("d"))
+        .select("vec_id", "m", "cid", S.l2dist(F.col("sv"), F.col("c"), PQ_SUBDIM).alias("d"))
         .groupBy("vec_id", "m")
         .agg(F.min(F.struct("d", "cid")).alias("mm"))
         .select("vec_id", "m", F.col("mm.cid").alias("cid"))
@@ -570,7 +570,7 @@ def sim_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     dt = (
         cents.join(F.broadcast(q), "m")
-        .select("m", "cid", S.l2dist(F.col("_qv"), F.col("c")).alias("dm"))
+        .select("m", "cid", S.l2dist(F.col("_qv"), F.col("c"), PQ_SUBDIM).alias("dm"))
         .select("m", "cid", (F.col("dm") * F.col("dm")).alias("d2"))
     )
     # Per-subspace terms extracted as separate conditional sums (each
@@ -785,18 +785,60 @@ def emb_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", F.posexplode("v").alias("i0", "x")
     ).select("vec_id", (F.col("i0") + 1).alias("i"), "x")
     means = ex.groupBy("i").agg(F.round(F.avg("x"), 6).alias("m"))
-    cx = ex.join(F.broadcast(means), "i").select(
-        "vec_id", "i", (F.col("x") - F.col("m")).alias("xc")
+    marr = means.agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("i", "m"))), lambda s: s["m"]
+        ).alias("marr")
     )
-    a, b = cx.alias("a"), cx.alias("b")
-    cov = (
-        a.join(b, "vec_id")
-        .groupBy(F.col("a.i").alias("i"), F.col("b.i").alias("j"))
-        .agg(
-            F.sum(
-                F.round(F.col("a.xc") * F.col("b.xc") * 1_000_000).cast("long")
-            ).alias("c")
+
+    # Covariance as Arrow-batched integer partial sums: each partition
+    # computes its own d x d matrix of per-row-rounded micro-unit
+    # products with one BLAS-shaped numpy pass and emits d^2 rows — the
+    # exploded self-join form shuffles O(n * d^2) rows (82M at sf1,
+    # measured 44 s), this shuffles O(partitions * d^2). The integers
+    # are identical to the SQL form: rounding happens PER (row, i, j)
+    # with away-from-zero halves (matching Spark/DuckDB round), and
+    # int64 partial sums are order-independent by construction — the
+    # oracle keeps the plain SQL self-join and value-matches exactly.
+    import pandas as pd
+
+    d_dim = d
+
+    def cov_partials(batches):
+        import numpy as np
+
+        acc = None
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            if acc is None:
+                acc = np.zeros((d_dim, d_dim), dtype=np.int64)
+            m = np.asarray(pdf["marr"].iloc[0], dtype=np.float64)
+            X = np.stack(pdf["v"].to_numpy()).astype(np.float64) - m
+            for s in range(0, len(X), 512):
+                Xc = X[s : s + 512]
+                prods = Xc[:, :, None] * Xc[:, None, :] * 1_000_000.0
+                rounded = np.where(
+                    prods >= 0,
+                    np.floor(prods + 0.5),
+                    np.ceil(prods - 0.5),
+                ).astype(np.int64)
+                acc += rounded.sum(axis=0)
+        if acc is None:
+            return
+        ii, jj = np.meshgrid(
+            np.arange(1, d_dim + 1), np.arange(1, d_dim + 1), indexing="ij"
         )
+        yield pd.DataFrame(
+            {"i": ii.ravel(), "j": jj.ravel(), "c": acc.ravel()}
+        )
+
+    cov = (
+        e.select("v")
+        .crossJoin(F.broadcast(marr))
+        .mapInPandas(cov_partials, "i int, j int, c long")
+        .groupBy("i", "j")
+        .agg(F.sum("c").alias("c"))
     )
     # 64 rows; consumed once per power-iteration round.
     rows = (
