@@ -8,7 +8,12 @@ plan shapes not yet covered by relational_queries.py: EXISTS semi-join
 aggregation (Q4), two-sided dimension cross-filter (Q7), returned-item top-k
 (Q10), conditional classification agg over a fact-fact join (Q12), outer-join
 distribution (Q13), promo share (Q14), correlated-avg rewrite (Q17),
-disjunctive pushdown (Q19), scalar-subquery + anti-join (Q22).
+disjunctive pushdown (Q19), scalar-subquery + anti-join (Q22), min-cost
+correlated subquery (Q2), fraction-of-total threshold (Q11), quantity-
+threshold HAVING (Q20), and EXISTS/NOT-EXISTS sole-blame (Q21) — with
+relational_queries.py's Q1/Q3/Q5/Q6/Q8/Q9/Q15/Q16/Q18, all 22 TPC-H
+query shapes are represented (partsupp-dependent ones derive the
+supplier↔part relation from lineitem; each query notes its adaptation).
 
 Scale notes: every dimension join broadcasts; fact-fact joins (orders ×
 lineitem) shuffle on the join key where both sides are large — AQE picks
@@ -581,4 +586,267 @@ def rel_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("total_revenue") == F.col("max_revenue"))
         .join(F.broadcast(supp), F.col("supplier_no") == F.col("s_suppkey"))
         .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+@register(
+    "rel_q2_min_cost_supplier",
+    oracle="""
+WITH sp AS (
+  SELECT l_suppkey, l_partkey, min(l_extendedprice / l_quantity) AS unit_cost
+  FROM lineitem GROUP BY l_suppkey, l_partkey
+),
+eu AS (
+  SELECT s_suppkey, s_name, s_acctbal, n_name
+  FROM supplier JOIN nation ON s_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  WHERE r_name = 'EUROPE'
+),
+cand AS (
+  SELECT eu.s_suppkey, eu.s_name, eu.s_acctbal, eu.n_name,
+         sp.l_partkey, sp.unit_cost
+  FROM sp JOIN eu ON sp.l_suppkey = eu.s_suppkey
+  JOIN part ON sp.l_partkey = p_partkey
+  WHERE p_type = 'STANDARD' AND p_size <= 10
+),
+mc AS (SELECT l_partkey, min(unit_cost) AS min_cost FROM cand GROUP BY l_partkey)
+SELECT s_acctbal, s_name, n_name, cand.l_partkey AS p_partkey,
+       round(unit_cost, 6) AS unit_cost
+FROM cand JOIN mc ON cand.l_partkey = mc.l_partkey
+                 AND cand.unit_cost = mc.min_cost
+ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+LIMIT 20
+""",
+    doc="TPC-H Q2 shape (min-cost supplier; adapted: no partsupp, so "
+    "supply cost := a supplier's minimum observed unit price "
+    "l_extendedprice/l_quantity for the part, derived from lineitem). "
+    "The correlated MIN subquery is rewritten aggregate-then-join — "
+    "per-part minima compute once and equi-join back, never per-row. "
+    "Scale shape: one shuffle on (suppkey, partkey) for the unit-cost "
+    "agg; region-filtered suppliers and the filtered part dim "
+    "broadcast; the min-cost equality join keys on partkey. Unit cost "
+    "is a single division (bit-identical both engines), so the MIN and "
+    "the equality match deterministically.",
+)
+def rel_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, "lineitem", sf_dir)
+    supp = load_table(spark, "supplier", sf_dir)
+    nation = load_table(spark, "nation", sf_dir)
+    region = load_table(spark, "region", sf_dir)
+    part = load_table(spark, "part", sf_dir)
+    sp = li.groupBy("l_suppkey", "l_partkey").agg(
+        F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_cost")
+    )
+    eu = (
+        supp.join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), F.col("n_regionkey") == region.r_regionkey)
+        .filter(F.col("r_name") == "EUROPE")
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    pf = part.filter((F.col("p_type") == "STANDARD") & (F.col("p_size") <= 10))
+    cand = (
+        sp.join(F.broadcast(eu), sp.l_suppkey == eu.s_suppkey)
+        .join(F.broadcast(pf), sp.l_partkey == pf.p_partkey)
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name", "l_partkey", "unit_cost")
+    )
+    mc = cand.groupBy(F.col("l_partkey").alias("_pk")).agg(
+        F.min("unit_cost").alias("min_cost")
+    )
+    return (
+        cand.join(
+            mc,
+            (cand.l_partkey == mc._pk) & (cand.unit_cost == mc.min_cost),
+        )
+        .select(
+            "s_acctbal",
+            "s_name",
+            "n_name",
+            F.col("l_partkey").alias("p_partkey"),
+            F.round("unit_cost", 6).alias("unit_cost"),
+        )
+        .orderBy(
+            F.desc("s_acctbal"), F.asc("n_name"), F.asc("s_name"), F.asc("p_partkey")
+        )
+        .limit(20)
+    )
+
+
+@register(
+    "rel_q11_important_parts",
+    oracle="""
+WITH pv AS (
+  SELECT l_partkey,
+         sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS value_cents
+  FROM lineitem
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation ON s_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  WHERE r_name = 'ASIA'
+  GROUP BY l_partkey
+),
+tot AS (SELECT sum(value_cents) AS total_cents FROM pv)
+SELECT l_partkey AS p_partkey, value_cents
+FROM pv CROSS JOIN tot
+WHERE value_cents > total_cents / 1000
+ORDER BY value_cents DESC, p_partkey
+""",
+    doc="TPC-H Q11 shape (important stock; adapted: no partsupp, so a "
+    "part's value held by a region's suppliers := the integer-cents sum "
+    "of their lineitem revenue for it). The fraction threshold is the "
+    "classic scalar-subquery-over-the-same-aggregate: computed once, "
+    "broadcast as one row, never re-aggregated per part. Exact BIGINT "
+    "sums make both the per-part values and the global threshold "
+    "summation-order-independent across engines. One shuffle on "
+    "l_partkey; all dimension joins broadcast.",
+)
+def rel_q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, "lineitem", sf_dir)
+    supp = load_table(spark, "supplier", sf_dir)
+    nation = load_table(spark, "nation", sf_dir)
+    region = load_table(spark, "region", sf_dir)
+    dim = (
+        supp.join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), F.col("n_regionkey") == region.r_regionkey)
+        .filter(F.col("r_name") == "ASIA")
+        .select("s_suppkey")
+    )
+    pv = (
+        li.join(F.broadcast(dim), li.l_suppkey == dim.s_suppkey)
+        .groupBy("l_partkey")
+        .agg(
+            F.sum(F.round(F.col("l_extendedprice") * 100).cast("long")).alias(
+                "value_cents"
+            )
+        )
+    )
+    tot = pv.agg(F.sum("value_cents").alias("total_cents"))
+    return (
+        pv.crossJoin(F.broadcast(tot))
+        .filter(F.col("value_cents") > F.col("total_cents") / 1000)
+        .select(F.col("l_partkey").alias("p_partkey"), "value_cents")
+        .orderBy(F.desc("value_cents"), F.asc("p_partkey"))
+    )
+
+
+@register(
+    "rel_q20_excess_supply",
+    oracle="""
+SELECT s_name, n_name, CAST(sum(l_quantity) AS BIGINT) AS total_qty
+FROM lineitem
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN part ON l_partkey = p_partkey
+WHERE p_type = 'PROMO'
+  AND l_shipdate >= TIMESTAMP '1997-01-01'
+  AND l_shipdate < TIMESTAMP '1998-01-01'
+GROUP BY s_name, n_name
+HAVING sum(l_quantity) > 100
+ORDER BY total_qty DESC, s_name
+""",
+    doc="TPC-H Q20 shape (suppliers with excess supply; adapted: no "
+    "partsupp availqty, so 'excess' := a supplier shipping more than a "
+    "quantity threshold of PROMO parts in the year). The date range "
+    "pushes to the lineitem scan; part and the supplier→nation dim "
+    "broadcast; quantities are small integers stored as doubles, so "
+    "their sums are exact in IEEE and order-independent. One shuffle "
+    "on the (supplier, nation) grouping key.",
+)
+def rel_q20_excess_supply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, "lineitem", sf_dir)
+    supp = load_table(spark, "supplier", sf_dir)
+    nation = load_table(spark, "nation", sf_dir)
+    part = load_table(spark, "part", sf_dir)
+    pf = part.filter(F.col("p_type") == "PROMO").select("p_partkey")
+    dim = (
+        supp.join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .select("s_suppkey", "s_name", "n_name")
+    )
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+        )
+        .join(F.broadcast(pf), li.l_partkey == pf.p_partkey)
+        .join(F.broadcast(dim), F.col("l_suppkey") == dim.s_suppkey)
+        .groupBy("s_name", "n_name")
+        .agg(F.sum("l_quantity").cast("long").alias("total_qty"))
+        .filter(F.col("total_qty") > 100)
+        .orderBy(F.desc("total_qty"), F.asc("s_name"))
+    )
+
+
+@register(
+    "rel_q21_waiting_suppliers",
+    oracle="""
+WITH late AS (
+  SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem WHERE l_returnflag = 'R'
+),
+alllines AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem)
+SELECT s_name, count(*) AS numwait
+FROM late l1
+JOIN orders ON l1.l_orderkey = o_orderkey AND o_orderstatus = 'F'
+JOIN supplier ON l1.l_suppkey = s_suppkey
+WHERE EXISTS (
+  SELECT 1 FROM alllines l2
+  WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey
+)
+AND NOT EXISTS (
+  SELECT 1 FROM late l3
+  WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+)
+GROUP BY s_name
+ORDER BY numwait DESC, s_name
+LIMIT 20
+""",
+    doc="TPC-H Q21 shape (suppliers who kept orders waiting; adapted: "
+    "no l_commitdate/l_receiptdate, so 'late' := a returned line, "
+    "l_returnflag = 'R'). The classic EXISTS + NOT-EXISTS pair with "
+    "inequality correlation: the sole-blame supplier on multi-supplier "
+    "finished orders. Both subqueries compile to semi/anti joins on "
+    "the order key over DISTINCT (order, supplier) projections — the "
+    "fact table reduces to its key pairs before any shuffle, and the "
+    "inequality rides as a join residual, never a cartesian. One "
+    "shuffle family on l_orderkey shared by all three legs.",
+)
+def rel_q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, "lineitem", sf_dir)
+    orders = load_table(spark, "orders", sf_dir)
+    supp = load_table(spark, "supplier", sf_dir)
+    late = (
+        li.filter(F.col("l_returnflag") == "R")
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+    )
+    alllines = li.select("l_orderkey", "l_suppkey").distinct()
+    l1 = late.alias("l1")
+    l2 = alllines.select(
+        F.col("l_orderkey").alias("_ok2"), F.col("l_suppkey").alias("_sk2")
+    )
+    l3 = late.select(
+        F.col("l_orderkey").alias("_ok3"), F.col("l_suppkey").alias("_sk3")
+    )
+    base = (
+        l1.join(
+            orders.filter(F.col("o_orderstatus") == "F").select("o_orderkey"),
+            F.col("l1.l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(
+            l2,
+            (F.col("l1.l_orderkey") == F.col("_ok2"))
+            & (F.col("l1.l_suppkey") != F.col("_sk2")),
+            "left_semi",
+        )
+        .join(
+            l3,
+            (F.col("l1.l_orderkey") == F.col("_ok3"))
+            & (F.col("l1.l_suppkey") != F.col("_sk3")),
+            "left_anti",
+        )
+    )
+    return (
+        base.join(F.broadcast(supp), F.col("l1.l_suppkey") == supp.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+        .orderBy(F.desc("numwait"), F.asc("s_name"))
+        .limit(20)
     )
