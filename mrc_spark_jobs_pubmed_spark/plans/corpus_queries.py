@@ -722,6 +722,45 @@ CDC_WINDOW = 16  # rolling-hash window (chars)
 CDC_TOP = 50
 
 
+def cdc_chunk_rows(docs: DataFrame) -> DataFrame:
+    """Per-chunk rows (doc_id, s, chunk_text, chunk_md5, clen) for the
+    CDC boundary scheme — shared by the registered query and the
+    reassembly invariant test."""
+    text = F.col("text")
+    seq = F.sequence(
+        F.lit(1), F.greatest(F.length(text) - (CDC_WINDOW - 1), F.lit(1))
+    )
+    bpos = F.filter(
+        seq,
+        lambda i: (i == 1)
+        | (F.substring(F.md5(text.substr(i, F.lit(CDC_WINDOW))), 32, 1) == "0"),
+    )
+    d = docs.select("doc_id", "text", bpos.alias("bpos"))
+    ends = F.concat(
+        F.slice(F.col("bpos"), 2, F.greatest(F.size("bpos") - 1, F.lit(0))),
+        F.array(F.length(text) + 1),
+    )
+    spans = d.select(
+        "doc_id",
+        "text",
+        F.explode(
+            F.zip_with(
+                F.col("bpos"), ends, lambda s, e: F.struct(s.alias("s"), e.alias("e"))
+            )
+        ).alias("z"),
+    )
+    return spans.select(
+        "doc_id",
+        F.col("z.s").alias("s"),
+        text.substr(F.col("z.s"), F.col("z.e") - F.col("z.s")).alias("chunk_text"),
+        F.md5(text.substr(F.col("z.s"), F.col("z.e") - F.col("z.s"))).alias(
+            "chunk_md5"
+        ),
+        (F.col("z.e") - F.col("z.s")).alias("clen"),
+    )
+
+
+
 @register(
     "corpus_cdc_chunks",
     oracle=f"""
@@ -767,37 +806,7 @@ LIMIT {CDC_TOP}
     "shuffle bytes = chunk digests, never text.",
 )
 def corpus_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, "documents", sf_dir)
-    text = F.col("text")
-    seq = F.sequence(
-        F.lit(1), F.greatest(F.length(text) - (CDC_WINDOW - 1), F.lit(1))
-    )
-    bpos = F.filter(
-        seq,
-        lambda i: (i == 1)
-        | (F.substring(F.md5(text.substr(i, F.lit(CDC_WINDOW))), 32, 1) == "0"),
-    )
-    d = docs.select("doc_id", "text", bpos.alias("bpos"))
-    ends = F.concat(
-        F.slice(F.col("bpos"), 2, F.greatest(F.size("bpos") - 1, F.lit(0))),
-        F.array(F.length(text) + 1),
-    )
-    spans = d.select(
-        "doc_id",
-        "text",
-        F.explode(
-            F.zip_with(
-                F.col("bpos"), ends, lambda s, e: F.struct(s.alias("s"), e.alias("e"))
-            )
-        ).alias("z"),
-    )
-    chunks = spans.select(
-        "doc_id",
-        F.md5(text.substr(F.col("z.s"), F.col("z.e") - F.col("z.s"))).alias(
-            "chunk_md5"
-        ),
-        (F.col("z.e") - F.col("z.s")).alias("clen"),
-    )
+    chunks = cdc_chunk_rows(load_table(spark, "documents", sf_dir))
     return (
         chunks.groupBy("chunk_md5")
         .agg(
