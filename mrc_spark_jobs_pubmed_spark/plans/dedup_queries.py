@@ -253,3 +253,66 @@ def dedup_simhash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
+
+
+@register(
+    "dedup_containment_pairs",
+    oracle=f"""
+WITH {D.SHINGLE_ROWS_SQL.strip()},
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM shingle_rows GROUP BY doc_id),
+common AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+  FROM shingle_rows a JOIN shingle_rows b
+    ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT doc_a, doc_b,
+       n_common / least(sa.n_sh, sb.n_sh) AS containment,
+       CAST(least(sa.n_sh, sb.n_sh) AS BIGINT) AS n_smaller
+FROM common
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+ORDER BY containment DESC, doc_a, doc_b
+LIMIT 100
+""",
+    doc="Shingle-set CONTAINMENT (|A∩B| / min|A|,|B|): the one-sided "
+    "near-dup metric that catches quotes, excerpts, and doc-inside-doc "
+    "duplication which symmetric Jaccard dilutes (a 100-word quote "
+    "inside a 10k-word page has tiny Jaccard but containment ≈ 1). "
+    "Identical scale shape to the Jaccard verifier: the shingle "
+    "equi-join on xxhash64 keys IS candidate generation (zero-overlap "
+    "pairs never materialize), set sizes ride as a window count, and "
+    "the metric is one integer division — deterministic on both "
+    "engines with no rounding.",
+)
+def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, "documents", sf_dir)
+    sized = D.shingle_rows(docs).select(
+        "doc_id", F.xxhash64("shingle").alias("sh64")
+    ).withColumn("n_sh", F.count("*").over(Window.partitionBy("doc_id")))
+    a = sized.alias("a").hint("shuffle_hash")
+    b = sized.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.sh64") == F.col("b.sh64"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.n_sh").alias("n_a"),
+            F.col("b.n_sh").alias("n_b"),
+        )
+        .agg(F.count("*").alias("n_common"))
+        .select(
+            "doc_a",
+            "doc_b",
+            (F.col("n_common") / F.least("n_a", "n_b")).alias("containment"),
+            F.least("n_a", "n_b").cast("long").alias("n_smaller"),
+        )
+        .orderBy(F.desc("containment"), F.asc("doc_a"), F.asc("doc_b"))
+        .limit(100)
+    )

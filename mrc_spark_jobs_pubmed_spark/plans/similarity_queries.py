@@ -487,30 +487,17 @@ LIMIT {ADC_TOP_K}
     )
 
 
-@register(
-    "sim_pq_adc_topk",
-    oracle=_pq_adc_sql(),
-    doc="IVF-PQ asymmetric-distance (ADC) top-k: the query stays "
-    "full-precision while the corpus is searched through its 4-byte PQ "
-    "codes. Per subspace, the query→centroid distances form a tiny M×K "
-    "lookup table (32 doubles) built from the deterministic codebooks "
-    "of emb_pq_codes; the approximate distance per vector is the sqrt "
-    "of summed table entries at its codes. Scale shape: the distance "
-    "tables broadcast (KBs), each lookup is a broadcast equi-join on "
-    "the 1-byte code — the corpus never shuffles and never touches its "
-    "float vectors at query time, which is the entire point of PQ at "
-    "100 TB (search RAM = codes, not vectors); final top-k is "
-    "TakeOrderedAndProject. Completes the PQ story: emb_pq_codes "
-    "compresses, this searches the compressed form.",
-)
-def sim_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # All 4 subspaces train/assign in ONE plan over the exploded
-    # (vec_id, m, subvector) table — the m column keeps the Lloyd
-    # updates independent per subspace while every stage scans the
-    # corpus once, instead of 4 separate plan trees (measured 2.8 s →
-    # one multi-stage pass at sf0.1; at scale: one corpus scan per
-    # iteration, not M).
-    emb = load_table(spark, "embeddings", sf_dir)
+def _adc_scores(emb: DataFrame):
+    """Fused PQ training + ADC scoring: returns (per_vec, adc_expr).
+
+    All 4 subspaces train/assign in ONE plan over the exploded
+    (vec_id, m, subvector) table — the m column keeps the Lloyd
+    updates independent per subspace while every stage scans the
+    corpus once, instead of 4 separate plan trees (measured 2.8 s →
+    one multi-stage pass at sf0.1; at scale: one corpus scan per
+    iteration, not M). Shared by the flat ADC top-k and the IVF-PQ
+    composite search.
+    """
     subs = emb.select(
         "vec_id",
         F.explode(
@@ -591,6 +578,27 @@ def sim_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     for m in range(PQ_M):
         term = F.col(f"_s{m}")
         adc = term if adc is None else adc + term
+    return per_vec, adc
+
+
+@register(
+    "sim_pq_adc_topk",
+    oracle=_pq_adc_sql(),
+    doc="IVF-PQ asymmetric-distance (ADC) top-k: the query stays "
+    "full-precision while the corpus is searched through its 4-byte PQ "
+    "codes. Per subspace, the query→centroid distances form a tiny M×K "
+    "lookup table (32 doubles) built from the deterministic codebooks "
+    "of emb_pq_codes; the approximate distance per vector is the sqrt "
+    "of summed table entries at its codes. Scale shape: the distance "
+    "tables broadcast (KBs), each lookup is a broadcast equi-join on "
+    "the 1-byte code — the corpus never shuffles and never touches its "
+    "float vectors at query time, which is the entire point of PQ at "
+    "100 TB (search RAM = codes, not vectors); final top-k is "
+    "TakeOrderedAndProject. Completes the PQ story: emb_pq_codes "
+    "compresses, this searches the compressed form.",
+)
+def sim_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    per_vec, adc = _adc_scores(load_table(spark, "embeddings", sf_dir))
     return (
         per_vec.filter(F.col("vec_id") != QUERY_VEC_ID)
         .select("vec_id", F.round(F.sqrt(adc), 6).alias("adc_dist"))
@@ -878,4 +886,117 @@ def emb_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     return vdf.select(F.posexplode("v").alias("p0", "val")).select(
         (F.col("p0") + 1).alias("pos"), F.round("val", 6).alias("pc1")
+    )
+
+
+# --- IVF-PQ composite search (coarse probe + ADC on the cluster) -----------
+
+IVFPQ_TOP_K = 10
+
+
+def _coarse_ctes() -> list[str]:
+    """Namespaced full-dimension Lloyd CTEs (suffix _g): same recipe as
+    `_kmeans_sql`, ending in fin_g(vec_id, m{d, cid})."""
+    dim = 64
+    ctes = [
+        "e_g AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)",
+        f"c0_g AS (SELECT CAST(vec_id AS INT) AS cid, v AS c FROM e_g"
+        f" WHERE vec_id < {KMEANS_K})",
+    ]
+    for it in range(KMEANS_ITERS):
+        ctes.append(
+            f"a{it}_g AS (SELECT e_g.vec_id, "
+            f"min({{'d': list_distance(e_g.v, c{it}_g.c), 'cid': c{it}_g.cid}}).cid AS cid "
+            f"FROM e_g CROSS JOIN c{it}_g GROUP BY e_g.vec_id)"
+        )
+        ctes.append(
+            f"c{it + 1}_g AS (SELECT cid, list(m ORDER BY i) AS c FROM ("
+            f"SELECT a{it}_g.cid AS cid, t.i AS i, avg(e_g.v[t.i]) AS m "
+            f"FROM a{it}_g JOIN e_g USING (vec_id) CROSS JOIN range(1, {dim + 1}) t(i) "
+            f"GROUP BY a{it}_g.cid, t.i) GROUP BY cid)"
+        )
+    last = f"c{KMEANS_ITERS}_g"
+    ctes.append(
+        f"fin_g AS (SELECT e_g.vec_id, "
+        f"min({{'d': list_distance(e_g.v, {last}.c), 'cid': {last}.cid}}) AS m "
+        f"FROM e_g CROSS JOIN {last} GROUP BY e_g.vec_id)"
+    )
+    return ctes
+
+
+def _ivf_pq_sql() -> str:
+    all_ctes = _coarse_ctes()
+    fins: list[str] = []
+    for m in range(PQ_M):
+        ctes, fin = _pq_subspace_ctes(m)
+        all_ctes += ctes
+        fins.append(fin)
+        lo, hi = m * PQ_SUBDIM + 1, (m + 1) * PQ_SUBDIM
+        all_ctes.append(
+            f"q_m{m} AS (SELECT (CAST(embedding AS DOUBLE[]))[{lo}:{hi}] AS qv"
+            f" FROM embeddings WHERE vec_id = {QUERY_VEC_ID})"
+        )
+        all_ctes.append(
+            f"dt_m{m} AS (SELECT cid, list_distance(qv, c) AS dm"
+            f" FROM c{PQ_ITERS}_m{m} CROSS JOIN q_m{m})"
+        )
+    all_ctes.append(
+        f"qc AS (SELECT m.cid AS qcid FROM fin_g WHERE vec_id = {QUERY_VEC_ID})"
+    )
+    all_ctes.append(
+        f"cand AS (SELECT fin_g.vec_id FROM fin_g CROSS JOIN qc"
+        f" WHERE fin_g.m.cid = qc.qcid AND fin_g.vec_id <> {QUERY_VEC_ID})"
+    )
+    joins = " ".join(f"JOIN {f} USING (vec_id)" for f in fins[1:])
+    dt_joins = " ".join(
+        f"JOIN dt_m{m} d{m} ON d{m}.cid = {f}.m.cid" for m, f in enumerate(fins)
+    )
+    adc = " + ".join(f"d{m}.dm * d{m}.dm" for m in range(PQ_M))
+    return (
+        "WITH "
+        + ",\n".join(all_ctes)
+        + f"""
+SELECT {fins[0]}.vec_id AS vec_id, round(sqrt({adc}), 6) AS adc_dist
+FROM {fins[0]} {joins} {dt_joins} JOIN cand ON cand.vec_id = {fins[0]}.vec_id
+ORDER BY adc_dist, vec_id
+LIMIT {IVFPQ_TOP_K}
+"""
+    )
+
+
+@register(
+    "sim_ivf_pq_search",
+    oracle=_ivf_pq_sql(),
+    doc="Complete IVF-PQ index search: the coarse k-means quantizer "
+    "(sim_kmeans_ivf's recipe, full 64-d) routes the query to its "
+    "nearest cluster, and PQ-ADC (sim_pq_adc_topk's machinery) ranks "
+    "ONLY that cluster's members through their 4-byte codes — the "
+    "two-level ANN structure every production vector index (FAISS "
+    "IVFPQ) uses. Scale shape: the coarse assignment is the partition "
+    "key, so the probe touches ~1/k of the corpus; within it, "
+    "candidates are ranked from codes + a broadcast 32-double lookup "
+    "table, never from float vectors; both quantizers train in single "
+    "corpus passes with broadcast codebooks. Deterministic end to end "
+    "(lowest-id init, struct-min tie-breaks, fixed-order float adds) — "
+    "the full two-level index value-matches the SQL replay exactly.",
+)
+def sim_ivf_pq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, "embeddings", sf_dir)
+    coarse = S.kmeans_assign(emb, k=KMEANS_K, iters=KMEANS_ITERS, dim=64).select(
+        "vec_id", "cid"
+    )
+    qc = coarse.filter(F.col("vec_id") == QUERY_VEC_ID).select(
+        F.col("cid").alias("_qcid")
+    )
+    cand = (
+        coarse.join(F.broadcast(qc), coarse.cid == F.col("_qcid"))
+        .filter(F.col("vec_id") != QUERY_VEC_ID)
+        .select("vec_id")
+    )
+    per_vec, adc = _adc_scores(emb)
+    return (
+        per_vec.join(cand, "vec_id")
+        .select("vec_id", F.round(F.sqrt(adc), 6).alias("adc_dist"))
+        .orderBy(F.asc("adc_dist"), F.asc("vec_id"))
+        .limit(IVFPQ_TOP_K)
     )
