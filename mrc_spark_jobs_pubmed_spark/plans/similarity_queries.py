@@ -982,8 +982,14 @@ LIMIT {IVFPQ_TOP_K}
 )
 def sim_ivf_pq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, "embeddings", sf_dir)
-    coarse = S.kmeans_assign(emb, k=KMEANS_K, iters=KMEANS_ITERS, dim=64).select(
-        "vec_id", "cid"
+    # The coarse assignment is the index's partition map; materialize it
+    # once (it feeds both the query-routing row and the candidate set —
+    # lazily each would re-run Lloyd training). At scale this IS the
+    # "build the IVF index" step: computed once, reused per query.
+    coarse = (
+        S.kmeans_assign(emb, k=KMEANS_K, iters=KMEANS_ITERS, dim=64)
+        .select("vec_id", "cid")
+        .localCheckpoint()
     )
     qc = coarse.filter(F.col("vec_id") == QUERY_VEC_ID).select(
         F.col("cid").alias("_qcid")

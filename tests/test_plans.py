@@ -331,3 +331,43 @@ def test_pagerank_iterations_are_equi_joins(spark):
 def test_funnel_stages_share_user_key(spark):
     plan = _physical(spark, "rel_funnel_steps")
     assert "CartesianProduct" not in plan
+
+
+def test_ivf_pq_search_plan_shape(spark):
+    plan = _physical(spark, "sim_ivf_pq_search")
+    assert "CartesianProduct" not in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_containment_join_is_hashed_equi_join(spark):
+    """Candidate generation must join on the 8-byte shingle hash —
+    never a cartesian, never the raw shingle string."""
+    plan = _physical(spark, "dedup_containment_pairs")
+    assert "CartesianProduct" not in plan
+    assert "xxhash64" in plan
+
+
+def test_cdc_boundary_scan_is_narrow(spark):
+    """Only the reuse agg may shuffle; the boundary scan and chunk
+    explode stay on the document's partition."""
+    plan = _physical(spark, "corpus_cdc_chunks")
+    assert plan.count("Exchange") <= 4
+    assert "Python" not in plan
+
+
+def test_bpe_encode_joins_vocab_broadcast(spark):
+    plan = _physical(spark, "text_bpe_encode")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_pca_iterations_are_broadcast_only(spark):
+    """The d x d covariance materializes once (localCheckpoint → the
+    iteration plan reads an ExistingRDD, proving the Arrow-batched
+    build ran exactly once at build time); every power-iteration round
+    is a 1-row vector broadcast — no cartesian, no shuffle of the
+    covariance."""
+    plan = _physical(spark, "emb_pca_power")
+    assert "Scan ExistingRDD" in plan
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
