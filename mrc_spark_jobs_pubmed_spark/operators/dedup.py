@@ -608,3 +608,136 @@ def drop_common_lines(
             .alias("n_lines_dropped"),
         )
     )
+
+
+# --- exact duplicate-span coverage -----------------------------------------
+
+SPAN_W = 8  # words per span — long enough that a shared span implies copying
+
+
+def span_gram_rows(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(doc_id, pos, g): the md5 of the W-word gram starting at each token
+    position (1-based). The positional analogue of `shingle_rows` — same
+    single overlapping-regex pass, but positions are kept (posexplode)
+    because span *coverage* needs to union overlapping hits back into
+    token intervals. Narrow until the explode; no shuffle."""
+    tok = "\\\\S+"
+    look = " ".join([tok] * SPAN_W)
+    arr = F.expr(
+        f"regexp_extract_all(concat(regexp_replace(trim({text_col}), "
+        f"'\\\\s+', ' '), ' '), '(?=({look})){tok} ', 1)"
+    )
+    return df.select(
+        F.col(id_col), F.posexplode(arr).alias("pos0", "gram")
+    ).select(
+        id_col, (F.col("pos0") + 1).alias("pos"), F.md5("gram").alias("g")
+    )
+
+
+def span_coverage(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Exact duplicate-SPAN coverage per document — the scalable stand-in
+    for suffix-array substring dedup (Lee et al., "Deduplicating Training
+    Data Makes Language Models Better"): any W-word span that also occurs
+    in another document marks its W token positions as duplicated, and
+    overlapping marks union exactly.
+
+    Per doc: n_tokens, dup_spans (cross-doc-duplicated start positions),
+    dup_tokens (exact union of the W-wide intervals), dup_frac.
+
+    Scale shape (100 TB): gram rows shuffle ONCE on the gram hash — the
+    cross-doc test is min(doc_id) != max(doc_id) over that partition (a
+    window, not a count-distinct join, so no second exchange and no
+    re-scan); surviving positions shuffle once on doc_id where a lag
+    window turns overlapping spans into exact covered-token counts
+    (sum of least(W, pos - prev_pos)). Both keys are near-uniform (md5 /
+    doc ids), and per-partition state is O(group size). Nothing is
+    quadratic and the corpus is scanned once.
+    """
+    from pyspark.sql import Window
+
+    grams = span_gram_rows(df, text_col, id_col)
+    wg = Window.partitionBy("g")
+    dpos = (
+        grams.withColumn("mn", F.min(id_col).over(wg))
+        .withColumn("mx", F.max(id_col).over(wg))
+        .where(F.col("mn") != F.col("mx"))
+        .select(id_col, "pos")
+    )
+    wd = Window.partitionBy(id_col).orderBy("pos")
+    cov = (
+        dpos.withColumn(
+            "covered",
+            F.least(
+                F.lit(SPAN_W),
+                F.col("pos")
+                - F.coalesce(F.lag("pos").over(wd), F.col("pos") - SPAN_W),
+            ),
+        )
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("dup_spans"),
+            F.sum("covered").cast("long").alias("dup_tokens"),
+        )
+    )
+    totals = df.select(
+        F.col(id_col), F.size(tokens_col(F.col(text_col))).alias("n_tokens")
+    )
+    return totals.join(cov, id_col, "left").select(
+        id_col,
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.coalesce("dup_spans", F.lit(0)).cast("long").alias("dup_spans"),
+        F.coalesce("dup_tokens", F.lit(0)).cast("long").alias("dup_tokens"),
+        F.when(F.col("n_tokens") == 0, F.lit(0.0))
+        .otherwise(
+            F.round(
+                F.coalesce("dup_tokens", F.lit(0)).cast("double")
+                / F.col("n_tokens"),
+                6,
+            )
+        )
+        .alias("dup_frac"),
+    )
+
+
+def span_coverage_sql() -> str:
+    """DuckDB mirror of span_coverage: identical gram strings (space-joined
+    token slices ≡ the overlapping-regex capture), identical md5 keys,
+    identical window arithmetic."""
+    w = SPAN_W
+    slice_expr = f"array_to_string(toks[i:i + {w - 1}], ' ')"
+    return f"""
+WITH toksed AS (SELECT doc_id, {tokens_sql('text')} AS toks FROM documents),
+grams AS (
+  SELECT doc_id, t.i AS pos, md5({slice_expr}) AS g
+  FROM toksed, unnest(generate_series(1, greatest(len(toks) - {w - 1}, 0))) t(i)
+),
+dpos AS (
+  SELECT doc_id, pos FROM (
+    SELECT doc_id, pos,
+           min(doc_id) OVER (PARTITION BY g) AS mn,
+           max(doc_id) OVER (PARTITION BY g) AS mx
+    FROM grams
+  ) WHERE mn <> mx
+),
+cov AS (
+  SELECT doc_id, count(*) AS dup_spans, CAST(sum(covered) AS BIGINT) AS dup_tokens
+  FROM (
+    SELECT doc_id,
+           least({w}, pos - coalesce(
+             lag(pos) OVER (PARTITION BY doc_id ORDER BY pos), pos - {w})) AS covered
+    FROM dpos
+  ) GROUP BY doc_id
+)
+SELECT t.doc_id,
+       CAST(len(t.toks) AS BIGINT) AS n_tokens,
+       coalesce(c.dup_spans, 0) AS dup_spans,
+       coalesce(c.dup_tokens, 0) AS dup_tokens,
+       CASE WHEN len(t.toks) = 0 THEN 0.0
+            ELSE round(coalesce(c.dup_tokens, 0)::DOUBLE / len(t.toks), 6)
+       END AS dup_frac
+FROM toksed t LEFT JOIN cov c ON c.doc_id = t.doc_id
+"""

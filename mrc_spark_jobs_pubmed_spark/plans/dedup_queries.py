@@ -316,3 +316,20 @@ def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("containment"), F.asc("doc_a"), F.asc("doc_b"))
         .limit(100)
     )
+
+
+@register(
+    "dedup_span_coverage",
+    oracle=D.span_coverage_sql(),
+    doc="Exact duplicate-SPAN coverage (the scalable stand-in for "
+    "suffix-array substring dedup, Lee et al. 2022): every 8-word span "
+    "that also appears in another document marks its token interval as "
+    "duplicated, overlapping marks union EXACTLY (lag-window interval "
+    "arithmetic), and each doc reports n_tokens / dup_spans / dup_tokens "
+    "/ dup_frac — the per-doc signal used to drop or trim copied "
+    "passages that line- and doc-level dedup both miss. One shuffle on "
+    "the gram hash (cross-doc test is a min/max window, not a "
+    "count-distinct join), one on doc_id; corpus scanned once.",
+)
+def dedup_span_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.span_coverage(load_table(spark, "documents", sf_dir))

@@ -371,3 +371,18 @@ def test_pca_iterations_are_broadcast_only(spark):
     assert "Scan ExistingRDD" in plan
     assert "CartesianProduct" not in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_span_coverage_is_two_window_shuffles(spark):
+    """Duplicate-span coverage: the cross-doc test is a min/max window
+    over the gram hash (no count-distinct join back), coverage is a lag
+    window on doc_id, and the per-doc totals join is the only join.
+    Nothing cartesian, nothing Python, and only 3 physical exchanges
+    (gram window, doc window — whose hash partitioning the per-doc agg
+    reuses with no extra exchange — and the totals broadcast), each
+    listed twice in the formatted string."""
+    plan = _physical(spark, "dedup_span_coverage")
+    assert "CartesianProduct" not in plan
+    assert "Python" not in plan
+    assert plan.count("Exchange") <= 6
+    assert plan.count("Window") >= 2
