@@ -231,3 +231,69 @@ def corpus_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     scored = feats.withColumn("score", F.round(F.lit(1) / (F.lit(1) + F.exp(-z)), 6))
     return scored.withColumn("keep", F.col("score") >= 0.5)
+
+
+# --- temperature-scaled language sampling (mT5 alpha-mixing) ----------------
+
+MIX_ALPHA = 0.3  # mT5's alpha: p_l ∝ share_l^alpha
+
+
+@register(
+    "corpus_mix_temperature",
+    oracle=f"""
+WITH stats AS (
+  SELECT lang, count(*) AS n_docs, sum(n_chars) AS n_chars
+  FROM documents GROUP BY lang
+),
+tot AS (SELECT sum(n_chars) AS total_chars, sum(n_docs) AS total_docs FROM stats),
+scaled AS (
+  SELECT lang, n_docs, n_chars,
+         n_chars::DOUBLE / total_chars AS share,
+         pow(n_chars::DOUBLE / total_chars, {MIX_ALPHA}) AS p_raw,
+         total_docs
+  FROM stats CROSS JOIN tot
+)
+SELECT lang, n_docs, CAST(n_chars AS BIGINT) AS n_chars,
+       round(share, 6) AS share,
+       round(p_raw / sum(p_raw) OVER (), 6) AS p_temp,
+       round(p_raw / sum(p_raw) OVER () / share, 6) AS epochs,
+       CAST(round(p_raw / sum(p_raw) OVER () * total_docs, 0) AS BIGINT) AS docs_per_epoch
+FROM scaled
+""",
+    doc="Temperature-scaled language sampling (the mT5/XLM-R alpha "
+    "formula, alpha=0.3): per-language sampling probability p_l ∝ "
+    "share_l^alpha computed FROM the corpus' own size statistics — "
+    "char-weighted shares, the boost each low-resource language gets "
+    "(epochs = p/share > 1), and the expected per-epoch doc budget. "
+    "Complements corpus_mix_weighted (static config weights applied "
+    "per doc): this is the upstream step that DERIVES the weights. "
+    "Scale shape: one map-side-partial hash-agg on lang, then two "
+    "1-row/|langs|-row broadcasts — the corpus is scanned once and "
+    "only (lang, count, chars) partials ever ship.",
+)
+def corpus_mix_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, "documents", sf_dir)
+    stats = docs.groupBy("lang").agg(
+        F.count("*").alias("n_docs"), F.sum("n_chars").alias("n_chars")
+    )
+    tot = stats.agg(
+        F.sum("n_chars").alias("total_chars"), F.sum("n_docs").alias("total_docs")
+    )
+    scaled = (
+        stats.crossJoin(F.broadcast(tot))
+        .withColumn("share", F.col("n_chars").cast("double") / F.col("total_chars"))
+        .withColumn("p_raw", F.pow("share", F.lit(MIX_ALPHA)))
+    )
+    wall = Window.partitionBy()
+    p_temp = F.col("p_raw") / F.sum("p_raw").over(wall)
+    return scaled.select(
+        "lang",
+        "n_docs",
+        F.col("n_chars").cast("long").alias("n_chars"),
+        F.round("share", 6).alias("share"),
+        F.round(p_temp, 6).alias("p_temp"),
+        F.round(p_temp / F.col("share"), 6).alias("epochs"),
+        F.round(p_temp * F.col("total_docs"), 0).cast("long").alias("docs_per_epoch"),
+    )
