@@ -87,13 +87,18 @@ DRIVER_WINDOW: list[str] = [
     "corpus_merge_upsert",
     "graph_pagerank",
     "stream_chained_rollup",
+    # late round-3 addition (never-official by construction); its
+    # sibling corpus_mix_temperature waits for the r4 rotation — the
+    # window is capped at 50 and every current row is either a
+    # must-prove (events-ts fixes) or never-official
+    "dedup_span_coverage",
     # flagship + family representatives (continuity across rounds;
     # queries already green in BOTH r01 and r02 rotated out to make
-    # room for the never-official set)
+    # room for the never-official set — corpus_pack_greedy rotated out
+    # this round, green in r02 and family covered 5x above)
     "text_word_topk",
     "ta_quality",
     "llm_corpus_prep",
-    "corpus_pack_greedy",
     "mm_decode_features",
     "src_pubmed_pages",
     "udf_pandas_scalar",
