@@ -632,7 +632,14 @@ def span_gram_rows(
     return df.select(
         F.col(id_col), F.posexplode(arr).alias("pos0", "gram")
     ).select(
-        id_col, (F.col("pos0") + 1).alias("pos"), F.md5("gram").alias("g")
+        # xxhash64, not md5: the hash is only a within-engine grouping
+        # key (it never reaches the output — the DuckDB mirror groups on
+        # md5 and agrees because both group identical gram strings), so
+        # the 8-byte long beats a 32-char hex string on shuffle bytes
+        # and window-sort cost — same trade the Jaccard verifier makes.
+        id_col,
+        (F.col("pos0") + 1).alias("pos"),
+        F.xxhash64("gram").alias("g"),
     )
 
 
