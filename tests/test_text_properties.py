@@ -77,3 +77,54 @@ def test_distinct_tokens_is_set_and_order_preserving(spark, samples):
         # first-occurrence order (the reference's dict/set iteration order)
         seen = [t for i, t in enumerate(r.toks) if t not in r.toks[:i]]
         assert r.d == seen
+
+
+# --- duplicate-span coverage: property check vs brute force -----------------
+
+# Small vocab forces real cross-doc span collisions; docs are token lists.
+_span_docs = st.lists(
+    st.lists(st.sampled_from(list("abcd")), min_size=0, max_size=30),
+    min_size=2,
+    max_size=6,
+)
+
+
+def _brute_span_coverage(docs: list[list[str]], w: int) -> dict[int, tuple[int, int]]:
+    """Reference implementation: mark every token index covered by a
+    W-gram that appears (at any position) in a DIFFERENT doc; report
+    (dup_spans, dup_tokens) per doc id."""
+    grams: dict[tuple, set[int]] = {}
+    for d, toks in enumerate(docs):
+        for i in range(len(toks) - w + 1):
+            grams.setdefault(tuple(toks[i : i + w]), set()).add(d)
+    out = {}
+    for d, toks in enumerate(docs):
+        covered: set[int] = set()
+        spans = 0
+        for i in range(len(toks) - w + 1):
+            if len(grams[tuple(toks[i : i + w])]) > 1:
+                spans += 1
+                covered.update(range(i, i + w))
+        out[d] = (spans, len(covered))
+    return out
+
+
+@settings(max_examples=15, deadline=None)
+@given(_span_docs)
+def test_span_coverage_matches_brute_force(spark, docs):
+    from mrc_spark_jobs_pubmed_spark.operators.dedup import SPAN_W, span_coverage
+
+    df = spark.createDataFrame(
+        [(i, " ".join(toks)) for i, toks in enumerate(docs)],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: (r.dup_spans, r.dup_tokens, r.n_tokens)
+        for r in span_coverage(df).collect()
+    }
+    want = _brute_span_coverage(docs, SPAN_W)
+    assert set(got) == set(range(len(docs)))
+    for d, toks in enumerate(docs):
+        spans, dup_tokens, n_tokens = got[d]
+        assert n_tokens == len(toks)
+        assert (spans, dup_tokens) == want[d], f"doc {d}: {got[d]} vs {want[d]}"
