@@ -789,3 +789,59 @@ def rel_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# --- fuzzy record linkage (entity resolution) -------------------------------
+
+
+@register(
+    "rel_fuzzy_linkage",
+    oracle="""
+WITH keys AS (
+  SELECT c_custkey, c_name, t.i AS i,
+         substr(c_name, 1, (t.i - 1)::INT) || '_' ||
+         substr(c_name, (t.i + 1)::INT) AS k
+  FROM customer, unnest(generate_series(1, length(c_name))) t(i)
+)
+SELECT CAST(a.i AS BIGINT) AS pos, count(*) AS n_pairs
+FROM keys a JOIN keys b
+  ON a.i = b.i AND a.k = b.k AND a.c_custkey < b.c_custkey
+WHERE levenshtein(a.c_name, b.c_name) = 1
+GROUP BY a.i
+""",
+    doc="Fuzzy record linkage (entity resolution): pairs of customer "
+    "names within edit distance 1 found by substitution-neighborhood "
+    "blocking (the SymSpell idea) — each name emits length(name) "
+    "wildcard keys (position i blanked), candidates come from an "
+    "equi-join on (position, key), and levenshtein verifies "
+    "candidates only. Output: matched-pair count per differing "
+    "position. Scale shape: NEVER all-pairs — keys per row are "
+    "O(len), the join is a plain hash equi-join whose block sizes "
+    "are bounded by near-duplicate density, and the verify touches "
+    "candidates only; the same plan runs record linkage at any "
+    "corpus size (extend keys with deletions for full edit-distance-1 "
+    "coverage across lengths).",
+)
+def rel_fuzzy_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, "customer", sf_dir)
+    keys = cust.select(
+        "c_custkey",
+        "c_name",
+        F.expr(
+            "explode(transform(sequence(1, length(c_name)), i -> "
+            "named_struct('i', i, 'k', concat(substring(c_name, 1, i - 1), "
+            "'_', substring(c_name, i + 1, length(c_name))))))"
+        ).alias("e"),
+    ).select("c_custkey", "c_name", F.col("e.i").alias("i"), F.col("e.k").alias("k"))
+    a, b = keys.alias("a"), keys.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.i") == F.col("b.i"))
+            & (F.col("a.k") == F.col("b.k"))
+            & (F.col("a.c_custkey") < F.col("b.c_custkey")),
+        )
+        .where(F.levenshtein(F.col("a.c_name"), F.col("b.c_name")) == 1)
+        .groupBy(F.col("a.i").cast("long").alias("pos"))
+        .agg(F.count("*").alias("n_pairs"))
+    )

@@ -386,3 +386,13 @@ def test_span_coverage_is_two_window_shuffles(spark):
     assert "Python" not in plan
     assert plan.count("Exchange") <= 6
     assert plan.count("Window") >= 2
+
+
+def test_fuzzy_linkage_blocks_never_all_pairs(spark):
+    """Candidate generation must be a hash equi-join on the wildcard
+    blocking key — a cartesian over customers would be the classic
+    entity-resolution scale killer."""
+    plan = _physical(spark, "rel_fuzzy_linkage")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "levenshtein" in plan
