@@ -62,7 +62,7 @@ GROUP BY band
 )
 def rel_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = load_table(spark, "part", sf_dir)
-    bands = spark.createDataFrame(
+    bandpark.createDataFrame(
         [("small", 0, 15), ("mid", 16, 35), ("large", 36, 100)], ["band", "lo", "hi"]
     )
     return (
@@ -447,7 +447,7 @@ def rel_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mrc_spark_jobs_pubmed_spark.operators import skew
 
     li = load_table(spark, "lineitem", sf_dir)
-    sets = skew.salted_collect_set(
+    setkew.salted_collect_set(
         li, key="l_returnflag", value="l_linestatus", salt_from=F.col("l_orderkey")
     )
     # driver-comparator boundary: emit the (already-sorted) set as a scalar
@@ -844,4 +844,69 @@ def rel_fuzzy_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.levenshtein(F.col("a.c_name"), F.col("b.c_name")) == 1)
         .groupBy(F.col("a.i").cast("long").alias("pos"))
         .agg(F.count("*").alias("n_pairs"))
+    )
+
+
+# --- cohort retention -------------------------------------------------------
+
+
+@register(
+    "rel_cohort_retention",
+    oracle="""
+WITH firsts AS (
+  SELECT user_id, date_trunc('week', min(ts)) AS cohort_week
+  FROM events GROUP BY user_id
+),
+active AS (
+  SELECT DISTINCT user_id, date_trunc('week', ts) AS active_week
+  FROM events
+),
+cohort_sizes AS (
+  SELECT cohort_week, count(*) AS cohort_n FROM firsts GROUP BY cohort_week
+)
+SELECT f.cohort_week,
+       CAST(date_diff('day', f.cohort_week, a.active_week) / 7 AS BIGINT)
+         AS week_offset,
+       count(*) AS n_active,
+       round(count(*)::DOUBLE / any_value(s.cohort_n), 6) AS retention
+FROM firsts f
+JOIN active a ON a.user_id = f.user_id
+JOIN cohort_sizes s ON s.cohort_week = f.cohort_week
+GROUP BY f.cohort_week, week_offset
+""",
+    doc="Cohort retention over the event stream: users grouped by the "
+    "week of their first event; for each (cohort_week, week_offset) the "
+    "count and fraction of the cohort still active — the standard "
+    "product-analytics retention triangle. Scale shape: every stage "
+    "keys on user_id (first-event agg, per-week activity distinct, "
+    "the cohort join), so the three shuffles share one partitioning "
+    "and AQE lines them up; the final (cohort, offset) agg has a "
+    "bounded output domain (weeks x offsets) and ships map-side "
+    "partials. Integer day/7 offset arithmetic and week truncation "
+    "are bit-identical across engines (both truncate to Monday).",
+)
+def rel_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    firsts = ev.groupBy("user_id").agg(
+        F.to_date(F.date_trunc("week", F.min("ts"))).alias("cohort_week")
+    )
+    active = ev.select(
+        "user_id", F.to_date(F.date_trunc("week", F.col("ts"))).alias("active_week")
+    ).distinct()
+    sizes = firsts.groupBy("cohort_week").agg(F.count("*").alias("cohort_n"))
+    return (
+        firsts.join(active, "user_id")
+        .join(F.broadcast(sizes), "cohort_week")
+        .groupBy(
+            "cohort_week",
+            (F.datediff("active_week", "cohort_week") / 7)
+            .cast("long")
+            .alias("week_offset"),
+        )
+        .agg(
+            F.count("*").alias("n_active"),
+            F.round(
+                F.count("*").cast("double") / F.any_value(F.col("cohort_n")), 6
+            ).alias("retention"),
+        )
     )
