@@ -748,3 +748,97 @@ SELECT t.doc_id,
        END AS dup_frac
 FROM toksed t LEFT JOIN cov c ON c.doc_id = t.doc_id
 """
+
+
+def span_trim(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """The APPLY step of duplicate-span dedup (RefinedWeb-style trim):
+    remove every token covered by a cross-doc-duplicated W-gram and
+    reassemble the surviving tokens in order.
+
+    Scale shape: the dup positions come from the same one-scan gram
+    window as `span_coverage`; covered token indices materialize as
+    dup_positions × W rows (bounded by duplicate volume, not corpus
+    size), and removal is a hash anti-join on (doc_id, token_pos) —
+    per-doc reassembly is array_sort(collect_list) whose state is one
+    document's tokens, the same bound the line-dedup reassembly
+    carries."""
+    from pyspark.sql import Window
+
+    grams = span_gram_rows(df, text_col, id_col)
+    wg = Window.partitionBy("g")
+    dpos = (
+        grams.withColumn("mn", F.min(id_col).over(wg))
+        .withColumn("mx", F.max(id_col).over(wg))
+        .where(F.col("mn") != F.col("mx"))
+        .select(id_col, "pos")
+    )
+    covered = dpos.select(
+        id_col, F.explode(F.sequence(F.col("pos"), F.col("pos") + SPAN_W - 1)).alias("tp")
+    ).distinct()
+    toks = df.select(
+        F.col(id_col), F.posexplode(tokens_col(F.col(text_col))).alias("tp0", "tok")
+    ).select(id_col, (F.col("tp0") + 1).alias("tp"), "tok")
+    kept = toks.join(covered, [id_col, "tp"], "left_anti")
+    per_doc = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("tp", "tok"))),
+                lambda s: s["tok"],
+            ),
+            " ",
+        ).alias("text_trimmed"),
+        F.count("*").alias("n_kept"),
+    )
+    totals = df.select(
+        F.col(id_col), F.size(tokens_col(F.col(text_col))).alias("n_tokens")
+    )
+    return totals.join(per_doc, id_col, "left").select(
+        id_col,
+        F.coalesce("text_trimmed", F.lit("")).alias("text_trimmed"),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
+    )
+
+
+def span_trim_sql() -> str:
+    w = SPAN_W
+    slice_expr = f"array_to_string(toks[i:i + {w - 1}], ' ')"
+    return f"""
+WITH toksed AS (SELECT doc_id, {tokens_sql('text')} AS toks FROM documents),
+grams AS (
+  SELECT doc_id, t.i AS pos, md5({slice_expr}) AS g
+  FROM toksed, unnest(generate_series(1, greatest(len(toks) - {w - 1}, 0))) t(i)
+),
+dpos AS (
+  SELECT doc_id, pos FROM (
+    SELECT doc_id, pos,
+           min(doc_id) OVER (PARTITION BY g) AS mn,
+           max(doc_id) OVER (PARTITION BY g) AS mx
+    FROM grams
+  ) WHERE mn <> mx
+),
+covered AS (
+  SELECT DISTINCT doc_id, pos + t.o AS tp
+  FROM dpos, unnest(generate_series(0, {w - 1})) t(o)
+),
+toks AS (
+  SELECT doc_id, t.i AS tp, toksed.toks[t.i::INT] AS tok
+  FROM toksed, unnest(generate_series(1, len(toks))) t(i)
+),
+kept AS (
+  SELECT tk.doc_id, tk.tp, tk.tok
+  FROM toks tk ANTI JOIN covered c ON c.doc_id = tk.doc_id AND c.tp = tk.tp
+),
+per_doc AS (
+  SELECT doc_id, string_agg(tok, ' ' ORDER BY tp) AS text_trimmed,
+         count(*) AS n_kept
+  FROM kept GROUP BY doc_id
+)
+SELECT t.doc_id,
+       coalesce(p.text_trimmed, '') AS text_trimmed,
+       CAST(len(t.toks) AS BIGINT) AS n_tokens,
+       coalesce(p.n_kept, 0) AS n_kept
+FROM toksed t LEFT JOIN per_doc p ON p.doc_id = t.doc_id
+"""

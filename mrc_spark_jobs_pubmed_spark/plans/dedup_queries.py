@@ -333,3 +333,18 @@ def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dedup_span_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.span_coverage(load_table(spark, "documents", sf_dir))
+
+
+@register(
+    "corpus_span_trim",
+    oracle=D.span_trim_sql(),
+    doc="The APPLY step of duplicate-span dedup (RefinedWeb-style): "
+    "drop every token covered by a cross-doc-duplicated 8-word span "
+    "and reassemble the surviving text in order, with kept/total "
+    "token counts. Covered indices materialize as dup_positions x W "
+    "rows (duplicate volume, not corpus volume); removal is a hash "
+    "anti-join on (doc_id, token_pos); reassembly state is one doc's "
+    "tokens — the same bounds the line-dedup reassembly carries.",
+)
+def corpus_span_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.span_trim(load_table(spark, "documents", sf_dir))
