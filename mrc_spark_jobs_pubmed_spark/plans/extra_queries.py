@@ -824,15 +824,34 @@ GROUP BY a.i
 )
 def rel_fuzzy_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = load_table(spark, "customer", sf_dir)
-    keys = cust.select(
+    # explode ONLY the position index; the wildcard key is then plain
+    # codegen'd string ops in the next projection. Building (i, k)
+    # structs inside a transform() lambda is interpreted per element
+    # (higher-order functions never reach whole-stage codegen) and
+    # measured 4.2 s for 270k keys at sf0.1 vs ~0.3 s for this form —
+    # the same interpreted-HOF lesson as the shingle pass.
+    # Distribute BEFORE the key fan-out: the blocking explode (x len)
+    # and candidate verify dwarf the dim scan, and a single-file dim
+    # otherwise runs the whole linkage in one task (measured 3.9 s ->
+    # 1.6 s at sf0.1). The count must be EXPLICIT: AQE sizes a keyed
+    # repartition on the exchange's input bytes — ~1 MB of raw names
+    # here — and coalesces it back to one partition, blind to the x18
+    # fan-out and the candidate join behind it.
+    keys = cust.repartition(
+        spark.sparkContext.defaultParallelism, F.col("c_custkey")
+    ).select(
         "c_custkey",
         "c_name",
+        F.explode(F.sequence(F.lit(1), F.length("c_name"))).alias("i"),
+    ).select(
+        "c_custkey",
+        "c_name",
+        "i",
         F.expr(
-            "explode(transform(sequence(1, length(c_name)), i -> "
-            "named_struct('i', i, 'k', concat(substring(c_name, 1, i - 1), "
-            "'_', substring(c_name, i + 1, length(c_name))))))"
-        ).alias("e"),
-    ).select("c_custkey", "c_name", F.col("e.i").alias("i"), F.col("e.k").alias("k"))
+            "concat(substring(c_name, 1, i - 1), '_', "
+            "substring(c_name, i + 1, length(c_name)))"
+        ).alias("k"),
+    )
     a, b = keys.alias("a"), keys.alias("b")
     return (
         a.join(
