@@ -115,3 +115,60 @@ def ta_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         X.fingerprint(F.col("text")).alias("fingerprint"),
         F.md5(X.normalized_text(F.col("text"))).alias("md5_full"),
     )
+
+
+# --- character-entropy quality signal ---------------------------------------
+
+
+@register(
+    "ta_char_entropy",
+    oracle="""
+WITH chars AS (
+  SELECT doc_id, t.ch AS ch
+  FROM (SELECT doc_id, string_split(text, '') AS cs FROM documents),
+       unnest(cs) AS t(ch)
+),
+freqs AS (
+  SELECT doc_id, ch, count(*) AS n FROM chars GROUP BY doc_id, ch
+)
+SELECT doc_id,
+       CAST(sum(n) AS BIGINT) AS n_chars,
+       CAST(count(*) AS BIGINT) AS n_distinct_chars,
+       round(-sum((n::DOUBLE / tot) * ln(n::DOUBLE / tot) / ln(2)), 6)
+         AS entropy_bits
+FROM (SELECT doc_id, ch, n, sum(n) OVER (PARTITION BY doc_id) AS tot FROM freqs)
+GROUP BY doc_id
+""",
+    doc="Per-document character-level Shannon entropy (bits/char) with "
+    "character counts — the classic gibberish/boilerplate quality "
+    "signal (low entropy = repeated filler, high = encoded noise). "
+    "Scale shape: the char explode never shuffles raw characters — "
+    "the (doc_id, char) hash-agg's map-side partial collapses each "
+    "doc to its ≤|alphabet| distinct-char counts before the exchange, "
+    "and the per-doc total + final entropy agg both reuse the same "
+    "doc_id partitioning (window + agg, no extra exchange). Entropy "
+    "uses ln(p)/ln(2): IEEE-identical on both engines, rounded at 6dp "
+    "only at the contract edge.",
+)
+def ta_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, "documents", sf_dir)
+    freqs = (
+        docs.select("doc_id", F.explode(F.split("text", "")).alias("ch"))
+        .groupBy("doc_id", "ch")
+        .agg(F.count("*").alias("n"))
+    )
+    tot = F.sum("n").over(Window.partitionBy("doc_id"))
+    p = F.col("n").cast("double") / F.col("tot")
+    return (
+        freqs.withColumn("tot", tot)
+        .groupBy("doc_id")
+        .agg(
+            F.sum("n").cast("long").alias("n_chars"),
+            F.count("*").cast("long").alias("n_distinct_chars"),
+            F.round(-F.sum(p * F.log(p) / F.log(F.lit(2.0))), 6).alias(
+                "entropy_bits"
+            ),
+        )
+    )
