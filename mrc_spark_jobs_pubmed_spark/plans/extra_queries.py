@@ -62,7 +62,7 @@ GROUP BY band
 )
 def rel_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = load_table(spark, "part", sf_dir)
-    bandpark.createDataFrame(
+    bands = spark.createDataFrame(
         [("small", 0, 15), ("mid", 16, 35), ("large", 36, 100)], ["band", "lo", "hi"]
     )
     return (
@@ -447,7 +447,7 @@ def rel_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mrc_spark_jobs_pubmed_spark.operators import skew
 
     li = load_table(spark, "lineitem", sf_dir)
-    setkew.salted_collect_set(
+    sets = skew.salted_collect_set(
         li, key="l_returnflag", value="l_linestatus", salt_from=F.col("l_orderkey")
     )
     # driver-comparator boundary: emit the (already-sorted) set as a scalar
