@@ -407,9 +407,17 @@ def simhash_fingerprints(df: DataFrame, text_col: str = "text", id_col: str = "d
 
     One explode + one group-by with 32 sum aggregates — a single shuffle,
     all JVM-side expression work.
+
+    TOTAL over docs: `explode_outer` keeps token-less documents (empty /
+    whitespace text) as a NULL-token row whose bit terms all evaluate to
+    -1, so they fingerprint to 0 instead of silently vanishing from the
+    output — at scale a dropped row poisons every downstream
+    one-fingerprint-per-doc join. Identical-empty docs banding together
+    at 0 is the correct dedup reading of identical (empty) content.
     """
     toks = df.select(
-        id_col, F.explode(F.array_distinct(tokens_col(F.col(text_col)))).alias("tok")
+        id_col,
+        F.explode_outer(F.array_distinct(tokens_col(F.col(text_col)))).alias("tok"),
     )
     # decode the 32-bit value ONCE per token, then each bit term is a
     # shift+mask on the long — not 32 separate substr/instr decodes.
@@ -449,7 +457,8 @@ def simhash_fingerprints_sql() -> str:
 WITH toks AS (
   SELECT DISTINCT doc_id, t.tok AS tok
   FROM (SELECT doc_id, {tokens_sql('text')} AS toklist FROM documents),
-       unnest(toklist) AS t(tok)
+       unnest(CASE WHEN len(toklist) = 0 THEN [CAST(NULL AS VARCHAR)]
+                   ELSE toklist END) AS t(tok)
 ),
 sig AS (SELECT doc_id, {terms} FROM toks GROUP BY doc_id)
 SELECT doc_id, {fp} AS simhash FROM sig
