@@ -125,7 +125,9 @@ def ta_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 WITH chars AS (
   SELECT doc_id, t.ch AS ch
-  FROM (SELECT doc_id, string_split(text, '') AS cs FROM documents),
+  FROM (SELECT doc_id,
+               list_filter(string_split(text, ''), c -> c <> '') AS cs
+        FROM documents),
        unnest(cs) AS t(ch)
 ),
 freqs AS (
@@ -155,7 +157,14 @@ def ta_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, "documents", sf_dir)
     freqs = (
-        docs.select("doc_id", F.explode(F.split("text", "")).alias("ch"))
+        # both engines split '' into [''] — drop the phantom empty char so
+        # an empty doc contributes no rows instead of one '' char
+        docs.select(
+            "doc_id",
+            F.explode(
+                F.filter(F.split("text", ""), lambda c: c != F.lit(""))
+            ).alias("ch"),
+        )
         .groupBy("doc_id", "ch")
         .agg(F.count("*").alias("n"))
     )
