@@ -114,6 +114,15 @@ def brp_lsh_buckets(df: DataFrame, bucket_length: float = 2.0, seed: int = 42) -
     from pyspark.ml.functions import array_to_vector
 
     vecs = df.select("vec_id", array_to_vector(_dvec(F.col("embedding"))).alias("features"))
+    # train-or-skip: an estimator cannot fit on no data (spark.ml aborts
+    # inside fit), and an incremental run with no new vectors is a normal
+    # production state — return the empty bucket assignment instead. The
+    # isEmpty() probe is a limit-1 scan, the standard guard before any
+    # train step.
+    if vecs.isEmpty():
+        return vecs.select(
+            "vec_id", F.lit(None).cast("string").alias("bucket")
+        )
     model = BucketedRandomProjectionLSH(
         inputCol="features", outputCol="hashes", bucketLength=bucket_length, seed=seed
     ).fit(vecs)

@@ -572,11 +572,16 @@ def rel_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_view",
             "n_click",
             "n_purchase",
-            F.round(F.col("n_click") * F.lit(1.0) / F.col("n_view"), 6).alias(
-                "view_to_click"
-            ),
+            # try_divide: on an empty stream (incremental run with no new
+            # events) the stage counts are 0 and the rates are honestly
+            # NULL instead of a DIVIDE_BY_ZERO abort; identical to plain
+            # division whenever any events exist.
             F.round(
-                F.col("n_purchase") * F.lit(1.0) / F.col("n_click"), 6
+                F.try_divide(F.col("n_click") * F.lit(1.0), F.col("n_view")), 6
+            ).alias("view_to_click"),
+            F.round(
+                F.try_divide(F.col("n_purchase") * F.lit(1.0), F.col("n_click")),
+                6,
             ).alias("click_to_purchase"),
         )
     )
