@@ -173,10 +173,13 @@ def sim_brp_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum(F.col("s") * F.col("s")).alias("s2"))
         .join(buckets.groupBy("bucket").agg(F.count("*").alias("n")), "bucket")
     )
+    # try_divide: with one vector per bucket there are no within-bucket
+    # pairs (Σ n(n−1) = 0) and the mean is honestly undefined, not an
+    # abort — the degenerate-corpus state of any incremental index build
     within = per_bucket.agg(
-        (
-            F.sum(F.col("s2") - F.col("n"))
-            / F.sum(F.col("n") * (F.col("n") - F.lit(1)))
+        F.try_divide(
+            F.sum(F.col("s2") - F.col("n")),
+            F.sum(F.col("n") * (F.col("n") - F.lit(1))),
         ).alias("within_mean"),
         F.count("*").alias("n_buckets"),
     )
@@ -201,8 +204,10 @@ def sim_brp_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("n_buckets") >= 2).alias("n_buckets_nontrivial"),
             (
                 F.col("within_mean")
-                > (F.col("g2") - F.col("n_emb"))
-                / (F.col("n_emb") * (F.col("n_emb") - F.lit(1)))
+                > F.try_divide(
+                    F.col("g2") - F.col("n_emb"),
+                    F.col("n_emb") * (F.col("n_emb") - F.lit(1)),
+                )
             ).alias("locality_ok"),
         )
     )
@@ -879,8 +884,14 @@ def emb_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ).alias("ul")
             )
             .select(
+                # try_divide: a rank-0 covariance (degenerate input, e.g.
+                # a single vector) has no principal direction — emit NULL
+                # components instead of a DIVIDE_BY_ZERO abort
                 F.transform(
-                    F.col("ul"), lambda x: x / F.sqrt(_dot(F.col("ul"), F.col("ul")))
+                    F.col("ul"),
+                    lambda x: F.try_divide(
+                        x, F.sqrt(_dot(F.col("ul"), F.col("ul")))
+                    ),
                 ).alias("v")
             )
         )

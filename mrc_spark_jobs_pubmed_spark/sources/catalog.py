@@ -149,6 +149,19 @@ def _parquet_timestamp_unit(path: str, column: str) -> str | None:
             if not parts:
                 return None
             target = os.path.join(path, parts[0])
+        # Physical type first: pyarrow reports legacy INT96 timestamps
+        # (Spark's default writer output) as timestamp[ns], but INT96 is
+        # NOT an int64-nanos column — Spark reads it natively as
+        # TimestampType and the nanosAsLong raw-read path would fail
+        # with a physical-type mismatch. Only a true INT64
+        # TIMESTAMP(NANOS) annotation takes the ns path.
+        psch = pq.ParquetFile(target).schema
+        for i in range(len(psch)):
+            col = psch.column(i)
+            if col.name == column:
+                if col.physical_type == "INT96":
+                    return "int96"
+                break
         field = pq.read_schema(target).field(column)
         unit = getattr(field.type, "unit", None)
         return unit

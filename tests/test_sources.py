@@ -251,3 +251,24 @@ def test_events_nanos_fixture_fallback(spark, tmp_path):
         for r in load_table(spark, "events", str(tmp_path)).collect()
     )
     assert got == [(1, base), (2, base + datetime.timedelta(minutes=90, microseconds=123456))]
+
+
+def test_events_reload_roundtrip_int96(spark, tmp_path):
+    """Events WRITTEN by the engine (Spark's default INT96 timestamp
+    encoding) must re-load through load_table: pyarrow reports INT96 as
+    timestamp[ns], and the footer sniffer must not route it down the
+    int64-nanos raw-read path (physical-type mismatch abort)."""
+    import os
+
+    from mrc_spark_jobs_pubmed_spark.sources.catalog import load_table
+
+    src = load_table(spark, "events", "/root/testdata/sf0.001").limit(5)
+    out = str(tmp_path / "events.parquet")
+    src.write.parquet(out)
+    # sibling tables aren't needed — load_table reads only events here
+    back = load_table(spark, "events", str(tmp_path))
+    rows = back.collect()
+    assert len(rows) == 5
+    got = {r.event_id: r.ts for r in rows}
+    want = {r.event_id: r.ts for r in src.collect()}
+    assert got == want
