@@ -20,9 +20,9 @@ def empty_docs(spark):
 
 @pytest.fixture(scope="module")
 def degenerate_docs(spark):
-    # empty string, whitespace-only, single token, and a real-ish doc
+    # NULL, empty string, whitespace-only, single token, and a real doc
     return spark.createDataFrame(
-        [(1, ""), (2, "   "), (3, "one"), (4, "a b c d e f g h i j")],
+        [(0, None), (1, ""), (2, "   "), (3, "one"), (4, "a b c d e f g h i j")],
         DOC_SCHEMA,
     )
 
@@ -53,20 +53,27 @@ def test_empty_relation_yields_empty_result(empty_docs, op):
 
 
 def test_degenerate_docs_keep_per_doc_contracts(degenerate_docs):
-    # per-doc operators must emit one well-formed row per input doc,
-    # zeros (not NULLs) for the empty/short ones
+    # per-doc operators must emit one well-formed row per input doc:
+    # zeros for empty/short text, NULL (unknown) — never an abort or a
+    # dropped row — for NULL text
     cov = {r.doc_id: r for r in D.span_coverage(degenerate_docs).collect()}
-    assert set(cov) == {1, 2, 3, 4}
+    assert set(cov) == {0, 1, 2, 3, 4}
     for d in (1, 2, 3, 4):
         r = cov[d]
         # below SPAN_W tokens nothing can be duplicated
         assert (r.dup_spans, r.dup_tokens, r.dup_frac) == (0, 0, 0.0)
     assert cov[1].n_tokens == 0 and cov[3].n_tokens == 1
+    assert cov[0].n_tokens is None and cov[0].dup_spans == 0
 
     trim = {r.doc_id: r for r in D.span_trim(degenerate_docs).collect()}
-    assert set(trim) == {1, 2, 3, 4}
+    assert set(trim) == {0, 1, 2, 3, 4}
     assert trim[1].text_trimmed == "" and trim[1].n_kept == 0
+    assert trim[0].text_trimmed == "" and trim[0].n_kept == 0
     assert trim[4].n_kept == trim[4].n_tokens  # nothing trimmed
 
     fp = D.simhash_fingerprints(degenerate_docs).collect()
-    assert len(fp) == 4 and all(r.simhash is not None for r in fp)
+    assert len(fp) == 5 and all(r.simhash is not None for r in fp)
+
+    # exact dedup: NULL texts group under a NULL hash, distinct from ''
+    groups = {r.content_hash: r for r in D.exact_dedup_groups(degenerate_docs).collect()}
+    assert None in groups and groups[None].canonical_doc_id == 0
