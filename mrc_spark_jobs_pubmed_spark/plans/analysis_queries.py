@@ -181,3 +181,168 @@ def ta_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# --- readability scoring -----------------------------------------------------
+
+
+@register(
+    "ta_readability",
+    oracle="""
+WITH counts AS (
+  SELECT doc_id,
+         CASE WHEN text IS NULL THEN NULL
+              ELSE len(regexp_extract_all(text, '\\S+')) END AS n_words,
+         CASE WHEN text IS NULL THEN NULL
+              ELSE len(regexp_extract_all(text, '[.!?]+')) END AS n_sentences,
+         CASE WHEN text IS NULL THEN NULL
+              ELSE len(regexp_extract_all(lower(text), '[aeiouy]+')) END
+           AS n_syllables
+  FROM documents
+)
+SELECT doc_id,
+       CAST(n_words AS BIGINT) AS n_words,
+       CAST(n_sentences AS BIGINT) AS n_sentences,
+       CAST(n_syllables AS BIGINT) AS n_syllables,
+       round(206.835
+             - 1.015 * (n_words::DOUBLE / greatest(n_sentences, 1))
+             - 84.6 * (n_syllables::DOUBLE / greatest(n_words, 1)), 4)
+         AS flesch
+FROM counts
+""",
+    doc="Flesch reading-ease readability per doc from three codegen'd "
+    "regexp counts: words (non-space runs), sentences ([.!?]+ runs, "
+    "floored at 1), syllable proxy (vowel-group runs). The standard "
+    "fluency/complexity quality gate a corpus build runs beside "
+    "stopword/entropy signals. Zero shuffle — embarrassingly parallel "
+    "per row, scales linearly with splits. NULL text => NULL counts "
+    "and NULL score (unknown, never a fabricated zero); empty text "
+    "scores as zero words over the 1-sentence floor.",
+)
+def ta_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    text = F.col("text")
+
+    def runs(pattern: str, src=None) -> F.Column:
+        src_col = text if src is None else src
+        return F.when(
+            text.isNotNull(),
+            F.size(F.regexp_extract_all(src_col, F.lit(pattern), F.lit(0))),
+        ).cast("long")
+
+    n_words = runs(r"\S+")
+    n_sentences = runs(r"[.!?]+")
+    n_syllables = runs(r"[aeiouy]+", F.lower(text))
+    base = docs.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        n_sentences.alias("n_sentences"),
+        n_syllables.alias("n_syllables"),
+    )
+    wps = F.col("n_words").cast("double") / F.greatest(F.col("n_sentences"), F.lit(1))
+    spw = F.col("n_syllables").cast("double") / F.greatest(F.col("n_words"), F.lit(1))
+    return base.select(
+        "doc_id",
+        "n_words",
+        "n_sentences",
+        "n_syllables",
+        F.round(F.lit(206.835) - F.lit(1.015) * wps - F.lit(84.6) * spw, 4).alias(
+            "flesch"
+        ),
+    )
+
+
+# --- winnowing fingerprints (MOSS) ------------------------------------------
+
+WINNOW_W = 4  # consecutive k-gram hashes per winnow window
+
+
+def _winnow_hash_sql() -> str:
+    from mrc_spark_jobs_pubmed_spark.operators.dedup import _hex2long
+
+    return _hex2long("md5(gram)", 1)
+
+
+def _winnow_oracle() -> str:
+    from mrc_spark_jobs_pubmed_spark.operators.dedup import shingles_sql
+
+    return f"""
+WITH toks AS (
+  SELECT doc_id, {tokens_sql('text')} AS toks FROM documents
+),
+sh AS (
+  SELECT doc_id, {shingles_sql('toks')} AS sh FROM toks
+),
+g AS (
+  SELECT doc_id, r.i AS pos, sh[r.i] AS gram
+  FROM sh, unnest(range(1, len(sh) + 1)) AS r(i)
+),
+h AS (
+  SELECT doc_id, pos, {_winnow_hash_sql()} AS h FROM g
+),
+win AS (
+  SELECT doc_id, pos, h,
+         count(*) OVER (PARTITION BY doc_id) AS n,
+         min(h) OVER (PARTITION BY doc_id ORDER BY pos
+                      ROWS BETWEEN CURRENT ROW AND {WINNOW_W - 1} FOLLOWING)
+           AS wmin
+  FROM h
+)
+SELECT doc_id,
+       CAST(max(n) AS BIGINT) AS n_kgrams,
+       CAST(count(DISTINCT wmin) AS BIGINT) AS n_fingerprints,
+       CAST(sum(DISTINCT wmin) AS BIGINT) AS fp_checksum
+FROM win
+WHERE pos <= n - {WINNOW_W} + 1 OR pos = 1
+GROUP BY doc_id
+"""
+
+
+@register(
+    "ta_winnow_fingerprint",
+    oracle=_winnow_oracle(),
+    doc="Winnowing document fingerprints (Schleimer/Wilkerson/Aiken, "
+    "SIGMOD'03 — the MOSS algorithm): hash every word 3-gram, slide a "
+    "4-hash window, keep each window's minimum; the selected set is a "
+    "position-robust fingerprint with guaranteed match detection for "
+    "any shared run >= w+k-1 tokens. Reported per doc as selected-set "
+    "size + order-independent checksum. Shuffle profile: one exchange "
+    "on doc_id (shingle volume, same bytes as the MinHash pass); the "
+    "in-partition window sort is bounded by single-doc length, and the "
+    "final agg reuses the doc_id partitioning. Docs with < k tokens "
+    "have no k-grams and drop out (no fabricated fingerprints); docs "
+    "shorter than one full window contribute their global min "
+    "(pos = 1 clipped frame), the standard short-doc winnow contract.",
+)
+def ta_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from mrc_spark_jobs_pubmed_spark.operators.dedup import SHINGLES_ARR_EXPR
+
+    docs = load_table(spark, "documents", sf_dir)
+    grams = (
+        docs.select("doc_id", tokens_col(F.col("text")).alias("toks"))
+        .select("doc_id", F.expr(SHINGLES_ARR_EXPR).alias("sh"))
+        .select("doc_id", F.posexplode("sh").alias("pos0", "gram"))
+        .select(
+            "doc_id",
+            (F.col("pos0") + 1).alias("pos"),
+            F.expr(_winnow_hash_sql()).alias("h"),
+        )
+    )
+    wdoc = Window.partitionBy("doc_id")
+    wframe = wdoc.orderBy("pos").rowsBetween(0, WINNOW_W - 1)
+    win = grams.select(
+        "doc_id",
+        "pos",
+        F.count("*").over(wdoc).alias("n"),
+        F.min("h").over(wframe).alias("wmin"),
+    )
+    sel = win.where(
+        (F.col("pos") <= F.col("n") - WINNOW_W + 1) | (F.col("pos") == 1)
+    )
+    return sel.groupBy("doc_id").agg(
+        F.max("n").alias("n_kgrams"),
+        F.count_distinct("wmin").alias("n_fingerprints"),
+        F.sum_distinct("wmin").alias("fp_checksum"),
+    )

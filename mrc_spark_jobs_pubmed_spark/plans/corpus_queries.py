@@ -818,3 +818,69 @@ def corpus_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_docs"), F.desc("n_occ"), F.asc("chunk_md5"))
         .limit(CDC_TOP)
     )
+
+
+# --- n-gram novelty vs a reference corpus ------------------------------------
+
+NOVEL_K = 5  # word n-gram size for novelty scoring
+REF_SOURCES = ("src0", "src1", "src2", "src3")  # the curated reference slice
+
+
+@register(
+    "corpus_ngram_novelty",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, source, {_TOKS_SQL} AS toks FROM documents
+),
+grams AS (
+  SELECT doc_id, source,
+         unnest(list_distinct({_kgrams_sql('toks', NOVEL_K)})) AS gram
+  FROM toks
+),
+ref AS (
+  SELECT DISTINCT gram FROM grams
+  WHERE source IN ('src0', 'src1', 'src2', 'src3')
+),
+cand AS (
+  SELECT doc_id, gram FROM grams
+  WHERE source IS NULL OR source NOT IN ('src0', 'src1', 'src2', 'src3')
+)
+SELECT c.doc_id,
+       CAST(count(*) AS BIGINT) AS n_grams,
+       CAST(count(*) - count(r.gram) AS BIGINT) AS n_novel,
+       round((count(*) - count(r.gram))::DOUBLE / count(*), 6) AS novelty
+FROM cand c LEFT JOIN ref r USING (gram)
+GROUP BY c.doc_id
+""",
+    doc="Per-doc novelty vs a curated reference corpus: the fraction of "
+    "a candidate doc's distinct word 5-grams that appear nowhere in "
+    "the reference slice (sources src0-src3 stand in). The dual of "
+    "decontamination: high novelty selects docs that ADD content to a "
+    "training mix, near-zero novelty flags paraphrase/boilerplate "
+    "recycling. Shuffle profile: the reference's distinct-gram set is "
+    "a hash-agg whose map-side partial collapses repeats before the "
+    "exchange; the probe is a gram-keyed equi-join (broadcast when the "
+    "reference fits, else both sides hash-partition on the gram — at "
+    "100 TB swap the string key for an 8-byte xxhash64 to cut shuffle "
+    "bytes ~10x); the per-doc agg shuffles (doc_id, counts) only.",
+)
+def corpus_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    grams = docs.select(
+        "doc_id", "source", tokens_col(F.col("text")).alias("toks")
+    ).select(
+        "doc_id",
+        "source",
+        F.explode(F.array_distinct(_kgrams_spark(NOVEL_K))).alias("gram"),
+    )
+    in_ref = F.col("source").isin(*REF_SOURCES)
+    ref = grams.where(in_ref).select("gram").distinct()
+    cand = grams.where(F.col("source").isNull() | ~in_ref).select("doc_id", "gram")
+    joined = cand.join(ref.withColumn("hit", F.lit(1)), "gram", "left")
+    return joined.groupBy("doc_id").agg(
+        F.count("*").alias("n_grams"),
+        (F.count("*") - F.count("hit")).alias("n_novel"),
+        F.round(
+            (F.count("*") - F.count("hit")).cast("double") / F.count("*"), 6
+        ).alias("novelty"),
+    )

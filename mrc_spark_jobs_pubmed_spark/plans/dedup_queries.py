@@ -348,3 +348,65 @@ def dedup_span_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def corpus_span_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.span_trim(load_table(spark, "documents", sf_dir))
+
+
+@register(
+    "dedup_keep_best",
+    oracle="""
+WITH fp AS (
+  SELECT doc_id, n_chars,
+         substr(sha256(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')), 1, 16)
+           AS fingerprint
+  FROM documents
+),
+ranked AS (
+  SELECT *,
+         row_number() OVER (PARTITION BY fingerprint
+                            ORDER BY n_chars DESC, doc_id) AS rn,
+         count(*) OVER (PARTITION BY fingerprint) AS dup_count,
+         sum(n_chars) OVER (PARTITION BY fingerprint) AS total_chars
+  FROM fp
+)
+SELECT fingerprint, doc_id AS kept_doc_id,
+       CAST(dup_count AS BIGINT) AS dup_count,
+       n_chars AS kept_chars,
+       CAST(total_chars - n_chars AS BIGINT) AS dropped_chars
+FROM ranked WHERE rn = 1
+""",
+    doc="Quality-aware canonical selection: normalized-content clusters "
+    "(whitespace/case-insensitive fingerprint) keep their BEST member — "
+    "longest text, doc_id tie-break — not the arbitrary min-id that "
+    "`dedup_exact` uses for resume idempotence. This is the 'keep best "
+    "copy' step a corpus build runs after clustering (boilerplate "
+    "variants differ in truncation; keeping the longest preserves the "
+    "most content). One hash exchange on the fingerprint; the in-group "
+    "sort for row_number is bounded by cluster size (duplicate rate, "
+    "not corpus size), and count/sum windows reuse the same exchange.",
+)
+def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from mrc_spark_jobs_pubmed_spark.operators import textstats as X
+
+    docs = load_table(spark, "documents", sf_dir)
+    fp = docs.select(
+        "doc_id", "n_chars", X.fingerprint(F.col("text")).alias("fingerprint")
+    )
+    w = Window.partitionBy("fingerprint")
+    ranked = fp.select(
+        "fingerprint",
+        "doc_id",
+        "n_chars",
+        F.row_number()
+        .over(w.orderBy(F.desc("n_chars"), F.asc("doc_id")))
+        .alias("rn"),
+        F.count("*").over(w).alias("dup_count"),
+        F.sum("n_chars").over(w).alias("total_chars"),
+    )
+    return ranked.where(F.col("rn") == 1).select(
+        "fingerprint",
+        F.col("doc_id").alias("kept_doc_id"),
+        "dup_count",
+        F.col("n_chars").alias("kept_chars"),
+        (F.col("total_chars") - F.col("n_chars")).alias("dropped_chars"),
+    )

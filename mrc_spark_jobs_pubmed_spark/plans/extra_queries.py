@@ -934,3 +934,74 @@ def rel_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("retention"),
         )
     )
+
+
+@register(
+    "rel_scd2_history",
+    oracle="""
+WITH ordered AS (
+  SELECT user_id, event_type, ts, event_id,
+         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS prev_type
+  FROM events
+),
+changes AS (
+  SELECT user_id, event_type, ts AS valid_from, event_id
+  FROM ordered
+  WHERE prev_type IS DISTINCT FROM event_type
+),
+versioned AS (
+  SELECT user_id, event_type, valid_from,
+         lead(valid_from) OVER (PARTITION BY user_id
+                                ORDER BY valid_from, event_id) AS valid_to,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY valid_from, event_id) AS version
+  FROM changes
+)
+SELECT user_id, event_type AS state,
+       CAST(version AS BIGINT) AS version,
+       valid_from, valid_to,
+       valid_to IS NULL AS is_current
+FROM versioned
+""",
+    doc="Slowly-changing-dimension type 2 build: collapse each user's "
+    "event stream into versioned state intervals — a row per change of "
+    "event_type with [valid_from, valid_to) bounds, a monotone version "
+    "number, and an is_current flag on the open interval. The standard "
+    "way a warehouse tracks attribute history from an append-only "
+    "event log. One hash exchange on user_id serves all three window "
+    "functions (lag, lead, row_number share the partition spec); "
+    "per-key state is a single previous row, so memory is O(1) per "
+    "user regardless of history length. Change detection is NULL-safe "
+    "(IS DISTINCT FROM), tie-broken deterministically by event_id.",
+)
+def rel_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, "events", sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    changes = (
+        events.select(
+            "user_id",
+            "event_type",
+            "ts",
+            "event_id",
+            F.lag("event_type").over(w).alias("prev_type"),
+        )
+        .where(~F.col("prev_type").eqNullSafe(F.col("event_type")))
+        .select("user_id", "event_type", F.col("ts").alias("valid_from"), "event_id")
+    )
+    wv = Window.partitionBy("user_id").orderBy("valid_from", "event_id")
+    versioned = changes.select(
+        "user_id",
+        "event_type",
+        "valid_from",
+        F.lead("valid_from").over(wv).alias("valid_to"),
+        F.row_number().over(wv).cast("long").alias("version"),
+    )
+    return versioned.select(
+        "user_id",
+        F.col("event_type").alias("state"),
+        "version",
+        "valid_from",
+        "valid_to",
+        F.col("valid_to").isNull().alias("is_current"),
+    )
