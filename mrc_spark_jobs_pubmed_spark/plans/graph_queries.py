@@ -207,18 +207,35 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode(F.array_distinct(tokens_col(F.col("text")))).alias("tok"),
     )
     freq = toks.groupBy("tok").agg(F.count("*").alias("n"))
-    vocab = freq.orderBy(F.desc("n"), F.asc("tok")).limit(TRI_VOCAB).select("tok")
-    vt = toks.join(F.broadcast(vocab), "tok").select("doc_id", "tok")
-    a, b = vt.alias("a"), vt.alias("b")
-    edges = (
-        a.join(
-            b,
-            (F.col("a.doc_id") == F.col("b.doc_id"))
-            & (F.col("a.tok") < F.col("b.tok")),
-        )
-        .select(F.col("a.tok").alias("a"), F.col("b.tok").alias("b"))
-        .distinct()
+    # The vocabulary (60 rows) and edge set (<= C(60,2) rows) are tiny
+    # fixed points of corpus-sized computations; localCheckpoint
+    # materializes each once so the corpus scan is not replicated into
+    # every branch that reuses them (the naive self-join form re-ran
+    # the scan 6x — once per vt/edges alias).
+    vocab = (
+        freq.orderBy(F.desc("n"), F.asc("tok"))
+        .limit(TRI_VOCAB)
+        .select("tok")
+        .localCheckpoint(eager=True)
     )
+    vt = toks.join(F.broadcast(vocab), "tok").select("doc_id", "tok")
+    # Pair generation per doc, not a doc_id self-join: collect each
+    # doc's (sorted) vocab tokens and emit ordered pairs with a
+    # higher-order transform — one corpus exchange on doc_id, pair
+    # fan-out bounded by C(|V|,2) per doc.
+    arr = vt.groupBy("doc_id").agg(
+        F.sort_array(F.collect_set("tok")).alias("vtoks")
+    )
+    pairs = arr.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(vtoks, (x, i) -> "
+                "transform(slice(vtoks, i + 2, size(vtoks)), "
+                "y -> struct(x AS a, y AS b))))"
+            )
+        ).alias("p")
+    ).select("p.a", "p.b")
+    edges = pairs.distinct().localCheckpoint(eager=True)
     e1, e2, e3 = edges.alias("e1"), edges.alias("e2"), edges.alias("e3")
     tri = (
         e1.join(e2, F.col("e1.b") == F.col("e2.a"))

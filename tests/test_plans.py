@@ -396,3 +396,60 @@ def test_fuzzy_linkage_blocks_never_all_pairs(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "levenshtein" in plan
+
+
+def test_keep_best_is_one_window_shuffle(spark):
+    """Canonical selection: row_number + count/sum windows must share
+    one fingerprint exchange (listed twice in the formatted string) —
+    a second exchange would mean the window specs diverged."""
+    plan = _physical(spark, "dedup_keep_best")
+    assert "CartesianProduct" not in plan
+    assert "Python" not in plan
+    assert plan.count("Exchange") <= 2
+
+
+def test_readability_is_narrow_zero_shuffle(spark):
+    plan = _physical(spark, "ta_readability")
+    assert "Exchange" not in plan
+    assert "Python" not in plan
+
+
+def test_winnow_agg_reuses_window_partitioning(spark):
+    """Winnowing: the per-doc window and the final agg must share the
+    doc_id exchange; the shingle explode stays narrow."""
+    plan = _physical(spark, "ta_winnow_fingerprint")
+    assert "CartesianProduct" not in plan
+    assert "Python" not in plan
+    assert plan.count("Exchange") <= 2
+    assert "Window" in plan
+
+
+def test_ngram_novelty_reference_broadcasts(spark):
+    """The reference slice's distinct-gram set must reach the probe as
+    a broadcast hash join at fixture scale — a shuffled join of the
+    candidate grams would double the gram-volume shuffle."""
+    plan = _physical(spark, "corpus_ngram_novelty")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "Python" not in plan
+
+
+def test_scd2_windows_share_user_exchange(spark):
+    """SCD2: lag, lead, and row_number all partition by user_id — one
+    exchange serves all three window operators."""
+    plan = _physical(spark, "rel_scd2_history")
+    assert plan.count("Exchange") <= 2
+    assert "Python" not in plan
+
+
+def test_triangle_count_edges_broadcast_no_smj(spark):
+    """Triangle wedges close over the checkpointed edge set via
+    broadcast joins; nothing cartesian, no sort-merge join, and the
+    corpus subtree is not replicated into the three edge aliases
+    (the checkpoint bounds the exchange count)."""
+    plan = _physical(spark, "graph_triangle_count")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "SortMergeJoin" not in plan
+    assert plan.count("Exchange") <= 16
+    assert "TakeOrderedAndProject" in plan
