@@ -210,3 +210,34 @@ def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, "nation", sf_dir),
         with_watermark=False,
     )
+
+
+@register(
+    "stream_topk_per_window",
+    oracle="""
+WITH counts AS (
+  SELECT CAST(time_bucket(INTERVAL '5 minutes', ts) AS TIMESTAMP) AS wstart,
+         event_type, count(*) AS n
+  FROM events
+  GROUP BY 1, 2
+),
+ranked AS (
+  SELECT wstart, event_type, n,
+         row_number() OVER (PARTITION BY wstart
+                            ORDER BY n DESC, event_type) AS rnk
+  FROM counts
+)
+SELECT wstart, event_type, CAST(n AS BIGINT) AS n, CAST(rnk AS BIGINT) AS rnk
+FROM ranked WHERE rnk <= 3
+""",
+    doc="Windowed top-k: the 3 busiest event types per tumbling 5-min "
+    "window (batch form of the foreachBatch streaming job — rank over "
+    "a streaming agg is not expressible in one streaming query, so the "
+    "stream maintains the windowed counts and each micro-batch ranks "
+    "the aggregate, which is (window, type)-sized, not event-sized; "
+    "see streaming/jobs.py run_topk_to_files and the replay test).",
+)
+def stream_topk_per_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return J.rank_topk(
+        J.windowed_type_counts(load_table(spark, "events", sf_dir), with_watermark=False)
+    )

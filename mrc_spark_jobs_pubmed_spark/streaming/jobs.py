@@ -278,3 +278,56 @@ def enriched_nation_counts(
         .agg(F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("value_sum"))
         .select(F.col("w.start").alias("wstart"), "n_name", "n", "value_sum")
     )
+
+
+# --- windowed top-k (foreachBatch post-ranking) -----------------------------
+
+TOPK_K = 3
+
+
+def windowed_type_counts(events: DataFrame, with_watermark: bool = True) -> DataFrame:
+    """Tumbling 5-minute event_type counts — the streamable half of the
+    windowed top-k job (pure windowed agg, bounded state)."""
+    src = events.withWatermark("ts", WATERMARK) if with_watermark else events
+    return (
+        src.groupBy(F.window("ts", TUMBLE).alias("w"), "event_type")
+        .agg(F.count("*").alias("n"))
+        .select(F.col("w.start").alias("wstart"), "event_type", "n")
+    )
+
+
+def rank_topk(counts: DataFrame, k: int = TOPK_K) -> DataFrame:
+    """Rank the windowed counts: top-k event types per window, ties
+    broken by event_type for determinism."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("wstart").orderBy(F.desc("n"), F.asc("event_type"))
+    return (
+        counts.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .where(F.col("rnk") <= k)
+        .select("wstart", "event_type", "n", "rnk")
+    )
+
+
+def run_topk_to_files(
+    stream_counts: DataFrame, path: str, checkpoint: str, k: int = TOPK_K
+):
+    """Streaming windowed top-k via foreachBatch: rank-over-aggregate is
+    not expressible inside a single streaming query (window functions
+    cannot stack on a streaming agg), so the production pattern is the
+    aggregation running incrementally in the stream and the (tiny) rank
+    applied per micro-batch over the maintained aggregate, overwriting
+    the serving copy. State stays bounded by the windowed agg; the
+    foreachBatch input is one row per (window, type) — aggregate volume,
+    not event volume — so the per-batch rank is always small.
+    """
+
+    def _emit(batch_df: DataFrame, _batch_id: int) -> None:
+        rank_topk(batch_df, k).write.mode("overwrite").parquet(path)
+
+    return (
+        stream_counts.writeStream.outputMode("complete")
+        .foreachBatch(_emit)
+        .option("checkpointLocation", checkpoint)
+        .start()
+    )

@@ -247,3 +247,31 @@ def test_static_enrich_stream_equals_batch(spark):
         ).collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_windowed_topk_stream_equals_batch(spark, tmp_path):
+    """foreachBatch top-k: after draining the replay, the overwritten
+    serving copy must equal the batch rank over the full history —
+    the complete-mode aggregate the last batch ranked IS the batch
+    aggregate."""
+    out = str(tmp_path / "topk_out")
+    ckpt = str(tmp_path / "topk_ckpt")
+    stream = J.windowed_type_counts(J.read_events_stream(spark, SF))
+    q = J.run_topk_to_files(stream, out, ckpt)
+    _drain(q)
+    got = {
+        (r.wstart, r.event_type): (r.n, r.rnk)
+        for r in spark.read.parquet(out).collect()
+    }
+    want = {
+        (r.wstart, r.event_type): (r.n, r.rnk)
+        for r in J.rank_topk(
+            J.windowed_type_counts(_batch_events(spark), with_watermark=False)
+        ).collect()
+    }
+    assert got == want and len(got) > 0
+    per_window: dict = {}
+    for (_w, _t), (_n, rnk) in got.items():
+        per_window.setdefault(_w, []).append(rnk)
+    assert all(sorted(v) == list(range(1, len(v) + 1)) for v in per_window.values())
+    assert all(len(v) <= J.TOPK_K for v in per_window.values())
