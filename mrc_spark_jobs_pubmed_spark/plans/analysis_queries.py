@@ -346,3 +346,103 @@ def ta_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count_distinct("wmin").alias("n_fingerprints"),
         F.sum_distinct("wmin").alias("fp_checksum"),
     )
+
+
+# --- Zipf's-law fit ----------------------------------------------------------
+
+ZIPF_TOP = 1000  # fit over the top-N ranks (bounds the regression input)
+
+
+@register(
+    "ta_zipf_fit",
+    oracle=f"""
+WITH uni AS (
+  SELECT t.tok AS tok, count(*) AS c
+  FROM (SELECT {tokens_sql('text')} AS toks FROM documents), unnest(toks) AS t(tok)
+  GROUP BY t.tok
+),
+corpus AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_types,
+         CAST(sum(c) AS BIGINT) AS n_tokens
+  FROM uni
+),
+top AS (
+  SELECT c FROM uni ORDER BY c DESC, tok LIMIT {ZIPF_TOP}
+),
+pts AS (
+  SELECT CAST(round(ln(row_number() OVER (ORDER BY c DESC)) * 1e6) AS BIGINT) AS x,
+         CAST(round(ln(c) * 1e6) AS BIGINT) AS y
+  FROM top
+),
+sums AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n,
+         CAST(sum(x) AS DOUBLE) AS sx, CAST(sum(y) AS DOUBLE) AS sy,
+         CAST(sum(x * x) AS DOUBLE) AS sxx,
+         CAST(sum(x * y) AS DOUBLE) AS sxy,
+         CAST(sum(y * y) AS DOUBLE) AS syy
+  FROM pts
+)
+SELECT n_types, n_tokens,
+       CAST(n AS BIGINT) AS n_ranks,
+       round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS zipf_slope,
+       round((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx)
+             / n / 1e6, 6) AS zipf_intercept,
+       round((n * sxy - sx * sy) * (n * sxy - sx * sy)
+             / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS r_squared
+FROM sums CROSS JOIN corpus
+""",
+    doc="Zipf's-law fit: least-squares slope of ln(freq) vs ln(rank) "
+    "over the top-1000 token ranks, with intercept and R² — the "
+    "corpus-health diagnostic that flags template/boilerplate-heavy "
+    "or truncated-vocabulary corpora (natural text sits near slope "
+    "-1). Determinism: ln values are rounded to integer micro-units "
+    "per term, so every regression sum is an exact BIGINT on any "
+    "partitioning/engine; only the final closed-form arithmetic runs "
+    "in doubles. Scale: the vocabulary agg is the usual map-side-"
+    "partial hash-agg; the rank cap arrives via TakeOrderedAndProject "
+    "(top-1000, never a global sort), and the regression itself is a "
+    "1-row aggregate over 1000 points.",
+)
+def ta_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, "documents", sf_dir)
+    uni = (
+        docs.select(F.explode(tokens_col(F.col("text"))).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").alias("c"))
+    )
+    corpus = uni.agg(
+        F.count("*").cast("long").alias("n_types"),
+        F.sum("c").cast("long").alias("n_tokens"),
+    )
+    top = uni.orderBy(F.desc("c"), F.asc("tok")).limit(ZIPF_TOP).select("c")
+    rank = F.row_number().over(Window.orderBy(F.desc("c")))
+    pts = top.select(
+        F.round(F.log(rank.cast("double")) * 1e6).cast("long").alias("x"),
+        F.round(F.log(F.col("c").cast("double")) * 1e6).cast("long").alias("y"),
+    )
+    sums = pts.agg(
+        F.count("*").cast("double").alias("n"),
+        F.sum("x").cast("double").alias("sx"),
+        F.sum("y").cast("double").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("double").alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).cast("double").alias("sxy"),
+        F.sum(F.col("y") * F.col("y")).cast("double").alias("syy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxx, sxy, syy = F.col("sxx"), F.col("sxy"), F.col("syy")
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    return sums.crossJoin(F.broadcast(corpus)).select(
+        "n_types",
+        "n_tokens",
+        n.cast("long").alias("n_ranks"),
+        F.round(slope, 6).alias("zipf_slope"),
+        F.round((sy - slope * sx) / n / F.lit(1e6), 6).alias("zipf_intercept"),
+        F.round(
+            (n * sxy - sx * sy)
+            * (n * sxy - sx * sy)
+            / ((n * sxx - sx * sx) * (n * syy - sy * sy)),
+            6,
+        ).alias("r_squared"),
+    )

@@ -725,3 +725,64 @@ def rel_q16_supplier_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("p_brand", "p_size")
         .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
     )
+
+
+ASOF_TOLERANCE_MIN = 30  # max lookback gap (minutes) for a valid match
+
+
+@register(
+    "rel_asof_tolerance",
+    oracle="""
+SELECT event_id, user_id, ts,
+       CASE WHEN ts - last_view_ts <= INTERVAL '30 minutes'
+            THEN last_view_ts END AS last_view_ts,
+       CASE WHEN ts - last_view_ts <= INTERVAL '30 minutes'
+            THEN CAST(date_diff('second', last_view_ts, ts) AS BIGINT)
+            END AS gap_sec
+FROM (
+  SELECT c.event_id, c.user_id, c.ts, v.ts AS last_view_ts
+  FROM (SELECT * FROM events WHERE event_type = 'click') c
+  ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+    ON c.user_id = v.user_id AND v.ts <= c.ts
+)
+""",
+    doc="As-of join with tolerance (pandas merge_asof(tolerance=...) / "
+    "kdb wj semantics): each click matches the latest prior view per "
+    "user ONLY if it is within 30 minutes, else NULL — stale state "
+    "must not attribute. Same single-shuffle union + last_value("
+    "ignoreNulls) time-ordered window as rel_asof_join (no range-join "
+    "blowup); the tolerance is a post-window CASE, so it adds zero "
+    "exchanges and the window state stays one remembered view per "
+    "user.",
+)
+def rel_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id", "ts", F.lit(0).alias("src"), "event_id"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", F.lit(1).alias("src"), "event_id"
+    )
+    merged = views.unionByName(clicks)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "src", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    with_last = merged.withColumn(
+        "raw_view_ts",
+        F.last(F.when(F.col("src") == 0, F.col("ts")), ignorenulls=True).over(w),
+    )
+    in_tol = (
+        F.col("ts").cast("long") - F.col("raw_view_ts").cast("long")
+    ) <= ASOF_TOLERANCE_MIN * 60
+    return with_last.filter(F.col("src") == 1).select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.when(in_tol, F.col("raw_view_ts")).alias("last_view_ts"),
+        F.when(
+            in_tol,
+            F.col("ts").cast("long") - F.col("raw_view_ts").cast("long"),
+        ).alias("gap_sec"),
+    )

@@ -760,3 +760,122 @@ def text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_sym").alias("n_bpe_symbols"),
         )
     )
+
+
+# --- PMI collocations --------------------------------------------------------
+
+PMI_MIN_COUNT = 5  # bigram frequency floor (standard collocation cutoff)
+PMI_TOP = 20
+
+
+@register(
+    "text_pmi_collocations",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, {_dedup_tokens_sql('text')} AS toks FROM documents
+),
+uni AS (
+  SELECT t.tok AS tok, count(*) AS c
+  FROM toks, unnest(toks.toks) AS t(tok)
+  GROUP BY t.tok
+),
+totals AS (
+  SELECT CAST(sum(c) AS BIGINT) AS n_tokens FROM uni
+),
+big AS (
+  SELECT b.gram AS bigram, count(*) AS c_ab
+  FROM (
+    SELECT unnest(list_filter(list_transform(toks,
+             (x, i) -> CASE WHEN i + 1 <= len(toks)
+                            THEN x || ' ' || toks[i + 1] END),
+             s -> s IS NOT NULL)) AS gram
+    FROM toks
+  ) b
+  GROUP BY b.gram
+),
+btotals AS (
+  SELECT CAST(sum(c_ab) AS BIGINT) AS n_bigrams FROM big
+),
+scored AS (
+  SELECT bigram,
+         CAST(c_ab AS BIGINT) AS c_ab,
+         CAST(ua.c AS BIGINT) AS c_a,
+         CAST(ub.c AS BIGINT) AS c_b,
+         round(ln((c_ab::DOUBLE / n_bigrams)
+               / ((ua.c::DOUBLE / n_tokens) * (ub.c::DOUBLE / n_tokens))), 6)
+           AS pmi
+  FROM big
+  JOIN uni ua ON ua.tok = string_split(bigram, ' ')[1]
+  JOIN uni ub ON ub.tok = string_split(bigram, ' ')[2]
+  CROSS JOIN totals CROSS JOIN btotals
+  WHERE c_ab >= {PMI_MIN_COUNT}
+)
+SELECT bigram, c_ab, c_a, c_b, pmi
+FROM scored
+ORDER BY pmi DESC, bigram
+LIMIT {PMI_TOP}
+""",
+    doc="Pointwise-mutual-information collocations: adjacent-token "
+    "bigrams scored by ln(p(ab) / (p(a) p(b))) with a frequency floor "
+    "— the classic statistically-bound-phrase extractor used for "
+    "vocabulary/tokenizer curation. Shuffle profile: one unigram and "
+    "one bigram hash-agg (both map-side-partial), totals as 1-row "
+    "broadcast aggregates, the two unigram probability lookups as "
+    "vocabulary-sized joins (broadcast when the vocab fits), and "
+    "TakeOrderedAndProject for the top-k — never a global sort.",
+)
+def text_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mrc_spark_jobs_pubmed_spark.operators.dedup import tokens_col
+
+    docs = load_table(spark, "documents", sf_dir)
+    toks = docs.select("doc_id", tokens_col(F.col("text")).alias("toks"))
+    # uni feeds three consumers (both probability lookups + the token
+    # total) and big feeds two (scores + the bigram total): checkpoint
+    # each vocabulary-sized aggregate once instead of replaying the
+    # corpus explode per branch.
+    uni = (
+        toks.select(F.explode("toks").alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").alias("c"))
+        .localCheckpoint(eager=True)
+    )
+    totals = uni.agg(F.sum("c").cast("long").alias("n_tokens"))
+    bigram_arr = F.expr(
+        "filter(zip_with(toks, slice(toks, 2, greatest(size(toks) - 1, 0)), "
+        "(a, b) -> concat(a, ' ', b)), s -> s IS NOT NULL)"
+    )
+    big = (
+        toks.select(F.explode(bigram_arr).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count("*").alias("c_ab"))
+        .localCheckpoint(eager=True)
+    )
+    btotals = big.agg(F.sum("c_ab").cast("long").alias("n_bigrams"))
+    ua = uni.select(F.col("tok").alias("tok_a"), F.col("c").alias("c_a"))
+    ub = uni.select(F.col("tok").alias("tok_b"), F.col("c").alias("c_b"))
+    scored = (
+        big.where(F.col("c_ab") >= PMI_MIN_COUNT)
+        .withColumn("tok_a", F.split("bigram", " ")[0])
+        .withColumn("tok_b", F.split("bigram", " ")[1])
+        .join(F.broadcast(ua), "tok_a")
+        .join(F.broadcast(ub), "tok_b")
+        .crossJoin(F.broadcast(totals))
+        .crossJoin(F.broadcast(btotals))
+        .select(
+            "bigram",
+            F.col("c_ab").cast("long").alias("c_ab"),
+            F.col("c_a").cast("long").alias("c_a"),
+            F.col("c_b").cast("long").alias("c_b"),
+            F.round(
+                F.log(
+                    (F.col("c_ab").cast("double") / F.col("n_bigrams"))
+                    / (
+                        (F.col("c_a").cast("double") / F.col("n_tokens"))
+                        * (F.col("c_b").cast("double") / F.col("n_tokens"))
+                    )
+                ),
+                6,
+            ).alias("pmi"),
+        )
+    )
+    return scored.orderBy(F.desc("pmi"), F.asc("bigram")).limit(PMI_TOP)

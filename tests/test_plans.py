@@ -453,3 +453,32 @@ def test_triangle_count_edges_broadcast_no_smj(spark):
     assert "SortMergeJoin" not in plan
     assert plan.count("Exchange") <= 16
     assert "TakeOrderedAndProject" in plan
+
+
+def test_pmi_topk_avoids_global_sort(spark):
+    """PMI: top-k must be TakeOrderedAndProject; probability lookups
+    reach the bigram table as broadcast joins of the checkpointed
+    unigram aggregate, never a sort-merge join."""
+    plan = _physical(spark, "text_pmi_collocations")
+    assert "TakeOrderedAndProject" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_zipf_rank_cap_is_topk_not_global_sort(spark):
+    """Zipf fit: the rank cap arrives via TakeOrderedAndProject; the
+    only window runs over the capped 1000 rows."""
+    plan = _physical(spark, "ta_zipf_fit")
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+    assert "Python" not in plan
+
+
+def test_asof_tolerance_single_shuffle_like_asof(spark):
+    """Tolerance variant must keep the as-of plan: one user_id exchange
+    for the time-ordered window, no range join."""
+    plan = _physical(spark, "rel_asof_tolerance")
+    assert plan.count("Exchange") <= 2
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
