@@ -410,3 +410,73 @@ def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_chars").alias("kept_chars"),
         (F.col("total_chars") - F.col("n_chars")).alias("dropped_chars"),
     )
+
+
+@register(
+    "dedup_fuzzy_keep_best",
+    oracle=f"""
+WITH RECURSIVE {D.minhash_ctes_sql()},
+pairs AS (
+  SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
+  FROM bands a JOIN bands b
+    ON a.band_id = b.band_id AND a.band_key = b.band_key
+   AND a.doc_id < b.doc_id
+),
+edges AS (SELECT a, b FROM pairs UNION SELECT b, a FROM pairs),
+cc AS (
+  SELECT doc_id AS node, doc_id AS label FROM documents
+  UNION
+  SELECT e.b AS node, cc.label AS label
+  FROM cc JOIN edges e ON e.a = cc.node
+  WHERE cc.label < e.b
+),
+comp AS (SELECT node AS doc_id, min(label) AS component FROM cc GROUP BY node),
+ranked AS (
+  SELECT c.component, d.doc_id, d.n_chars,
+         row_number() OVER (PARTITION BY c.component
+                            ORDER BY d.n_chars DESC, d.doc_id) AS rn,
+         count(*) OVER (PARTITION BY c.component) AS cluster_size
+  FROM comp c JOIN documents d USING (doc_id)
+)
+SELECT component, doc_id AS kept_doc_id,
+       CAST(cluster_size AS BIGINT) AS cluster_size,
+       n_chars AS kept_chars
+FROM ranked WHERE rn = 1
+""",
+    doc="The APPLY step of fuzzy dedup: MinHash-LSH candidate pairs -> "
+    "connected components -> keep each cluster's best member (longest "
+    "text, doc_id tie-break). This is what a corpus build actually "
+    "executes after near-dup detection — `dedup_keep_best`'s exact-"
+    "cluster selection lifted to fuzzy clusters, where pairwise "
+    "doc_b-dropping over-deletes on chained near-dups. Scale: "
+    "components are Pregel-lite min-label rounds over the (tiny) "
+    "candidate graph; the quality join back to documents is an "
+    "equi-join on doc_id; the final window partitions by component "
+    "with in-group sort bounded by cluster size. Oracle: recursive "
+    "CTE to the same fixpoint plus the identical keep-best window.",
+)
+def dedup_fuzzy_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, "documents", sf_dir)
+    pairs = D.lsh_candidate_pairs(
+        D.minhash_band_keys(D.shingle_rows(docs, distinct=False))
+    ).select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
+    comp = D.connected_components(docs, pairs)
+    joined = comp.join(docs.select("doc_id", "n_chars"), "doc_id")
+    w = Window.partitionBy("component")
+    ranked = joined.select(
+        "component",
+        "doc_id",
+        "n_chars",
+        F.row_number()
+        .over(w.orderBy(F.desc("n_chars"), F.asc("doc_id")))
+        .alias("rn"),
+        F.count("*").over(w).alias("cluster_size"),
+    )
+    return ranked.where(F.col("rn") == 1).select(
+        "component",
+        F.col("doc_id").alias("kept_doc_id"),
+        "cluster_size",
+        F.col("n_chars").alias("kept_chars"),
+    )
