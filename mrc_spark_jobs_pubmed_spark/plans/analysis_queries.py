@@ -306,45 +306,57 @@ GROUP BY doc_id
     "4-hash window, keep each window's minimum; the selected set is a "
     "position-robust fingerprint with guaranteed match detection for "
     "any shared run >= w+k-1 tokens. Reported per doc as selected-set "
-    "size + order-independent checksum. Shuffle profile: one exchange "
-    "on doc_id (shingle volume, same bytes as the MinHash pass); the "
-    "in-partition window sort is bounded by single-doc length, and the "
-    "final agg reuses the doc_id partitioning. Docs with < k tokens "
-    "have no k-grams and drop out (no fabricated fingerprints); docs "
-    "shorter than one full window contribute their global min "
-    "(pos = 1 clipped frame), the standard short-doc winnow contract.",
+    "size + order-independent checksum. Winnowing is per-doc-local by "
+    "definition, so the whole computation runs as array higher-order "
+    "functions inside the row — ZERO shuffle, embarrassingly parallel "
+    "over file splits (the first cut exploded shingles through a "
+    "per-doc window: a corpus-sized exchange + in-partition sort that "
+    "measured 27x DuckDB at sf1; this form is within noise of it). "
+    "The md5 computes once per shingle (two-step transform — an inline "
+    "hex-decode of md5(s) would re-hash 8x per element after lambda "
+    "inlining). Docs with < k tokens have no k-grams and drop out (no "
+    "fabricated fingerprints); docs shorter than one full window "
+    "contribute their global min (clipped first frame), the standard "
+    "short-doc winnow contract.",
 )
 def ta_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
-
-    from mrc_spark_jobs_pubmed_spark.operators.dedup import SHINGLES_ARR_EXPR
+    from mrc_spark_jobs_pubmed_spark.operators.dedup import SHINGLES_ARR_EXPR, _hex2long
 
     docs = load_table(spark, "documents", sf_dir)
-    grams = (
+    # Minima compare 8-char lowercase-hex prefixes directly (fixed-width
+    # hex: lexicographic order == numeric order), so the integer decode
+    # runs only over the SELECTED ~n/w fingerprints, not every shingle —
+    # measured 15.1s -> 5.6s at sf1 (the full-decode form spent 4s
+    # hex-decoding 10M shingles it would then throw away).
+    # ps (the per-shingle hash-prefix array) is consumed by three
+    # outputs + the empty filter; naive column reuse re-evaluates the
+    # whole shingle+md5 transform per reference after CollapseProject
+    # inlining (measured: 5.6s -> 10.4s at sf1). Binding it as a lambda
+    # variable (transform over a 1-element wrapper) evaluates it once,
+    # and the explode(array(struct)) generator is a pipeline breaker so
+    # the struct's fields project without recompute.
+    ps_expr = f"transform({SHINGLES_ARR_EXPR}, s -> substring(md5(s), 1, 8))"
+    sel_expr = (
+        f"array_distinct(transform(sequence(1, greatest(size(ps) - {WINNOW_W - 1}, 1)), "
+        f"p -> array_min(slice(ps, p, {WINNOW_W}))))"
+    )
+    inner = (
+        f"aggregate({sel_expr}, "
+        "named_struct('n_kgrams', CAST(size(ps) AS BIGINT), "
+        "'n_fp', CAST(0 AS BIGINT), 'ck', CAST(0 AS BIGINT)), "
+        "(acc, m) -> named_struct('n_kgrams', acc.n_kgrams, "
+        f"'n_fp', acc.n_fp + 1, 'ck', acc.ck + {_hex2long('m', 1)}))"
+    )
+    out_expr = f"transform(array({ps_expr}), ps -> {inner})[0]"
+    o = (
         docs.select("doc_id", tokens_col(F.col("text")).alias("toks"))
-        .select("doc_id", F.expr(SHINGLES_ARR_EXPR).alias("sh"))
-        .select("doc_id", F.posexplode("sh").alias("pos0", "gram"))
-        .select(
-            "doc_id",
-            (F.col("pos0") + 1).alias("pos"),
-            F.expr(_winnow_hash_sql()).alias("h"),
-        )
+        .select("doc_id", F.explode(F.array(F.expr(out_expr))).alias("o"))
     )
-    wdoc = Window.partitionBy("doc_id")
-    wframe = wdoc.orderBy("pos").rowsBetween(0, WINNOW_W - 1)
-    win = grams.select(
+    return o.where(F.col("o.n_kgrams") > 0).select(
         "doc_id",
-        "pos",
-        F.count("*").over(wdoc).alias("n"),
-        F.min("h").over(wframe).alias("wmin"),
-    )
-    sel = win.where(
-        (F.col("pos") <= F.col("n") - WINNOW_W + 1) | (F.col("pos") == 1)
-    )
-    return sel.groupBy("doc_id").agg(
-        F.max("n").alias("n_kgrams"),
-        F.count_distinct("wmin").alias("n_fingerprints"),
-        F.sum_distinct("wmin").alias("fp_checksum"),
+        F.col("o.n_kgrams").alias("n_kgrams"),
+        F.col("o.n_fp").alias("n_fingerprints"),
+        F.col("o.ck").alias("fp_checksum"),
     )
 
 

@@ -414,14 +414,15 @@ def test_readability_is_narrow_zero_shuffle(spark):
     assert "Python" not in plan
 
 
-def test_winnow_agg_reuses_window_partitioning(spark):
-    """Winnowing: the per-doc window and the final agg must share the
-    doc_id exchange; the shingle explode stays narrow."""
+def test_winnow_is_narrow_zero_shuffle(spark):
+    """Winnowing is per-doc-local: the whole computation must run as
+    row-local array expressions — zero exchanges, no per-doc window
+    sort (the exploded-window form measured 27x DuckDB at sf1)."""
     plan = _physical(spark, "ta_winnow_fingerprint")
+    assert "Exchange" not in plan
     assert "CartesianProduct" not in plan
     assert "Python" not in plan
-    assert plan.count("Exchange") <= 2
-    assert "Window" in plan
+    assert "Window" not in plan
 
 
 def test_ngram_novelty_reference_broadcasts(spark):
