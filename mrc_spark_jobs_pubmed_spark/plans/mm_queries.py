@@ -127,3 +127,81 @@ def mm_resize_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("meta.width").alias("width"),
         F.col("meta.height").alias("height"),
     )
+
+
+# --- webdataset-style shard manifest ----------------------------------------
+
+SHARD_BYTES = 16_384  # target archive size (bytes) per shard
+
+
+@register(
+    "mm_shard_manifest",
+    oracle=f"""
+WITH samples AS (
+  SELECT doc_id, lang,
+         octet_length(encode(text)) AS n_bytes
+  FROM documents
+),
+placed AS (
+  SELECT doc_id, lang, n_bytes,
+         sum(n_bytes) OVER (PARTITION BY lang ORDER BY doc_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           - n_bytes AS start_off
+  FROM samples
+)
+SELECT lang,
+       CAST(start_off // {SHARD_BYTES} AS BIGINT) AS shard_id,
+       CAST(count(*) AS BIGINT) AS n_samples,
+       CAST(sum(n_bytes) AS BIGINT) AS shard_bytes,
+       min(doc_id) AS first_doc,
+       max(doc_id) AS last_doc
+FROM placed
+GROUP BY lang, start_off // {SHARD_BYTES}
+""",
+    doc="Webdataset-style shard manifest: the media lake packed into "
+    "fixed-byte-budget archives per language stream — sample order is "
+    "deterministic (doc_id), each sample's shard is its running byte "
+    "offset integer-divided by the budget, and the manifest reports "
+    "per-shard sample count, payload bytes, and the [first, last] "
+    "sample range a reader needs to seek. This is the layout step "
+    "every multimodal training pipeline runs before dataloader "
+    "consumption (tar shards of ~uniform size, sequential reads). One "
+    "hash exchange on lang for the running-sum window; the shard agg "
+    "reuses the same partitioning (shard_id is a function of lang + "
+    "offset), so packing is a single-shuffle operation at any corpus "
+    "size — per-lang streams are independent, parallelism = languages, "
+    "and skewed languages split by adding a salt dimension to the "
+    "stream key exactly as corpus_pack_greedy documents.",
+)
+def mm_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, "documents", sf_dir)
+    samples = docs.select(
+        "doc_id",
+        "lang",
+        F.octet_length(F.encode("text", "utf-8")).alias("n_bytes"),
+    )
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    placed = samples.select(
+        "doc_id",
+        "lang",
+        "n_bytes",
+        (F.sum("n_bytes").over(w) - F.col("n_bytes")).alias("start_off"),
+    )
+    return (
+        placed.withColumn(
+            "shard_id", F.floor(F.col("start_off") / SHARD_BYTES).cast("long")
+        )
+        .groupBy("lang", "shard_id")
+        .agg(
+            F.count("*").alias("n_samples"),
+            F.sum("n_bytes").cast("long").alias("shard_bytes"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+    )

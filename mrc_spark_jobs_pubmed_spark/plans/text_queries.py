@@ -879,3 +879,126 @@ def text_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return scored.orderBy(F.desc("pmi"), F.asc("bigram")).limit(PMI_TOP)
+
+
+# --- RAKE keyword extraction -------------------------------------------------
+
+RAKE_TOP = 20
+
+
+@register(
+    "text_rake_keywords",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, r.i AS pos, t[r.i] AS tok
+  FROM (SELECT doc_id, {_dedup_tokens_sql('text')} AS t FROM documents),
+       unnest(range(1, len(t) + 1)) AS r(i)
+),
+marked AS (
+  SELECT doc_id, pos, lower(tok) AS tok,
+         CASE WHEN lower(tok) IN ({_STOPLIST_SQL}) THEN 1 ELSE 0 END AS is_stop
+  FROM toks
+),
+pids AS (
+  SELECT doc_id, pos, tok, is_stop,
+         sum(is_stop) OVER (PARTITION BY doc_id ORDER BY pos
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS pid
+  FROM marked
+),
+words AS (
+  SELECT doc_id, pid, pos, tok,
+         count(*) OVER (PARTITION BY doc_id, pid) AS plen
+  FROM pids WHERE is_stop = 0
+),
+wordstats AS (
+  SELECT tok,
+         count(*) AS freq,
+         sum(plen - 1) AS deg,
+         CAST(round(sum(plen - 1) * 1e6 / count(*)) AS BIGINT) AS score_u
+  FROM words GROUP BY tok
+),
+phrases AS (
+  SELECT w.doc_id, w.pid,
+         string_agg(w.tok, ' ' ORDER BY w.pos) AS phrase,
+         CAST(sum(s.score_u) AS BIGINT) AS score_u
+  FROM words w JOIN wordstats s USING (tok)
+  GROUP BY w.doc_id, w.pid
+)
+SELECT phrase,
+       CAST(count(*) AS BIGINT) AS n_occurrences,
+       round(score_u / 1e6, 6) AS rake_score
+FROM phrases
+GROUP BY phrase, score_u
+ORDER BY rake_score DESC, phrase
+LIMIT {RAKE_TOP}
+""",
+    doc="RAKE keyword extraction (Rose et al. 2010): candidate phrases "
+    "are maximal stopword-free token runs; each word scores "
+    "degree/frequency where degree sums (phrase_len - 1) over the "
+    "phrases containing it, and a phrase scores the sum of its word "
+    "scores — the classic unsupervised keyphrase extractor, "
+    "complementing the frequency-based keywords v1/v2. Determinism: "
+    "word scores round to integer micro-units BEFORE the per-phrase "
+    "sum, so phrase scores are exact BIGINTs on any partitioning/"
+    "engine. Shuffle profile: one doc_id exchange shared by the "
+    "phrase-id running sum and the in-phrase count window, one "
+    "vocabulary hash-agg for word stats (broadcast back to the word "
+    "stream), one (doc, phrase) agg, and TakeOrderedAndProject for "
+    "the top-k.",
+)
+def text_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from mrc_spark_jobs_pubmed_spark.operators.dedup import tokens_col
+
+    docs = load_table(spark, "documents", sf_dir)
+    toks = docs.select(
+        "doc_id", F.posexplode(tokens_col(F.col("text"))).alias("pos0", "tok_raw")
+    ).select(
+        "doc_id", (F.col("pos0") + 1).alias("pos"), F.lower("tok_raw").alias("tok")
+    )
+    marked = toks.withColumn(
+        "is_stop", F.col("tok").isin(*STOPWORDS).cast("int")
+    )
+    wdoc = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    pids = marked.withColumn("pid", F.sum("is_stop").over(wdoc))
+    words = (
+        pids.where(F.col("is_stop") == 0)
+        .withColumn("plen", F.count("*").over(Window.partitionBy("doc_id", "pid")))
+        .select("doc_id", "pid", "pos", "tok", "plen")
+    )
+    wordstats = words.groupBy("tok").agg(
+        F.round(F.sum(F.col("plen") - 1) * 1e6 / F.count("*"))
+        .cast("long")
+        .alias("score_u")
+    )
+    phrases = (
+        words.join(F.broadcast(wordstats), "tok")
+        .groupBy("doc_id", "pid")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                    lambda s: s.tok,
+                ),
+                " ",
+            ).alias("phrase"),
+            F.sum("score_u").cast("long").alias("score_u"),
+        )
+    )
+    return (
+        phrases.groupBy("phrase", "score_u")
+        .agg(F.count("*").alias("n_occurrences"))
+        .select(
+            "phrase",
+            "n_occurrences",
+            F.round(F.col("score_u") / 1e6, 6).alias("rake_score"),
+        )
+        .orderBy(F.desc("rake_score"), F.asc("phrase"))
+        .limit(RAKE_TOP)
+    )
