@@ -378,3 +378,64 @@ def semdedup_removed(
             F.round(F.max("cos"), 6).alias("max_cosine"),
         )
     )
+
+
+def knn_join_bucketed(
+    df: DataFrame,
+    k: int = 5,
+    bits: int = N_BUCKET_BITS,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Bucketed kNN join: top-k cosine neighbors for every vector,
+    candidates confined to the sign-bit bucket.
+
+    The naive form is a bucket-keyed self-join scoring each pair with an
+    interpreted array fold — O(sum bucket_size² · d) scalar ops in the
+    expression interpreter (measured 41.8 s at sf1). Here each bucket is
+    one `applyInPandas` group: the whole bucket's pairwise cosines are a
+    single BLAS matrix multiply and the per-row top-k is a stable
+    argsort over the 6dp-rounded scores (columns pre-sorted by id, so
+    rounded ties break by neighbor id — the same ordering contract the
+    SQL rank window declares). Same bounded-memory story as the coarse
+    quantizer: a bucket is 1/2^bits of the corpus, and bits grow with
+    corpus size.
+    """
+    import numpy as np
+    import pandas as pd
+
+    tagged = df.select(
+        bucket_id(F.col(vec_col), bits).alias("bucket"),
+        F.col(id_col).alias("_id"),
+        _dvec(F.col(vec_col)).alias("_v"),
+    )
+
+    empty = pd.DataFrame(
+        {"vec_id": [], "neighbor_id": [], "cosine": [], "rank": []}
+    ).astype(
+        {"vec_id": "int64", "neighbor_id": "int64", "cosine": "float64", "rank": "int64"}
+    )
+
+    def bucket_knn(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) < 2:
+            return empty
+        pdf = pdf.sort_values("_id")
+        ids = pdf["_id"].to_numpy()
+        A = np.stack(pdf["_v"].to_numpy())
+        An = A / np.linalg.norm(A, axis=1, keepdims=True)
+        sims = An @ An.T
+        np.fill_diagonal(sims, -np.inf)
+        r = np.round(sims, 6)
+        kk = min(k, len(pdf) - 1)
+        order = np.argsort(-r, axis=1, kind="stable")[:, :kk]
+        rows = np.repeat(ids, kk)
+        cols = ids[order.ravel()]
+        scores = sims[np.repeat(np.arange(len(ids)), kk), order.ravel()]
+        ranks = np.tile(np.arange(1, kk + 1), len(ids))
+        return pd.DataFrame(
+            {"vec_id": rows, "neighbor_id": cols, "cosine": scores, "rank": ranks}
+        )
+
+    return tagged.groupBy("bucket").applyInPandas(
+        bucket_knn, "vec_id long, neighbor_id long, cosine double, rank long"
+    )

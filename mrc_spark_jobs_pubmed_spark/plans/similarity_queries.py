@@ -1017,3 +1017,51 @@ def sim_ivf_pq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.asc("adc_dist"), F.asc("vec_id"))
         .limit(IVFPQ_TOP_K)
     )
+
+
+# --- bucketed kNN join -------------------------------------------------------
+
+KNN_K = 5
+
+
+@register(
+    "sim_knn_join",
+    oracle=f"""
+WITH b AS (
+  SELECT vec_id, embedding, {S.bucket_id_sql('embedding')} AS bucket
+  FROM embeddings
+),
+cand AS (
+  SELECT a.vec_id AS vec_id, c.vec_id AS neighbor_id,
+         round({S.cosine_sql('a.embedding', 'c.embedding')}, 6) AS cosine
+  FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id <> c.vec_id
+),
+ranked AS (
+  SELECT vec_id, neighbor_id, cosine,
+         row_number() OVER (PARTITION BY vec_id
+                            ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM cand
+)
+SELECT vec_id, neighbor_id, cosine, CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= {KNN_K}
+""",
+    doc="Bucketed kNN join: top-5 cosine neighbors for EVERY vector, "
+    "candidates confined to the sign-bit IVF bucket — the batch "
+    "neighbor graph semantic-dedup / clustering / graph-building "
+    "pipelines run over the whole corpus (vs sim_cosine_topk's single "
+    "query vector). Scale: candidate volume is sum(bucket_size^2), "
+    "never n^2 — bucket count grows with the corpus exactly as "
+    "sim_ann_bucketed documents, and the per-vector rank window "
+    "partitions on vec_id (top-k state per key). Ranking compares the "
+    "6dp-rounded cosine with neighbor-id tie-break, so result order "
+    "is engine- and partitioning-independent. Vectors alone in their "
+    "bucket emit no neighbors (no fabricated matches); raise bucket "
+    "bits or fall back to the block-GEMM exact pass for those at "
+    "production scale.",
+)
+def sim_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, "embeddings", sf_dir)
+    out = S.knn_join_bucketed(emb, k=KNN_K)
+    return out.select(
+        "vec_id", "neighbor_id", F.round("cosine", 6).alias("cosine"), "rank"
+    )

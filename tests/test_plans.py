@@ -483,3 +483,35 @@ def test_asof_tolerance_single_shuffle_like_asof(spark):
     assert plan.count("Exchange") <= 2
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_shard_manifest_is_one_window_shuffle(spark):
+    """Shard packing: the running-byte-offset window and the manifest
+    agg share the lang exchange (shard_id is a function of lang +
+    offset, so the grouping's clustering is satisfied)."""
+    plan = _physical(spark, "mm_shard_manifest")
+    assert plan.count("Exchange") <= 2
+    assert "Python" not in plan
+    assert "Window" in plan
+
+
+def test_rake_has_no_pergroup_collect_sort(spark):
+    """RAKE: phrase strings come from slicing the doc token array at
+    (min pos, count) — no collect_list/array_sort per phrase instance;
+    word-score lookup is a broadcast join; top-k is
+    TakeOrderedAndProject."""
+    plan = _physical(spark, "text_rake_keywords")
+    assert "TakeOrderedAndProject" in plan
+    assert "collect_list" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_knn_join_is_bucket_grouped_pandas(spark):
+    """kNN join: one exchange on the bucket key into the Arrow-batched
+    per-bucket BLAS kernel — never a bucket self-join scoring pairs in
+    the expression interpreter, never a cartesian."""
+    plan = _physical(spark, "sim_knn_join")
+    assert "FlatMapGroupsInPandas" in plan
+    assert "CartesianProduct" not in plan
+    assert "Join" not in plan
