@@ -884,3 +884,87 @@ def corpus_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.count("*") - F.count("hit")).cast("double") / F.count("*"), 6
         ).alias("novelty"),
     )
+
+
+# --- bigram LM with Kneser-Ney smoothing ------------------------------------
+
+KN_D = 0.75  # absolute discount
+
+
+@register(
+    "corpus_bigram_logprob",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, {_TOKS_SQL} AS toks FROM documents
+),
+inst AS (
+  SELECT doc_id,
+         string_split(g.gram, ' ')[1] AS a,
+         string_split(g.gram, ' ')[2] AS b
+  FROM (
+    SELECT doc_id, unnest({_kgrams_sql('toks', 2)}) AS gram FROM toks
+  ) g
+),
+big AS (SELECT a, b, count(*) AS c_ab FROM inst GROUP BY a, b),
+ctx AS (SELECT a, sum(c_ab) AS c_a, count(*) AS n_fol FROM big GROUP BY a),
+pre AS (SELECT b, count(*) AS n_pre FROM big GROUP BY b),
+t AS (SELECT count(*) AS n_types FROM big)
+SELECT i.doc_id,
+       CAST(count(*) AS BIGINT) AS n_bigrams,
+       round(avg(ln(
+         (c_ab - {KN_D}) / c_a
+         + ({KN_D} * n_fol / c_a) * (n_pre::DOUBLE / n_types)
+       )), 6) AS avg_logprob
+FROM inst i
+JOIN big USING (a, b)
+JOIN ctx USING (a)
+JOIN pre USING (b)
+CROSS JOIN t
+GROUP BY i.doc_id
+""",
+    doc="Bigram LM document scoring with interpolated Kneser-Ney "
+    "smoothing: P(b|a) = max(c(ab)-D,0)/c(a) + D*N1+(a.)/c(a) * "
+    "N1+(.b)/T — the real perplexity-filter step up from the unigram "
+    "proxy (continuation probability ranks 'Francisco' low even though "
+    "'San Francisco' is frequent). Context counts derive from the "
+    "bigram table itself (c(a) = sum_b c(ab)), so the model is three "
+    "hash-aggs over one bigram materialization; per-doc scoring joins "
+    "the instance stream to the (vocab-sized, broadcastable-at-scale) "
+    "model tables and means the log-probs per doc. Every bigram "
+    "probability is strictly positive by construction (c_ab >= 1 > D, "
+    "continuation mass > 0), so ln never sees zero.",
+)
+def corpus_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    inst = (
+        docs.select("doc_id", tokens_col(F.col("text")).alias("toks"))
+        .select("doc_id", F.explode(_kgrams_spark(2)).alias("gram"))
+        .select(
+            "doc_id",
+            F.split("gram", " ")[0].alias("a"),
+            F.split("gram", " ")[1].alias("b"),
+        )
+    )
+    big = inst.groupBy("a", "b").agg(F.count("*").alias("c_ab")).localCheckpoint(
+        eager=True
+    )
+    ctx = big.groupBy("a").agg(
+        F.sum("c_ab").alias("c_a"), F.count("*").alias("n_fol")
+    )
+    pre = big.groupBy("b").agg(F.count("*").alias("n_pre"))
+    t = big.agg(F.count("*").alias("n_types"))
+    d = F.lit(KN_D)
+    p = (F.col("c_ab") - d) / F.col("c_a") + (
+        d * F.col("n_fol") / F.col("c_a")
+    ) * (F.col("n_pre").cast("double") / F.col("n_types"))
+    return (
+        inst.join(big, ["a", "b"])
+        .join(F.broadcast(ctx), "a")
+        .join(F.broadcast(pre), "b")
+        .crossJoin(F.broadcast(t))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_bigrams"),
+            F.round(F.avg(F.log(p)), 6).alias("avg_logprob"),
+        )
+    )
