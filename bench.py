@@ -47,6 +47,11 @@ HEADLINE = (
     # round-2 flagship additions (CCNet-style line dedup, BM25 ranking)
     "corpus_line_dedup",
     "text_bm25_topk",
+    # round-3 flagship additions (fuzzy-dedup apply step, decontamination
+    # novelty); the rest of the round-3 surface carries sf1 evidence in
+    # PERF_sf1_newops_r3.json
+    "dedup_fuzzy_keep_best",
+    "corpus_ngram_novelty",
 )
 
 
