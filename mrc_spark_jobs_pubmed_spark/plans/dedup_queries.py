@@ -480,3 +480,68 @@ def dedup_fuzzy_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cluster_size",
         F.col("n_chars").alias("kept_chars"),
     )
+
+
+LSH_RECALL_TAU = 0.5  # ground-truth near-dup threshold (true Jaccard)
+
+
+@register(
+    "dedup_minhash_recall",
+    oracle=f"""
+WITH {D.minhash_ctes_sql()},
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band_id = b.band_id AND a.band_key = b.band_key
+   AND a.doc_id < b.doc_id
+),
+truth AS (
+  SELECT doc_a, doc_b FROM ({D.JACCARD_PAIRS_SQL})
+  WHERE jaccard >= {LSH_RECALL_TAU}
+),
+hit AS (SELECT doc_a, doc_b FROM truth INTERSECT SELECT doc_a, doc_b FROM cand)
+SELECT CAST(t.n AS BIGINT) AS n_true,
+       CAST(c.n AS BIGINT) AS n_cand,
+       CAST(h.n AS BIGINT) AS n_hit,
+       round(h.n::DOUBLE / nullif(t.n, 0), 6) AS recall
+FROM (SELECT count(*) AS n FROM truth) t,
+     (SELECT count(*) AS n FROM cand) c,
+     (SELECT count(*) AS n FROM hit) h
+""",
+    doc="MinHash-LSH banding recall, MEASURED against exact ground "
+    "truth: true near-dup pairs (shingle-set Jaccard >= 0.5 via the "
+    "exact shingle equi-join) vs the band-bucket candidate set — the "
+    "same measured-not-assumed contract sim_ann_recall gives the "
+    "vector index, applied to the dedup index. A recall drop after a "
+    "banding/shingle-width change shows up as a value change here, "
+    "not as silent under-deletion downstream. Both sides are "
+    "equi-join shaped (bands on band keys, truth on shingle hashes); "
+    "the three counts are 1-row aggregates cross-joined as "
+    "broadcasts.",
+)
+def dedup_minhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    truth = (
+        D.jaccard_pairs(D.shingle_rows(docs))
+        .where(F.col("jaccard") >= LSH_RECALL_TAU)
+        .select("doc_a", "doc_b")
+    )
+    cand = D.lsh_candidate_pairs(
+        D.minhash_band_keys(D.shingle_rows(docs, distinct=False))
+    ).select("doc_a", "doc_b")
+    hit = truth.intersect(cand)
+    n_true = truth.agg(F.count("*").cast("long").alias("n_true"))
+    n_cand = cand.agg(F.count("*").cast("long").alias("n_cand"))
+    n_hit = hit.agg(F.count("*").cast("long").alias("n_hit"))
+    return (
+        n_true.crossJoin(F.broadcast(n_cand))
+        .crossJoin(F.broadcast(n_hit))
+        .select(
+            "n_true",
+            "n_cand",
+            "n_hit",
+            F.round(
+                F.try_divide(F.col("n_hit").cast("double"), F.col("n_true")), 6
+            ).alias("recall"),
+        )
+    )

@@ -1065,3 +1065,104 @@ def sim_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "vec_id", "neighbor_id", F.round("cosine", 6).alias("cosine"), "rank"
     )
+
+
+# --- binary (1-bit) quantization + Hamming rerank ---------------------------
+
+BQ_PREFILTER = 100  # Hamming candidates kept before exact rerank
+BQ_TOP_K = 10
+
+
+def _packbits_sql(lo_dims: range) -> str:
+    terms = " + ".join(
+        f"(CASE WHEN embedding[{i}] > 0 THEN {1 << (i - lo_dims.start)} ELSE 0 END)"
+        for i in lo_dims
+    )
+    return f"CAST({terms} AS BIGINT)"
+
+
+def _packbits_col(lo_dims: range):
+    expr = None
+    for i in lo_dims:
+        term = F.when(
+            F.element_at(F.col("embedding"), i) > 0,
+            F.lit(1 << (i - lo_dims.start)),
+        ).otherwise(F.lit(0))
+        expr = term if expr is None else expr + term
+    return expr.cast("long")
+
+
+@register(
+    "sim_binary_rerank",
+    oracle=f"""
+WITH codes AS (
+  SELECT vec_id, embedding,
+         {_packbits_sql(range(1, 33))} AS code_lo,
+         {_packbits_sql(range(33, 65))} AS code_hi
+  FROM embeddings
+),
+q AS (SELECT embedding AS qe, code_lo AS qlo, code_hi AS qhi
+      FROM codes WHERE vec_id = {QUERY_VEC_ID}),
+ham AS (
+  SELECT vec_id, embedding, qe,
+         bit_count(xor(code_lo, qlo)) + bit_count(xor(code_hi, qhi)) AS hamming
+  FROM codes CROSS JOIN q
+  WHERE vec_id <> {QUERY_VEC_ID}
+),
+cand AS (
+  SELECT * FROM ham ORDER BY hamming, vec_id LIMIT {BQ_PREFILTER}
+)
+SELECT vec_id, CAST(hamming AS BIGINT) AS hamming,
+       round({S.cosine_sql('embedding', 'qe')}, 6) AS cosine
+FROM cand
+ORDER BY cosine DESC, vec_id
+LIMIT {BQ_TOP_K}
+""",
+    doc="Binary-quantized similarity search: each 64-d vector compresses "
+    "to 64 sign bits packed into two BIGINTs (32x smaller than float32); "
+    "the query prefilters to the 100 Hamming-nearest codes and reranks "
+    "ONLY those with exact cosine — the third standard ANN compression "
+    "path beside int8 (emb_int8_quantize) and PQ-ADC (sim_pq_adc_topk), "
+    "and the one vector stores default to for first-stage retrieval. "
+    "Scale: the code table is 16 bytes/vector, so the Hamming scan "
+    "touches ~2% of the float payload's bytes and both top-k cuts are "
+    "TakeOrderedAndProject; the float vectors are read only for the "
+    "100-row rerank (at production scale: a second pass keyed by the "
+    "candidate ids, never a full-width scan).",
+)
+def sim_binary_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, "embeddings", sf_dir)
+    codes = emb.select(
+        "vec_id",
+        "embedding",
+        _packbits_col(range(1, 33)).alias("code_lo"),
+        _packbits_col(range(33, 65)).alias("code_hi"),
+    )
+    q = codes.where(F.col("vec_id") == QUERY_VEC_ID).select(
+        F.col("embedding").alias("qe"),
+        F.col("code_lo").alias("qlo"),
+        F.col("code_hi").alias("qhi"),
+    )
+    ham = (
+        codes.where(F.col("vec_id") != QUERY_VEC_ID)
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            "embedding",
+            "qe",
+            (
+                F.bit_count(F.expr("code_lo ^ qlo"))
+                + F.bit_count(F.expr("code_hi ^ qhi"))
+            ).cast("long").alias("hamming"),
+        )
+    )
+    cand = ham.orderBy(F.asc("hamming"), F.asc("vec_id")).limit(BQ_PREFILTER)
+    return (
+        cand.select(
+            "vec_id",
+            "hamming",
+            F.round(S.cosine(F.col("embedding"), F.col("qe")), 6).alias("cosine"),
+        )
+        .orderBy(F.desc("cosine"), F.asc("vec_id"))
+        .limit(BQ_TOP_K)
+    )
