@@ -829,26 +829,32 @@ def text_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, "documents", sf_dir)
     toks = docs.select("doc_id", tokens_col(F.col("text")).alias("toks"))
-    # uni feeds three consumers (both probability lookups + the token
-    # total) and big feeds two (scores + the bigram total): checkpoint
-    # each vocabulary-sized aggregate once instead of replaying the
-    # corpus explode per branch.
-    uni = (
-        toks.select(F.explode("toks").alias("tok"))
-        .groupBy("tok")
+    # ONE corpus pass counts unigrams and bigrams together (tokens are
+    # non-space runs, so "contains a space" splits the combined vocab
+    # exactly), and ONE checkpoint serves every consumer — separate
+    # uni/big explode+agg passes measured 3.6s vs 2.8s combined at sf1,
+    # and each fed 2-3 branches that would otherwise replay the corpus
+    # explode.
+    comb = (
+        toks.select(
+            F.explode(
+                F.expr(
+                    "concat(toks, "
+                    "filter(zip_with(toks, slice(toks, 2, greatest(size(toks) - 1, 0)), "
+                    "(a, b) -> concat(a, ' ', b)), s -> s IS NOT NULL))"
+                )
+            ).alias("g")
+        )
+        .groupBy("g")
         .agg(F.count("*").alias("c"))
         .localCheckpoint(eager=True)
     )
-    totals = uni.agg(F.sum("c").cast("long").alias("n_tokens"))
-    bigram_arr = F.expr(
-        "filter(zip_with(toks, slice(toks, 2, greatest(size(toks) - 1, 0)), "
-        "(a, b) -> concat(a, ' ', b)), s -> s IS NOT NULL)"
+    uni = comb.where(~F.col("g").contains(" ")).select(
+        F.col("g").alias("tok"), F.col("c")
     )
-    big = (
-        toks.select(F.explode(bigram_arr).alias("bigram"))
-        .groupBy("bigram")
-        .agg(F.count("*").alias("c_ab"))
-        .localCheckpoint(eager=True)
+    totals = uni.agg(F.sum("c").cast("long").alias("n_tokens"))
+    big = comb.where(F.col("g").contains(" ")).select(
+        F.col("g").alias("bigram"), F.col("c").alias("c_ab")
     )
     btotals = big.agg(F.sum("c_ab").cast("long").alias("n_bigrams"))
     ua = uni.select(F.col("tok").alias("tok_a"), F.col("c").alias("c_a"))
