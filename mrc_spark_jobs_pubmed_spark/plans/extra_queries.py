@@ -1005,3 +1005,148 @@ def rel_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         "valid_to",
         F.col("valid_to").isNull().alias("is_current"),
     )
+
+
+@register(
+    "rel_data_quality",
+    oracle="""
+SELECT 'documents_text_null' AS check_name,
+       CAST(count(*) FILTER (WHERE text IS NULL) AS BIGINT) AS n_violations,
+       CAST(count(*) AS BIGINT) AS n_checked,
+       round(count(*) FILTER (WHERE text IS NULL)::DOUBLE / nullif(count(*), 0), 6)
+         AS violation_rate
+FROM documents
+UNION ALL
+SELECT 'documents_id_duplicate',
+       CAST(count(*) - count(DISTINCT doc_id) AS BIGINT),
+       CAST(count(*) AS BIGINT),
+       round((count(*) - count(DISTINCT doc_id))::DOUBLE / nullif(count(*), 0), 6)
+FROM documents
+UNION ALL
+SELECT 'documents_nchars_mismatch',
+       CAST(count(*) FILTER (WHERE length(text) IS DISTINCT FROM n_chars) AS BIGINT),
+       CAST(count(*) AS BIGINT),
+       round(count(*) FILTER (WHERE length(text) IS DISTINCT FROM n_chars)::DOUBLE
+             / nullif(count(*), 0), 6)
+FROM documents
+UNION ALL
+SELECT 'events_ts_null',
+       CAST(count(*) FILTER (WHERE ts IS NULL) AS BIGINT),
+       CAST(count(*) AS BIGINT),
+       round(count(*) FILTER (WHERE ts IS NULL)::DOUBLE / nullif(count(*), 0), 6)
+FROM events
+UNION ALL
+SELECT 'events_value_negative',
+       CAST(count(*) FILTER (WHERE value < 0) AS BIGINT),
+       CAST(count(*) AS BIGINT),
+       round(count(*) FILTER (WHERE value < 0)::DOUBLE / nullif(count(*), 0), 6)
+FROM events
+UNION ALL
+SELECT 'embeddings_dim_mismatch',
+       CAST(count(*) FILTER (WHERE len(embedding) <> 64) AS BIGINT),
+       CAST(count(*) AS BIGINT),
+       round(count(*) FILTER (WHERE len(embedding) <> 64)::DOUBLE
+             / nullif(count(*), 0), 6)
+FROM embeddings
+UNION ALL
+SELECT 'lineitem_orphan_orderkey',
+       CAST((SELECT count(*) FROM lineitem l
+             WHERE NOT EXISTS (SELECT 1 FROM orders o
+                               WHERE o.o_orderkey = l.l_orderkey)) AS BIGINT),
+       CAST((SELECT count(*) FROM lineitem) AS BIGINT),
+       round((SELECT count(*) FROM lineitem l
+              WHERE NOT EXISTS (SELECT 1 FROM orders o
+                                WHERE o.o_orderkey = l.l_orderkey))::DOUBLE
+             / nullif((SELECT count(*) FROM lineitem), 0), 6)
+UNION ALL
+SELECT 'orders_orphan_custkey',
+       CAST((SELECT count(*) FROM orders o
+             WHERE NOT EXISTS (SELECT 1 FROM customer c
+                               WHERE c.c_custkey = o.o_custkey)) AS BIGINT),
+       CAST((SELECT count(*) FROM orders) AS BIGINT),
+       round((SELECT count(*) FROM orders o
+              WHERE NOT EXISTS (SELECT 1 FROM customer c
+                                WHERE c.c_custkey = o.o_custkey))::DOUBLE
+             / nullif((SELECT count(*) FROM orders), 0), 6)
+""",
+    doc="Declarative data-quality validation (Deequ-style constraint "
+    "suite): completeness (NULL counts), uniqueness (key duplicates), "
+    "consistency (n_chars matches length(text)), range (non-negative "
+    "values), shape (embedding dimensionality), and referential "
+    "integrity (orphan foreign keys via anti-join) — reported as one "
+    "(check, violations, checked, rate) table. The gate a training "
+    "pipeline runs before consuming a snapshot: every check is either "
+    "a single-pass conditional aggregate (map-side partial, one 1-row "
+    "exchange per table scanned) or a broadcast anti-join count, so "
+    "the whole suite costs one scan per table at any corpus size.",
+)
+def rel_data_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    events = load_table(spark, "events", sf_dir)
+    emb = load_table(spark, "embeddings", sf_dir)
+    li = load_table(spark, "lineitem", sf_dir)
+    orders = load_table(spark, "orders", sf_dir)
+    cust = load_table(spark, "customer", sf_dir)
+
+    def check(df: DataFrame, name: str, bad) -> DataFrame:
+        return df.agg(
+            F.lit(name).alias("check_name"),
+            F.sum(F.when(bad, 1).otherwise(0)).cast("long").alias("n_violations"),
+            F.count("*").cast("long").alias("n_checked"),
+            F.round(
+                F.try_divide(
+                    F.sum(F.when(bad, 1).otherwise(0)).cast("double"),
+                    F.count("*"),
+                ),
+                6,
+            ).alias("violation_rate"),
+        )
+
+    dup = docs.agg(
+        F.lit("documents_id_duplicate").alias("check_name"),
+        (F.count("*") - F.count_distinct("doc_id")).cast("long").alias("n_violations"),
+        F.count("*").cast("long").alias("n_checked"),
+        F.round(
+            F.try_divide(
+                (F.count("*") - F.count_distinct("doc_id")).cast("double"),
+                F.count("*"),
+            ),
+            6,
+        ).alias("violation_rate"),
+    )
+
+    def orphans(child: DataFrame, name: str, key, parent: DataFrame, pkey) -> DataFrame:
+        missing = child.join(
+            F.broadcast(parent.select(pkey.alias("_pk")).distinct()),
+            key == F.col("_pk"),
+            "left_anti",
+        )
+        n_bad = missing.agg(F.count("*").cast("long").alias("nb"))
+        n_all = child.agg(F.count("*").cast("long").alias("na"))
+        return n_bad.crossJoin(F.broadcast(n_all)).select(
+            F.lit(name).alias("check_name"),
+            F.col("nb").alias("n_violations"),
+            F.col("na").alias("n_checked"),
+            F.round(F.try_divide(F.col("nb").cast("double"), F.col("na")), 6).alias(
+                "violation_rate"
+            ),
+        )
+
+    parts = [
+        check(docs, "documents_text_null", F.col("text").isNull()),
+        dup,
+        check(
+            docs,
+            "documents_nchars_mismatch",
+            ~F.length("text").eqNullSafe(F.col("n_chars")),
+        ),
+        check(events, "events_ts_null", F.col("ts").isNull()),
+        check(events, "events_value_negative", F.col("value") < 0),
+        check(emb, "embeddings_dim_mismatch", F.size("embedding") != 64),
+        orphans(li, "lineitem_orphan_orderkey", F.col("l_orderkey"), orders, F.col("o_orderkey")),
+        orphans(orders, "orders_orphan_custkey", F.col("o_custkey"), cust, F.col("c_custkey")),
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
