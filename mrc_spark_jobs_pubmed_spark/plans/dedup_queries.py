@@ -521,14 +521,22 @@ FROM (SELECT count(*) AS n FROM truth) t,
 )
 def dedup_minhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, "documents", sf_dir)
+    # truth and cand are tiny pair sets each consumed twice (their own
+    # count + the intersect); checkpointing stops the shingle/band
+    # subtrees re-evaluating per consumer (56 -> ~10 exchanges).
     truth = (
         D.jaccard_pairs(D.shingle_rows(docs))
         .where(F.col("jaccard") >= LSH_RECALL_TAU)
         .select("doc_a", "doc_b")
+        .localCheckpoint(eager=True)
     )
-    cand = D.lsh_candidate_pairs(
-        D.minhash_band_keys(D.shingle_rows(docs, distinct=False))
-    ).select("doc_a", "doc_b")
+    cand = (
+        D.lsh_candidate_pairs(
+            D.minhash_band_keys(D.shingle_rows(docs, distinct=False))
+        )
+        .select("doc_a", "doc_b")
+        .localCheckpoint(eager=True)
+    )
     hit = truth.intersect(cand)
     n_true = truth.agg(F.count("*").cast("long").alias("n_true"))
     n_cand = cand.agg(F.count("*").cast("long").alias("n_cand"))
