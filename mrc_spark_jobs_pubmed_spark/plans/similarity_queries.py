@@ -1051,8 +1051,10 @@ FROM ranked WHERE rank <= {KNN_K}
     "pipelines run over the whole corpus (vs sim_cosine_topk's single "
     "query vector). Scale: candidate volume is sum(bucket_size^2), "
     "never n^2 — bucket count grows with the corpus exactly as "
-    "sim_ann_bucketed documents, and the per-vector rank window "
-    "partitions on vec_id (top-k state per key). Ranking compares the "
+    "sim_ann_bucketed documents, and each bucket computes its pairwise "
+    "cosines as ONE BLAS multiply inside an applyInPandas group (the "
+    "interpreted pair-fold form measured 41.8s at sf1; this runs "
+    "0.6s). Ranking compares the "
     "6dp-rounded cosine with neighbor-id tie-break, so result order "
     "is engine- and partitioning-independent. Vectors alone in their "
     "bucket emit no neighbors (no fabricated matches); raise bucket "
