@@ -98,7 +98,7 @@ def sim_ann_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(S.bucket_id(F.col("embedding")) == F.col("_qbucket"))
         .select(
             "vec_id",
-            F.round(S.cosine(F.col("embedding"), F.col("_qe")), 6).alias("cosine"),
+            F.round(S.cosine_named("embedding", "_qe"), 6).alias("cosine"),
         )
         .orderBy(F.desc("cosine"), F.asc("vec_id"))
         .limit(TOP_K)
@@ -713,7 +713,7 @@ def emb_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         F.round("scale", 6).alias("scale"),
         F.round(l2_err, 6).alias("l2_err"),
-        F.round(S.cosine(F.col("e"), F.col("d")), 6).alias("cos_orig_deq"),
+        F.round(S.cosine_named("e", "d"), 6).alias("cos_orig_deq"),
     )
 
 
@@ -1163,7 +1163,7 @@ def sim_binary_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         cand.select(
             "vec_id",
             "hamming",
-            F.round(S.cosine(F.col("embedding"), F.col("qe")), 6).alias("cosine"),
+            F.round(S.cosine_named("embedding", "qe"), 6).alias("cosine"),
         )
         .orderBy(F.desc("cosine"), F.asc("vec_id"))
         .limit(BQ_TOP_K)
