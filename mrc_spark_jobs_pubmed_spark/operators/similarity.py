@@ -163,10 +163,13 @@ def brp_lsh_buckets(df: DataFrame, bucket_length: float = 2.0, seed: int = 42) -
     )
 
 
+TILE_TARGET_ROWS = 2500  # rows per GEMM block: tile <= 2500^2 * 8B = 50 MB
+
+
 def topk_pairs_blocked(
     df: DataFrame,
     k: int = 50,
-    n_blocks: int = 4,
+    n_blocks: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
@@ -191,6 +194,14 @@ def topk_pairs_blocked(
     import pandas as pd
 
     spark = df.sparkSession
+    if n_blocks is None:
+        # B must GROW with n or the tiles do not fit: at 100k vectors a
+        # fixed B=4 means 25k x 25k float64 tiles (5 GB each) — measured
+        # as a hang at sf5. One metadata-cheap count sizes B so each
+        # tile stays ~50 MB; replication factor is B, tile count
+        # B(B+1)/2 — both bounded and uniform by construction.
+        n = df.count()
+        n_blocks = max(4, -(-n // TILE_TARGET_ROWS))
     rep_rows = []
     for p in range(n_blocks):
         for q in range(p, n_blocks):

@@ -123,7 +123,7 @@ def sim_neardup_top_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # over-fetch (50+16) unrounded candidates from the blocked exact
     # operator, then re-rank at the oracle's 6dp rounding so boundary
     # ties resolve identically on both engines
-    cands = S.topk_pairs_blocked(emb, k=66, n_blocks=4)
+    cands = S.topk_pairs_blocked(emb, k=66)
     return (
         cands.select("vec_a", "vec_b", F.round("cosine", 6).alias("cosine"))
         .orderBy(F.desc("cosine"), F.asc("vec_a"), F.asc("vec_b"))
