@@ -94,7 +94,12 @@ def topk_cosine(df: DataFrame, query_vec: list[float], k: int = 10) -> DataFrame
     q = F.array(*[F.lit(float(v)) for v in query_vec])
     return (
         df.select("vec_id", "embedding", q.alias("_q"))
-        .select("vec_id", F.round(cosine_named("embedding", "_q"), 6).alias("cosine"))
+        .select(
+            "vec_id",
+            F.round(
+                cosine_named("embedding", "_q", dim=len(query_vec)), 6
+            ).alias("cosine"),
+        )
         .orderBy(F.desc("cosine"), F.asc("vec_id"))
         .limit(k)
     )
