@@ -299,6 +299,7 @@ def kmeans_centroids(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dim: int | None = None,
+    train_mod: int = 1,
 ) -> DataFrame:
     """Trained Lloyd codebook as a DataFrame: (cid, c array<double>).
 
@@ -315,8 +316,20 @@ def kmeans_centroids(
     array-lambda folds.
     """
     e = emb.select(F.col(id_col).alias("vec_id"), _dvec(F.col(vec_col)).alias("v"))
-    cents = e.filter(F.col("vec_id") < k).select(
-        F.col("vec_id").cast("int").alias("cid"), F.col("v").alias("c")
+    if train_mod > 1:
+        # FAISS-style sample training: Lloyd iterations see a
+        # deterministic 1/train_mod id-slice; only the FINAL assignment
+        # touches the full corpus. Training cost becomes O(sample) per
+        # iteration instead of O(corpus) — at 100 TB nobody trains a
+        # coarse quantizer on every row. The slice is id-hash
+        # deterministic, so the oracle mirrors it exactly.
+        e = e.filter(F.col("vec_id") % train_mod == 0)
+    # init = the k LOWEST ids present in the training slice (not ids
+    # < k, which under-counts when a slice filter is active)
+    cents = (
+        e.orderBy("vec_id")
+        .limit(k)
+        .select(F.col("vec_id").cast("int").alias("cid"), F.col("v").alias("c"))
     )
     for _ in range(iters):
         assigned = (
@@ -371,6 +384,7 @@ def kmeans_assign(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dim: int | None = None,
+    train_mod: int = 1,
 ) -> DataFrame:
     """Lloyd's k-means as pure DataFrame ops: (vec_id, cid, d).
 
@@ -379,7 +393,8 @@ def kmeans_assign(
     ANN probing, with k ≈ sqrt(n) at scale.
     """
     cents = kmeans_centroids(
-        emb, k=k, iters=iters, id_col=id_col, vec_col=vec_col, dim=dim
+        emb, k=k, iters=iters, id_col=id_col, vec_col=vec_col, dim=dim,
+        train_mod=train_mod,
     )
     return assign_to_centroids(emb, cents, id_col=id_col, vec_col=vec_col, dim=dim)
 

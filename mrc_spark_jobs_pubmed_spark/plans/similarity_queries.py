@@ -291,25 +291,31 @@ KMEANS_K = 8
 KMEANS_ITERS = 2
 
 
+KMEANS_TRAIN_MOD = 4  # Lloyd trains on the deterministic 1/4 id-slice
+
+
 def _kmeans_sql() -> str:
     """Unrolled Lloyd iterations as CTEs — deterministic init (lowest-k
     ids), struct-min assignment (distance then cid tie-break), exact
-    mirror of operators.similarity.kmeans_assign."""
+    mirror of operators.similarity.kmeans_assign. Training CTEs run on
+    the same 1/KMEANS_TRAIN_MOD id-slice the engine trains on; only
+    the final assignment scans the full table."""
     dim = 64
     ctes = [
         "e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)",
-        f"c0 AS (SELECT CAST(vec_id AS INT) AS cid, v AS c FROM e WHERE vec_id < {KMEANS_K})",
+        f"et AS (SELECT * FROM e WHERE vec_id % {KMEANS_TRAIN_MOD} = 0)",
+        f"c0 AS (SELECT CAST(vec_id AS INT) AS cid, v AS c FROM et ORDER BY vec_id LIMIT {KMEANS_K})",
     ]
     for it in range(KMEANS_ITERS):
         ctes.append(
-            f"a{it} AS (SELECT e.vec_id, "
-            f"min({{'d': list_distance(e.v, c{it}.c), 'cid': c{it}.cid}}).cid AS cid "
-            f"FROM e CROSS JOIN c{it} GROUP BY e.vec_id)"
+            f"a{it} AS (SELECT et.vec_id, "
+            f"min({{'d': list_distance(et.v, c{it}.c), 'cid': c{it}.cid}}).cid AS cid "
+            f"FROM et CROSS JOIN c{it} GROUP BY et.vec_id)"
         )
         ctes.append(
             f"c{it + 1} AS (SELECT cid, list(m ORDER BY i) AS c FROM ("
-            f"SELECT a{it}.cid AS cid, t.i AS i, avg(e.v[t.i]) AS m "
-            f"FROM a{it} JOIN e USING (vec_id) CROSS JOIN range(1, {dim + 1}) t(i) "
+            f"SELECT a{it}.cid AS cid, t.i AS i, avg(et.v[t.i]) AS m "
+            f"FROM a{it} JOIN et USING (vec_id) CROSS JOIN range(1, {dim + 1}) t(i) "
             f"GROUP BY a{it}.cid, t.i) GROUP BY cid)"
         )
     last = f"c{KMEANS_ITERS}"
@@ -339,7 +345,9 @@ FROM fin GROUP BY m.cid
 )
 def sim_kmeans_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, "embeddings", sf_dir)
-    assigned = S.kmeans_assign(emb, k=KMEANS_K, iters=KMEANS_ITERS, dim=64)
+    assigned = S.kmeans_assign(
+        emb, k=KMEANS_K, iters=KMEANS_ITERS, dim=64, train_mod=KMEANS_TRAIN_MOD
+    )
     return assigned.groupBy(F.col("cid").alias("cluster_id")).agg(
         F.count("*").alias("n_vecs"),
         F.min("vec_id").alias("min_vec"),
