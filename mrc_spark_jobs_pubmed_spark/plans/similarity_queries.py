@@ -358,6 +358,7 @@ def sim_kmeans_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- product quantization (4 x 16-dim subspaces, 8 codes each) -------------
 
 PQ_M = 4  # subspaces
+PQ_TRAIN_MOD = 4  # Lloyd trains on the deterministic 1/4 id-slice
 PQ_SUBDIM = 16  # dims per subspace (4 x 16 = 64)
 PQ_K = 8  # codes per subspace
 PQ_ITERS = 2
@@ -374,19 +375,20 @@ def _pq_subspace_ctes(m: int) -> tuple[list[str], str]:
     ctes = [
         f"e{s} AS (SELECT vec_id, (CAST(embedding AS DOUBLE[]))[{lo}:{hi}] AS v"
         " FROM embeddings)",
-        f"c0{s} AS (SELECT CAST(vec_id AS INT) AS cid, v AS c FROM e{s}"
-        f" WHERE vec_id < {PQ_K})",
+        f"et{s} AS (SELECT * FROM e{s} WHERE vec_id % {PQ_TRAIN_MOD} = 0)",
+        f"c0{s} AS (SELECT CAST(vec_id AS INT) AS cid, v AS c FROM et{s}"
+        f" ORDER BY vec_id LIMIT {PQ_K})",
     ]
     for it in range(PQ_ITERS):
         ctes.append(
-            f"a{it}{s} AS (SELECT e{s}.vec_id, "
-            f"min({{'d': list_distance(e{s}.v, c{it}{s}.c), 'cid': c{it}{s}.cid}}).cid AS cid "
-            f"FROM e{s} CROSS JOIN c{it}{s} GROUP BY e{s}.vec_id)"
+            f"a{it}{s} AS (SELECT et{s}.vec_id, "
+            f"min({{'d': list_distance(et{s}.v, c{it}{s}.c), 'cid': c{it}{s}.cid}}).cid AS cid "
+            f"FROM et{s} CROSS JOIN c{it}{s} GROUP BY et{s}.vec_id)"
         )
         ctes.append(
             f"c{it + 1}{s} AS (SELECT cid, list(m ORDER BY i) AS c FROM ("
-            f"SELECT a{it}{s}.cid AS cid, t.i AS i, avg(e{s}.v[t.i]) AS m "
-            f"FROM a{it}{s} JOIN e{s} USING (vec_id) CROSS JOIN range(1, {PQ_SUBDIM + 1}) t(i) "
+            f"SELECT a{it}{s}.cid AS cid, t.i AS i, avg(et{s}.v[t.i]) AS m "
+            f"FROM a{it}{s} JOIN et{s} USING (vec_id) CROSS JOIN range(1, {PQ_SUBDIM + 1}) t(i) "
             f"GROUP BY a{it}{s}.cid, t.i) GROUP BY cid)"
         )
     last = f"c{PQ_ITERS}{s}"
@@ -443,7 +445,9 @@ def emb_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "embedding"
             ),
         )
-        a = S.kmeans_assign(sub, k=PQ_K, iters=PQ_ITERS, dim=PQ_SUBDIM).select(
+        a = S.kmeans_assign(
+            sub, k=PQ_K, iters=PQ_ITERS, dim=PQ_SUBDIM, train_mod=PQ_TRAIN_MOD
+        ).select(
             "vec_id",
             F.col("cid").alias(f"c{m}"),
             (F.col("d") * F.col("d")).alias(f"_d2_{m}"),
@@ -528,12 +532,19 @@ def _adc_scores(emb: DataFrame):
         ).alias("p"),
     ).select("vec_id", F.col("p.m").alias("m"), F.col("p.sv").alias("sv"))
 
-    cents = subs.filter(F.col("vec_id") < PQ_K).select(
+    # Lloyd trains on the deterministic 1/PQ_TRAIN_MOD id-slice (FAISS
+    # sample-training; the full corpus is only assigned once, below);
+    # init = the PQ_K lowest ids present in the slice.
+    subs_t = subs.filter(F.col("vec_id") % PQ_TRAIN_MOD == 0)
+    init_ids = (
+        subs_t.select("vec_id").distinct().orderBy("vec_id").limit(PQ_K)
+    )
+    cents = subs_t.join(F.broadcast(init_ids), "vec_id").select(
         "m", F.col("vec_id").cast("int").alias("cid"), F.col("sv").alias("c")
     )
     for _ in range(PQ_ITERS):
         assigned = (
-            subs.join(F.broadcast(cents), "m")
+            subs_t.join(F.broadcast(cents), "m")
             .select(
                 "vec_id", "m", "sv", "cid", S.l2dist(F.col("sv"), F.col("c"), PQ_SUBDIM).alias("d")
             )
@@ -919,19 +930,20 @@ def _coarse_ctes() -> list[str]:
     dim = 64
     ctes = [
         "e_g AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)",
-        f"c0_g AS (SELECT CAST(vec_id AS INT) AS cid, v AS c FROM e_g"
-        f" WHERE vec_id < {KMEANS_K})",
+        f"et_g AS (SELECT * FROM e_g WHERE vec_id % {KMEANS_TRAIN_MOD} = 0)",
+        f"c0_g AS (SELECT CAST(vec_id AS INT) AS cid, v AS c FROM et_g"
+        f" ORDER BY vec_id LIMIT {KMEANS_K})",
     ]
     for it in range(KMEANS_ITERS):
         ctes.append(
-            f"a{it}_g AS (SELECT e_g.vec_id, "
-            f"min({{'d': list_distance(e_g.v, c{it}_g.c), 'cid': c{it}_g.cid}}).cid AS cid "
-            f"FROM e_g CROSS JOIN c{it}_g GROUP BY e_g.vec_id)"
+            f"a{it}_g AS (SELECT et_g.vec_id, "
+            f"min({{'d': list_distance(et_g.v, c{it}_g.c), 'cid': c{it}_g.cid}}).cid AS cid "
+            f"FROM et_g CROSS JOIN c{it}_g GROUP BY et_g.vec_id)"
         )
         ctes.append(
             f"c{it + 1}_g AS (SELECT cid, list(m ORDER BY i) AS c FROM ("
-            f"SELECT a{it}_g.cid AS cid, t.i AS i, avg(e_g.v[t.i]) AS m "
-            f"FROM a{it}_g JOIN e_g USING (vec_id) CROSS JOIN range(1, {dim + 1}) t(i) "
+            f"SELECT a{it}_g.cid AS cid, t.i AS i, avg(et_g.v[t.i]) AS m "
+            f"FROM a{it}_g JOIN et_g USING (vec_id) CROSS JOIN range(1, {dim + 1}) t(i) "
             f"GROUP BY a{it}_g.cid, t.i) GROUP BY cid)"
         )
     last = f"c{KMEANS_ITERS}_g"
@@ -1006,7 +1018,10 @@ def sim_ivf_pq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     # lazily each would re-run Lloyd training). At scale this IS the
     # "build the IVF index" step: computed once, reused per query.
     coarse = (
-        S.kmeans_assign(emb, k=KMEANS_K, iters=KMEANS_ITERS, dim=64)
+        S.kmeans_assign(
+            emb, k=KMEANS_K, iters=KMEANS_ITERS, dim=64,
+            train_mod=KMEANS_TRAIN_MOD,
+        )
         .select("vec_id", "cid")
         .localCheckpoint()
     )
