@@ -1191,3 +1191,77 @@ def sim_binary_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("cosine"), F.asc("vec_id"))
         .limit(BQ_TOP_K)
     )
+
+
+@register(
+    "sim_ivfpq_recall",
+    oracle=f"""
+WITH ivf AS (
+  SELECT vec_id FROM ({_ivf_pq_sql()})
+),
+exact AS (
+  SELECT e.vec_id
+  FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings) e
+  CROSS JOIN (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings
+              WHERE vec_id = {QUERY_VEC_ID}) q
+  WHERE e.vec_id <> {QUERY_VEC_ID}
+  ORDER BY list_distance(e.v, q.qv), e.vec_id
+  LIMIT {IVFPQ_TOP_K}
+),
+hit AS (SELECT vec_id FROM ivf INTERSECT SELECT vec_id FROM exact)
+SELECT CAST((SELECT count(*) FROM exact) AS BIGINT) AS n_exact,
+       CAST((SELECT count(*) FROM ivf) AS BIGINT) AS n_ivfpq,
+       CAST((SELECT count(*) FROM hit) AS BIGINT) AS n_hit,
+       round((SELECT count(*) FROM hit)::DOUBLE
+             / nullif((SELECT count(*) FROM exact), 0), 6) AS recall
+""",
+    doc="IVF-PQ recall, MEASURED against the exact L2 top-k: the "
+    "composite index's top-10 (coarse routing + 4-byte ADC ranking) "
+    "intersected with the true nearest neighbors — closing the recall "
+    "triad (sim_ann_recall measures the sign-bit bucketing, "
+    "dedup_minhash_recall the LSH banding, this the two-level "
+    "quantized index). Losses decompose into routing misses (neighbor "
+    "in another coarse cell) and quantization error (ADC misranks "
+    "within the cell); a probe-width or codebook-size change shows up "
+    "as a value change here, not as silently worse search. The exact "
+    "comparator is one codegen'd distance scan + TakeOrdered; the "
+    "counts are 1-row broadcast aggregates.",
+)
+def sim_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, "embeddings", sf_dir)
+    # both small result sets feed two consumers (their count + the
+    # intersect); checkpoint so the IVF-PQ pipeline and the exact scan
+    # run once each
+    ivf = sim_ivf_pq_search(spark, sf_dir).select("vec_id").localCheckpoint()
+    q = F.broadcast(
+        emb.filter(F.col("vec_id") == QUERY_VEC_ID).select(
+            F.col("embedding").alias("_qe")
+        )
+    )
+    exact = (
+        emb.filter(F.col("vec_id") != QUERY_VEC_ID)
+        .join(q)
+        .select(
+            "vec_id", S.l2dist(F.col("embedding"), F.col("_qe"), dim=64).alias("d")
+        )
+        .orderBy(F.asc("d"), F.asc("vec_id"))
+        .limit(IVFPQ_TOP_K)
+        .select("vec_id")
+        .localCheckpoint()
+    )
+    hit = exact.intersect(ivf)
+    n_exact = exact.agg(F.count("*").cast("long").alias("n_exact"))
+    n_ivf = ivf.agg(F.count("*").cast("long").alias("n_ivfpq"))
+    n_hit = hit.agg(F.count("*").cast("long").alias("n_hit"))
+    return (
+        n_exact.crossJoin(F.broadcast(n_ivf))
+        .crossJoin(F.broadcast(n_hit))
+        .select(
+            "n_exact",
+            "n_ivfpq",
+            "n_hit",
+            F.round(
+                F.try_divide(F.col("n_hit").cast("double"), F.col("n_exact")), 6
+            ).alias("recall"),
+        )
+    )
