@@ -968,3 +968,67 @@ def corpus_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg(F.log(p)), 6).alias("avg_logprob"),
         )
     )
+
+
+# --- deterministic augmentation (token dropout) ------------------------------
+
+
+@register(
+    "corpus_augment_dropout",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, {_TOKS_SQL} AS toks FROM documents
+),
+kept AS (
+  SELECT doc_id, toks,
+         list_filter(list_transform(toks, (x, i) -> {{'t': x, 'p': i}}),
+                     s -> substr(md5(CAST(doc_id AS VARCHAR) || ':' ||
+                                      CAST(s.p AS VARCHAR)), 1, 1) <> '0')
+           AS kept
+  FROM toks
+)
+SELECT doc_id,
+       CAST(len(toks) AS BIGINT) AS n_tokens,
+       CAST(len(toks) - len(kept) AS BIGINT) AS n_dropped,
+       array_to_string(list_transform(kept, s -> s.t), ' ') AS aug_text
+FROM kept
+""",
+    doc="Deterministic data augmentation: token dropout gated by "
+    "md5(doc_id:position) — ~1/16 of tokens drop, the word-dropout "
+    "regularization an LLM pipeline applies to oversampled slices. No "
+    "RNG state: the same (doc, position) drops on every run, every "
+    "partitioning, every engine — augmented corpora are diffable and "
+    "resumable exactly like the deterministic-hash sampler. Zero "
+    "shuffle, pure row-local array expressions; scales linearly with "
+    "splits.",
+)
+def corpus_augment_dropout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    kept_expr = (
+        "filter(transform(toks, (x, i) -> named_struct('t', x, 'p', i + 1)), "
+        "s -> substring(md5(concat(CAST(doc_id AS STRING), ':', "
+        "CAST(s.p AS STRING))), 1, 1) != '0')"
+    )
+    # NULL text => NULL outputs (Spark's size(NULL) is -1, not NULL —
+    # guard so both engines agree on the degenerate contract)
+    out_expr = (
+        f"named_struct("
+        f"'n_tokens', IF(toks IS NULL, CAST(NULL AS BIGINT), CAST(size(toks) AS BIGINT)), "
+        f"'n_dropped', IF(toks IS NULL, CAST(NULL AS BIGINT), CAST(size(toks) - size(kept) AS BIGINT)), "
+        f"'aug_text', array_join(transform(kept, s -> s.t), ' '))"
+    )
+    # bind `kept` once as a lambda var + generator barrier (the
+    # CollapseProject re-evaluation trap — see ta_winnow_fingerprint)
+    full = (
+        f"explode(array(transform(array({kept_expr}), "
+        f"kept -> {out_expr})[0]))"
+    )
+    o = docs.select(
+        "doc_id", tokens_col(F.col("text")).alias("toks")
+    ).select("doc_id", F.expr(full).alias("o"))
+    return o.select(
+        "doc_id",
+        F.col("o.n_tokens").alias("n_tokens"),
+        F.col("o.n_dropped").alias("n_dropped"),
+        F.col("o.aug_text").alias("aug_text"),
+    )

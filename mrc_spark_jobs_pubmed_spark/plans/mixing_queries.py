@@ -297,3 +297,68 @@ def corpus_mix_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(p_temp / F.col("share"), 6).alias("epochs"),
         F.round(p_temp * F.col("total_docs"), 0).cast("long").alias("docs_per_epoch"),
     )
+
+
+# --- curriculum ordering ------------------------------------------------------
+
+CURR_STAGES = 4  # easy -> hard training stages
+
+
+@register(
+    "corpus_curriculum_order",
+    oracle=f"""
+WITH scored AS (
+  SELECT doc_id,
+         CASE WHEN text IS NULL THEN NULL
+              ELSE round(206.835
+                   - 1.015 * (len(regexp_extract_all(text, '\\S+'))::DOUBLE
+                              / greatest(len(regexp_extract_all(text, '[.!?]+')), 1))
+                   - 84.6 * (len(regexp_extract_all(lower(text), '[aeiouy]+'))::DOUBLE
+                             / greatest(len(regexp_extract_all(text, '\\S+')), 1)), 4)
+         END AS flesch
+  FROM documents
+),
+staged AS (
+  SELECT doc_id, flesch,
+         ntile({CURR_STAGES}) OVER (ORDER BY flesch DESC, doc_id) AS stage
+  FROM scored
+)
+SELECT doc_id, flesch, CAST(stage AS BIGINT) AS stage,
+       CAST(row_number() OVER (
+              PARTITION BY stage
+              ORDER BY substr(md5(CAST(doc_id AS VARCHAR)), 1, 8), doc_id)
+            AS BIGINT) AS stage_rank
+FROM staged
+""",
+    doc="Curriculum data ordering: docs bucket into 4 training stages by "
+    "readability (easiest = highest Flesch first — the canonical "
+    "easy-to-hard curriculum), and WITHIN each stage the feed order is "
+    "a deterministic md5 shuffle (sequential difficulty, shuffled "
+    "content — ordered-by-source batches destabilize training). "
+    "Scale: ntile needs a total order — at fixture scale one global "
+    "sort; at 100 TB the stage boundary comes from approx_percentile "
+    "cutpoints (the rel_approx_percentile machinery) with the same "
+    "downstream shape — and the within-stage rank partitions by stage, "
+    "reusing hash-shuffle state of stage-sized slices.",
+)
+def corpus_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from mrc_spark_jobs_pubmed_spark.plans.analysis_queries import ta_readability
+
+    scored = ta_readability(spark, sf_dir).select("doc_id", "flesch")
+    w_all = Window.orderBy(F.desc("flesch"), F.asc("doc_id"))
+    staged = scored.select(
+        "doc_id",
+        "flesch",
+        F.ntile(CURR_STAGES).over(w_all).cast("long").alias("stage"),
+    )
+    w_stage = Window.partitionBy("stage").orderBy(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), F.asc("doc_id")
+    )
+    return staged.select(
+        "doc_id",
+        "flesch",
+        "stage",
+        F.row_number().over(w_stage).cast("long").alias("stage_rank"),
+    )
