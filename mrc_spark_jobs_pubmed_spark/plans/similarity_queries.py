@@ -294,12 +294,14 @@ KMEANS_ITERS = 2
 KMEANS_TRAIN_MOD = 4  # Lloyd trains on the deterministic 1/4 id-slice
 
 
-def _kmeans_sql() -> str:
-    """Unrolled Lloyd iterations as CTEs — deterministic init (lowest-k
-    ids), struct-min assignment (distance then cid tie-break), exact
-    mirror of operators.similarity.kmeans_assign. Training CTEs run on
-    the same 1/KMEANS_TRAIN_MOD id-slice the engine trains on; only
-    the final assignment scans the full table."""
+def _kmeans_assign_ctes() -> str:
+    """Unrolled Lloyd iterations as CTE text ending in
+    fin(vec_id, m{d, cid}) — deterministic init (lowest-k ids in the
+    training slice), struct-min assignment (distance then cid
+    tie-break), exact mirror of operators.similarity.kmeans_assign.
+    Training CTEs run on the same 1/KMEANS_TRAIN_MOD id-slice the
+    engine trains on; only the final assignment scans the full table.
+    Shared by the k-means query and the embedding-outlier oracle."""
     dim = 64
     ctes = [
         "e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)",
@@ -320,12 +322,18 @@ def _kmeans_sql() -> str:
         )
     last = f"c{KMEANS_ITERS}"
     return (
-        "WITH " + ",\n".join(ctes) + f""",
+        ",\n".join(ctes) + f""",
 fin AS (
   SELECT e.vec_id,
          min({{'d': list_distance(e.v, {last}.c), 'cid': {last}.cid}}) AS m
   FROM e CROSS JOIN {last} GROUP BY e.vec_id
-)
+)"""
+    )
+
+
+def _kmeans_sql() -> str:
+    return (
+        "WITH " + _kmeans_assign_ctes() + """
 SELECT m.cid AS cluster_id, count(*) AS n_vecs, min(vec_id) AS min_vec,
        round(avg(m.d), 6) AS avg_dist
 FROM fin GROUP BY m.cid
@@ -1263,5 +1271,65 @@ def sim_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(
                 F.try_divide(F.col("n_hit").cast("double"), F.col("n_exact")), 6
             ).alias("recall"),
+        )
+    )
+
+
+# --- embedding outlier detection ---------------------------------------------
+
+OUTLIER_Z = 2.0  # flag vectors beyond mean + 2 sigma of their cluster
+
+
+@register(
+    "emb_outlier_detection",
+    oracle="WITH " + _kmeans_assign_ctes() + f""",
+stats AS (
+  SELECT m.cid AS cid,
+         avg(m.d) AS mu,
+         stddev_pop(m.d) AS sigma,
+         count(*) AS n_cluster
+  FROM fin GROUP BY m.cid
+)
+SELECT f.vec_id,
+       CAST(f.m.cid AS BIGINT) AS cluster_id,
+       round(f.m.d, 6) AS dist,
+       round((f.m.d - s.mu) / nullif(s.sigma, 0), 6) AS zscore,
+       CAST(s.n_cluster AS BIGINT) AS n_cluster
+FROM fin f JOIN stats s ON s.cid = f.m.cid
+WHERE s.sigma > 0 AND (f.m.d - s.mu) / s.sigma > {OUTLIER_Z}
+""",
+    doc="Embedding-space outlier detection: vectors whose distance to "
+    "their (sample-trained) cluster centroid exceeds mean + 2 sigma of "
+    "the cluster — the noise-pruning sibling of SemDeDup (corrupt "
+    "docs, encoding failures, and off-distribution content land far "
+    "from every centroid). Reuses the IVF coarse assignment; the "
+    "per-cluster moment stats are a k-row aggregate broadcast back to "
+    "the assignment stream, so flagging costs one map-side join over "
+    "the (vec_id, cid, d) table the index build already produced. "
+    "Population stddev (exact sums) keeps the z-score cross-engine "
+    "deterministic at 6dp.",
+)
+def emb_outlier_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as _W  # noqa: F401
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    assigned = S.kmeans_assign(
+        emb, k=KMEANS_K, iters=KMEANS_ITERS, dim=64, train_mod=KMEANS_TRAIN_MOD
+    )
+    stats = assigned.groupBy("cid").agg(
+        F.avg("d").alias("mu"),
+        F.stddev_pop("d").alias("sigma"),
+        F.count("*").alias("n_cluster"),
+    )
+    j = assigned.join(F.broadcast(stats), "cid")
+    z = (F.col("d") - F.col("mu")) / F.col("sigma")
+    return (
+        j.where((F.col("sigma") > 0) & (z > OUTLIER_Z))
+        .select(
+            "vec_id",
+            F.col("cid").cast("long").alias("cluster_id"),
+            F.round("d", 6).alias("dist"),
+            F.round(z, 6).alias("zscore"),
+            F.col("n_cluster").cast("long").alias("n_cluster"),
         )
     )
