@@ -250,14 +250,25 @@ def topk_pairs_blocked(
             keep = ia < ib
             va, vb, sims = va[keep], vb[keep], sims[keep]
         if len(sims) > k:
-            idx = np.argpartition(-sims, k)[:k]
+            # cut by the FINAL ordering (6dp-rounded cosine desc, then
+            # ids) — an argpartition on raw floats picks arbitrary
+            # members of large tie groups (clone-heavy data puts
+            # millions of pairs at cosine 1.0 +/- ulp), and the global
+            # merge can then miss the lexicographically-first pairs
+            # (caught by the sf1 oracle sweep)
+            r = np.round(sims, 6)
+            idx = np.lexsort((vb, va, -r))[:k]
             va, vb, sims = va[idx], vb[idx], sims[idx]
         return pd.DataFrame({"vec_a": va, "vec_b": vb, "cosine": sims})
 
     candidates = grouped.groupBy("pair").applyInPandas(
         tile_topk, "vec_a long, vec_b long, cosine double"
     )
-    return candidates.orderBy(F.desc("cosine"), F.asc("vec_a"), F.asc("vec_b")).limit(k)
+    # same rounded ordering as the tile cut — raw-float ordering here
+    # would reshuffle tie groups the tiles already cut consistently
+    return candidates.orderBy(
+        F.desc(F.round("cosine", 6)), F.asc("vec_a"), F.asc("vec_b")
+    ).limit(k)
 
 
 # --- euclidean distance / k-means IVF / semantic dedup ---------------------

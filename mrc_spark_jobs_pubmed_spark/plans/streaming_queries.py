@@ -23,7 +23,7 @@ SELECT CAST(time_bucket(INTERVAL '5 minutes', ts) AS TIMESTAMP) AS wstart,
        CAST(time_bucket(INTERVAL '5 minutes', ts) + INTERVAL '5 minutes' AS TIMESTAMP) AS wend,
        event_type,
        count(*) AS n,
-       round(sum(value), 4) AS value_sum
+       round(sum(CAST(round(value * 10000) AS BIGINT)) / 10000.0, 4) AS value_sum
 FROM events
 GROUP BY 1, 2, 3
 """,
@@ -39,7 +39,7 @@ def stream_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT CAST(wstart AS TIMESTAMP) AS wstart, event_type,
        count(*) AS n,
-       round(avg(value), 4) AS avg_value
+       CAST((2 * sum(CAST(round(value * 10000) AS BIGINT)) + count(*)) // (2 * count(*)) AS DOUBLE) / 10000.0 AS avg_value
 FROM (
   SELECT e.*, u.wstart
   FROM (SELECT *, time_bucket(INTERVAL '5 minutes', ts) AS b FROM events) e,
@@ -76,7 +76,7 @@ SELECT user_id,
        min(ts) AS session_start,
        max(ts) + INTERVAL '5 minutes' AS session_end,
        count(*) AS n_events,
-       round(sum(value), 4) AS value_sum
+       round(sum(CAST(round(value * 10000) AS BIGINT)) / 10000.0, 4) AS value_sum
 FROM sessions
 GROUP BY user_id, sid
 """,
@@ -191,7 +191,7 @@ def stream_interval_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT CAST(time_bucket(INTERVAL '5 minutes', ts) AS TIMESTAMP) AS wstart,
        n_name,
        count(*) AS n,
-       round(sum(value), 4) AS value_sum
+       round(sum(CAST(round(value * 10000) AS BIGINT)) / 10000.0, 4) AS value_sum
 FROM events
 JOIN customer ON user_id = c_custkey
 JOIN nation ON c_nationkey = n_nationkey

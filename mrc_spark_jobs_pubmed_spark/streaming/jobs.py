@@ -49,12 +49,26 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return raw
 
 
+def value_micro() -> "F.Column":
+    """events.value as exact BIGINT micro-units (1e-4).
+
+    The fixture's values carry <= 4 decimal places, so the per-row
+    round-to-int is exact and the SUM is an integer on any engine and
+    any partitioning — round(sum(double), 4) diverged at sf1, where
+    window groups grow large enough for float accumulation order to
+    flip the 4th decimal (caught by the sf1 oracle sweep)."""
+    return F.round(F.col("value") * 10000).cast("long")
+
+
 def tumbling_counts(events: DataFrame, with_watermark: bool = True) -> DataFrame:
     """Tumbling 5-minute windows per event_type: count + value sum."""
     src = events.withWatermark("ts", WATERMARK) if with_watermark else events
     return (
         src.groupBy(F.window("ts", TUMBLE).alias("w"), "event_type")
-        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("value_sum"))
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum(value_micro()) / 10000.0, 4).alias("value_sum"),
+        )
         .select(
             F.col("w.start").alias("wstart"),
             F.col("w.end").alias("wend"),
@@ -70,12 +84,25 @@ def sliding_avg(events: DataFrame, with_watermark: bool = True) -> DataFrame:
     src = events.withWatermark("ts", WATERMARK) if with_watermark else events
     return (
         src.groupBy(F.window("ts", SLIDE_SIZE, SLIDE_STEP).alias("w"), "event_type")
-        .agg(F.count("*").alias("n"), F.round(F.avg("value"), 4).alias("avg_value"))
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(value_micro()).alias("_sum_micro"),
+        )
         .select(
             F.col("w.start").alias("wstart"),
             "event_type",
             "n",
-            "avg_value",
+            # ALL-INTEGER mean: (2s + n) div 2n is round-half-up of s/n
+            # in micro-units (values are non-negative). Spark's round()
+            # rounds the double's SHORTEST DECIMAL string while DuckDB
+            # rounds the binary value, so any mean landing exactly on
+            # x.xxxx5 diverges (58 windows did at sf1); integer
+            # arithmetic never rounds a float at all. Spark's avg() is
+            # also out: it accumulates integral input in DOUBLE, which
+            # re-introduces order dependence.
+            (
+                F.expr("(2 * _sum_micro + n) div (2 * n)").cast("double") / 10000.0
+            ).alias("avg_value"),
         )
     )
 
@@ -85,7 +112,10 @@ def session_windows(events: DataFrame, with_watermark: bool = True) -> DataFrame
     src = events.withWatermark("ts", WATERMARK) if with_watermark else events
     return (
         src.groupBy(F.session_window("ts", SESSION_GAP).alias("w"), "user_id")
-        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 4).alias("value_sum"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum(value_micro()) / 10000.0, 4).alias("value_sum"),
+        )
         .select(
             "user_id",
             F.col("w.start").alias("session_start"),
@@ -275,7 +305,10 @@ def enriched_nation_counts(
     return (
         src.join(F.broadcast(dim), src.user_id == dim.c_custkey)
         .groupBy(F.window("ts", TUMBLE).alias("w"), "n_name")
-        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("value_sum"))
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum(value_micro()) / 10000.0, 4).alias("value_sum"),
+        )
         .select(F.col("w.start").alias("wstart"), "n_name", "n", "value_sum")
     )
 

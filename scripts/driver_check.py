@@ -21,8 +21,12 @@ sys.path.insert(0, ".")
 import __spark_entry__ as entrymod
 from mrc_spark_jobs_pubmed_spark.session import get_session
 
+import os
+
 SF_SMOKE = "/root/testdata/sf0.001"
-SF_ORACLE = "/root/testdata/sf0.01"
+# override to replay the oracle sweep at another scale (e.g. the
+# regenerated testdata/sf1) — correctness should hold at every sf
+SF_ORACLE = os.environ.get("SPARK_GRAFT_ORACLE_SF", "/root/testdata/sf0.01")
 TABLES = (
     "region nation customer supplier part orders lineitem events documents embeddings"
 ).split()
