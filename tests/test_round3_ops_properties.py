@@ -111,3 +111,47 @@ def test_knn_join_is_symmetric_on_mutual_neighbors(spark):
     assert by_vec
     for ranks in by_vec.values():
         assert sorted(ranks) == list(range(1, len(ranks) + 1))
+
+
+def test_sliding_avg_mean_is_integer_half_up(spark):
+    """Regression: a window mean landing exactly on x.xxxx5 must round
+    half-up via integer arithmetic — Spark's round() on the double
+    would consult the shortest decimal string and DuckDB the binary
+    value, which disagree at this boundary (caught at sf1)."""
+    import datetime as dt
+
+    from mrc_spark_jobs_pubmed_spark.streaming import jobs as J
+
+    base = dt.datetime(2024, 1, 1, 0, 1)
+    # two events in one 5-min bucket: mean = (6.5501 + 6.5502)/2 =
+    # 6.55015 -> exact half at the 4th decimal -> must emit 6.5502
+    rows = [(1, base, 1, "click", 6.5501, None), (2, base, 1, "click", 6.5502, None)]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    )
+    out = {r.avg_value for r in J.sliding_avg(df, with_watermark=False).collect()}
+    assert out == {6.5502}
+
+
+def test_block_topk_ties_cut_lexicographically(spark):
+    """Regression: with a tie group larger than k (identical vectors =>
+    cosine 1.0 +/- ulp), the blocked top-k must keep the
+    lexicographically-first pairs — argpartition on raw floats kept
+    arbitrary tie members (caught at sf1)."""
+    from mrc_spark_jobs_pubmed_spark.operators import similarity as S
+
+    n = 12
+    df = spark.createDataFrame(
+        [(i, [1.0, 2.0, 3.0, 4.0]) for i in range(n)], ["vec_id", "embedding"]
+    )
+    k = 5
+    got = [
+        (r.vec_a, r.vec_b)
+        for r in S.topk_pairs_blocked(df, k=k, n_blocks=3)
+        .orderBy("vec_a", "vec_b")
+        .collect()
+    ]
+    want = sorted(
+        [(a, b) for a in range(n) for b in range(a + 1, n)], key=lambda p: p
+    )[:k]
+    assert got == sorted(want)
