@@ -786,3 +786,77 @@ def rel_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("ts").cast("long") - F.col("raw_view_ts").cast("long"),
         ).alias("gap_sec"),
     )
+
+
+ATTR_CHANNELS = ("organic", "paid", "social", "email")
+
+
+@register(
+    "rel_touch_attribution",
+    oracle="""
+WITH base AS (
+  SELECT c.user_id,
+         CASE WHEN cl.props IS NULL THEN NULL
+              WHEN CAST(cl.props->>'$.k' AS INTEGER) % 4 = 0 THEN 'organic'
+              WHEN CAST(cl.props->>'$.k' AS INTEGER) % 4 = 1 THEN 'paid'
+              WHEN CAST(cl.props->>'$.k' AS INTEGER) % 4 = 2 THEN 'social'
+              ELSE 'email' END AS click_channel,
+         c.value
+  FROM (SELECT * FROM events WHERE event_type = 'purchase') c
+  ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') cl
+    ON c.user_id = cl.user_id AND cl.ts <= c.ts
+)
+SELECT coalesce(click_channel, 'direct') AS channel,
+       CAST(count(*) AS BIGINT) AS n_purchases,
+       CAST(sum(CAST(round(value * 10000) AS BIGINT)) AS BIGINT) / 10000.0
+         AS attributed_value
+FROM base
+GROUP BY coalesce(click_channel, 'direct')
+""",
+    doc="Last-touch marketing attribution: every purchase's value rolls "
+    "up to the channel of the user's latest prior click ('direct' when "
+    "no click precedes it) — the standard conversion-attribution "
+    "query, built on the same single-shuffle union + last_value "
+    "time-ordered window as rel_asof_join (no range-join blowup; the "
+    "as-of carries the click's channel instead of its timestamp). The "
+    "channel derives deterministically from the click's JSON payload. "
+    "Attributed value sums in exact integer micro-units — the "
+    "sf1-sweep lesson that float sums round divergently at scale.",
+)
+def rel_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    k = F.get_json_object("props", "$.k").cast("int")
+    channel = (
+        F.when(k % 4 == 0, "organic")
+        .when(k % 4 == 1, "paid")
+        .when(k % 4 == 2, "social")
+        .otherwise("email")
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", F.lit(0).alias("src"), "event_id",
+        channel.alias("channel"), F.lit(None).cast("double").alias("value"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.lit(1).alias("src"), "event_id",
+        F.lit(None).cast("string").alias("channel"), "value",
+    )
+    merged = clicks.unionByName(purchases)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "src", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    attributed = merged.withColumn(
+        "click_channel",
+        F.last(F.when(F.col("src") == 0, F.col("channel")), ignorenulls=True).over(w),
+    ).filter(F.col("src") == 1)
+    micro = F.round(F.col("value") * 10000).cast("long")
+    return (
+        attributed.groupBy(
+            F.coalesce(F.col("click_channel"), F.lit("direct")).alias("channel")
+        )
+        .agg(
+            F.count("*").alias("n_purchases"),
+            (F.sum(micro) / 10000.0).alias("attributed_value"),
+        )
+    )
