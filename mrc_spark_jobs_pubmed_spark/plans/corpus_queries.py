@@ -1032,3 +1032,45 @@ def corpus_augment_dropout(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o.n_dropped").alias("n_dropped"),
         F.col("o.aug_text").alias("aug_text"),
     )
+
+
+# --- soft dedup (downweighting) ----------------------------------------------
+
+
+@register(
+    "corpus_soft_dedup_weights",
+    oracle="""
+WITH fp AS (
+  SELECT doc_id,
+         substr(sha256(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')), 1, 16)
+           AS fingerprint
+  FROM documents
+),
+sizes AS (
+  SELECT fingerprint, count(*) AS cluster_size FROM fp GROUP BY fingerprint
+)
+SELECT doc_id,
+       CAST(cluster_size AS BIGINT) AS cluster_size,
+       round(1.0 / cluster_size, 6) AS weight
+FROM fp JOIN sizes USING (fingerprint)
+""",
+    doc="Soft dedup (SoftDeDup / duplicate-aware loss weighting): "
+    "instead of DROPPING duplicates, every doc gets training weight "
+    "1/cluster_size over its normalized-content cluster — each unique "
+    "content contributes unit mass regardless of copy count, which "
+    "preserves naturally-duplicated distributional signal that hard "
+    "dedup destroys. One fingerprint hash-agg (map-side partial) plus "
+    "the size join back — broadcast when the duplicated slice is "
+    "small, else both sides hash on the 8-byte fingerprint.",
+)
+def corpus_soft_dedup_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mrc_spark_jobs_pubmed_spark.operators import textstats as X
+
+    docs = load_table(spark, "documents", sf_dir)
+    fp = docs.select("doc_id", X.fingerprint(F.col("text")).alias("fingerprint"))
+    sizes = fp.groupBy("fingerprint").agg(F.count("*").alias("cluster_size"))
+    return fp.join(sizes, "fingerprint").select(
+        "doc_id",
+        "cluster_size",
+        F.round(F.lit(1.0) / F.col("cluster_size"), 6).alias("weight"),
+    )

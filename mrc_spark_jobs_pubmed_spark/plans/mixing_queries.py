@@ -362,3 +362,57 @@ def corpus_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         "stage",
         F.row_number().over(w_stage).cast("long").alias("stage_rank"),
     )
+
+
+# --- length-debiased sampling -------------------------------------------------
+
+LEN_TARGET = 1000  # chars: docs at/below keep with p=1, longer with p ~ 1/len
+
+
+def _length_sample_oracle() -> str:
+    from mrc_spark_jobs_pubmed_spark.operators.dedup import _hex2long
+
+    h = _hex2long("md5(CAST(doc_id AS VARCHAR))", 1)
+    return f"""
+WITH scored AS (
+  SELECT doc_id, n_chars,
+         least(1.0, {LEN_TARGET}.0 / greatest(n_chars, 1)) AS p,
+         ({h} % 1000000) / 1000000.0 AS u
+  FROM documents
+)
+SELECT doc_id, n_chars, round(p, 6) AS p,
+       round(1.0 / p, 6) AS weight
+FROM scored
+WHERE u < p
+"""
+
+
+@register(
+    "corpus_length_sample",
+    oracle=_length_sample_oracle(),
+    doc="Length-debiased sampling: docs longer than the target keep "
+    "with probability proportional to 1/length and carry the inverse-"
+    "probability weight — the importance sampler that stops long "
+    "documents dominating token counts while keeping the estimator "
+    "unbiased. The accept/reject draw is a deterministic md5 of the "
+    "doc id (no RNG state, stable under re-partitioning and re-runs — "
+    "the same contract as corpus_sample_hash). Zero shuffle.",
+)
+def corpus_length_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mrc_spark_jobs_pubmed_spark.operators.dedup import _hex2long
+
+    docs = load_table(spark, "documents", sf_dir)
+    u = (
+        F.expr(_hex2long("md5(CAST(doc_id AS STRING))", 1)) % 1000000
+    ) / 1000000.0
+    p = F.least(F.lit(1.0), F.lit(float(LEN_TARGET)) / F.greatest("n_chars", F.lit(1)))
+    return (
+        docs.select("doc_id", "n_chars", p.alias("p"), u.alias("u"))
+        .where(F.col("u") < F.col("p"))
+        .select(
+            "doc_id",
+            "n_chars",
+            F.round("p", 6).alias("p"),
+            F.round(F.lit(1.0) / F.col("p"), 6).alias("weight"),
+        )
+    )

@@ -1020,3 +1020,51 @@ def text_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("rake_score"), F.asc("phrase"))
         .limit(RAKE_TOP)
     )
+
+
+# --- feature hashing ----------------------------------------------------------
+
+HASH_DIM = 32  # hashed feature buckets
+
+
+def _tok_bucket_sql() -> str:
+    from mrc_spark_jobs_pubmed_spark.operators.dedup import _hex2long
+
+    return f"{_hex2long('md5(tok)', 1)} % {HASH_DIM}"
+
+
+@register(
+    "text_hashing_vectorizer",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, t.tok AS tok
+  FROM (SELECT doc_id, {_dedup_tokens_sql('text')} AS toklist FROM documents),
+       unnest(toklist) AS t(tok)
+)
+SELECT doc_id,
+       CAST({_tok_bucket_sql()} AS BIGINT) AS bucket,
+       CAST(count(*) AS BIGINT) AS n
+FROM toks
+GROUP BY doc_id, {_tok_bucket_sql()}
+""",
+    doc="Feature hashing (the hashing trick): tokens map to a fixed "
+    "32-bucket space via the engine-neutral md5 hash, giving every doc "
+    "a bounded sparse count vector with no vocabulary build, no "
+    "dictionary broadcast, and no OOV path — the stateless featurizer "
+    "for the quality classifier at any corpus size. One (doc, bucket) "
+    "hash-agg whose map-side partial bounds each doc's contribution at "
+    "32 rows before the exchange.",
+)
+def text_hashing_vectorizer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mrc_spark_jobs_pubmed_spark.operators.dedup import tokens_col
+
+    docs = load_table(spark, "documents", sf_dir)
+    toks = docs.select(
+        "doc_id", F.explode(tokens_col(F.col("text"))).alias("tok")
+    )
+    bucket = F.expr(_tok_bucket_sql()).cast("long")
+    return (
+        toks.select("doc_id", bucket.alias("bucket"))
+        .groupBy("doc_id", "bucket")
+        .agg(F.count("*").alias("n"))
+    )
