@@ -453,7 +453,12 @@ def semdedup_removed(
         An = A / np.linalg.norm(A, axis=1, keepdims=True)
         sims = An @ An.T
         ia, ib = np.triu_indices(len(ids), k=1)  # ids[ia] < ids[ib]
-        cos = sims[ia, ib]
+        # Threshold on the SAME 6-dp grid the output contract uses:
+        # raw GEMM-accumulated cosines differ from a sequential fold at
+        # the ulp, so comparing the unrounded value to tau could flip a
+        # pair sitting within accumulation noise of the threshold
+        # between engines. Rounding first restores bit-for-bit parity.
+        cos = np.round(sims[ia, ib], 6)
         keep = cos > tau
         if not keep.any():
             return empty

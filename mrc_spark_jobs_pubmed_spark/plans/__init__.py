@@ -32,78 +32,71 @@ from mrc_spark_jobs_pubmed_spark.plans import (  # noqa: F401,E402
 
 # The round driver writes official CORRECTNESS rows for only the first
 # ~50 entries of queries(), in order. Rotate that window each round so
-# every registered query eventually carries an official row. Round 3:
-# the six events-ts casualties (fixed this round — must show green)
-# lead, then the 25 queries that have never appeared in an official
-# CORRECTNESS file (r01 ∪ r02), then sim_brp_lsh_buckets (upgraded from
-# rows-only to a value-gated property check this round), then the
-# flagship + headline bench queries for round-over-round continuity.
-# Everything else stays registered (full surface) and is covered by the
-# identical local harness (scripts/driver_check.py, tests/test_oracle.py).
+# every registered query eventually carries an official row. Round 4:
+# the four r3 hash-fail rows lead (fixed this round — must prove green
+# in an official file), then ALL 46 queries that have never appeared in
+# any official CORRECTNESS file (r01 ∪ r02 ∪ r03). That is exactly the
+# 50-row window; after r4 every registered query will have at least one
+# official row. Everything else stays registered (full surface) and is
+# covered by the identical local harness (scripts/driver_check.py,
+# tests/test_oracle.py).
 DRIVER_WINDOW: list[str] = [
-    # events-ts bug casualties, fixed this round — must show green
-    "stream_tumbling_counts",
-    "stream_sliding_avg",
-    "stream_session_windows",
-    "stream_interval_join",
-    "stream_static_enrich",
-    "rel_asof_join",
-    # never-official queries (not in CORRECTNESS r01/r02): round-2
-    # additions first, then the relational/TPC-H long tail
-    "corpus_line_dedup",
-    "text_bm25_topk",
-    "text_cms_heavy_hitters",
-    "dedup_simhash_hamming",
-    "corpus_unigram_logprob",
-    "corpus_split_stratified",
-    "corpus_quality_classifier",
-    "rel_q7_nation_volume",
-    "rel_q8_market_share",
-    "rel_q9_product_profit",
-    "rel_q13_order_count_dist",
-    "rel_q17_small_qty_revenue",
-    "rel_pivot",
-    "rel_grouping_sets",
-    "rel_agg_stats",
-    "rel_approx_distinct",
-    "rel_approx_percentile",
-    "rel_semi_join",
-    "rel_anti_join",
-    "rel_set_ops",
-    "rel_string_funcs",
-    "rel_date_funcs",
-    "rel_math_case",
-    "rel_json_props",
-    "rel_nested_struct",
-    # upgraded from rows-only to value-gated this round
-    "sim_brp_lsh_buckets",
-    # round-3 additions (never-official by construction)
-    "sim_pq_adc_topk",
-    "text_doc_sim_pairs",
+    # r3 official hash-fails, root-caused + fixed this round (integer
+    # div init for pagerank, exact-u4 revenue for the salted join,
+    # printable-ASCII BPE alphabet, epoch-seconds rollup window) —
+    # must show green
     "text_bpe_merges",
-    "rel_funnel_steps",
     "rel_skew_salted_join",
-    "rel_zorder_layout",
-    "corpus_merge_upsert",
     "graph_pagerank",
     "stream_chained_rollup",
-    # late round-3 addition (never-official by construction); its
-    # sibling corpus_mix_temperature waits for the r4 rotation — the
-    # window is capped at 50 and every current row is either a
-    # must-prove (events-ts fixes) or never-official
-    "dedup_span_coverage",
-    # flagship + family representatives (continuity across rounds;
-    # queries already green in BOTH r01 and r02 rotated out to make
-    # room for the never-official set — corpus_pack_greedy rotated out
-    # this round, green in r02 and family covered 5x above)
-    "text_word_topk",
-    "ta_quality",
-    "llm_corpus_prep",
-    "mm_decode_features",
-    "src_pubmed_pages",
-    "udf_pandas_scalar",
-    "udtf_split_words",
-    "emb_random_projection",
+    # the full never-official set (46) — every remaining query that has
+    # no row in CORRECTNESS r01/r02/r03
+    "corpus_augment_dropout",
+    "corpus_bigram_logprob",
+    "corpus_cdc_chunks",
+    "corpus_curriculum_order",
+    "corpus_filter_funnel",
+    "corpus_length_sample",
+    "corpus_mix_temperature",
+    "corpus_ngram_novelty",
+    "corpus_soft_dedup_weights",
+    "corpus_span_trim",
+    "dedup_containment_pairs",
+    "dedup_fuzzy_keep_best",
+    "dedup_keep_best",
+    "dedup_minhash_recall",
+    "emb_int8_quantize",
+    "emb_outlier_detection",
+    "emb_pca_power",
+    "emb_pq_codes",
+    "graph_triangle_count",
+    "mm_shard_manifest",
+    "rel_asof_tolerance",
+    "rel_cohort_retention",
+    "rel_data_quality",
+    "rel_event_pattern",
+    "rel_fuzzy_linkage",
+    "rel_histogram",
+    "rel_q11_important_parts",
+    "rel_q20_excess_supply",
+    "rel_q21_waiting_suppliers",
+    "rel_q2_min_cost_supplier",
+    "rel_scd2_history",
+    "rel_touch_attribution",
+    "sim_binary_rerank",
+    "sim_ivf_pq_search",
+    "sim_ivfpq_recall",
+    "sim_knn_join",
+    "stream_interval_left_join",
+    "stream_topk_per_window",
+    "ta_char_entropy",
+    "ta_readability",
+    "ta_winnow_fingerprint",
+    "ta_zipf_fit",
+    "text_bpe_encode",
+    "text_hashing_vectorizer",
+    "text_pmi_collocations",
+    "text_rake_keywords",
 ]
 
 set_priority(DRIVER_WINDOW)

@@ -52,7 +52,9 @@ def rel_outer_joins(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH bands(band, lo, hi) AS (
   VALUES ('small', 0, 15), ('mid', 16, 35), ('large', 36, 100)
 )
-SELECT band, count(*) AS n_parts, round(avg(p_retailprice), 4) AS avg_price
+SELECT band, count(*) AS n_parts,
+       ((200 * sum(CAST(round(p_retailprice * 100) AS BIGINT)) + count(*))
+        // (2 * count(*))) / 10000.0 AS avg_price
 FROM part JOIN bands ON p_size BETWEEN lo AND hi
 GROUP BY band
 """,
@@ -73,7 +75,15 @@ def rel_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("band")
         .agg(
             F.count("*").alias("n_parts"),
-            F.round(F.avg("p_retailprice"), 4).alias("avg_price"),
+            F.sum(F.round(F.col("p_retailprice") * 100).cast("long")).alias("_pc"),
+        )
+        .select(
+            "band",
+            "n_parts",
+            (
+                F.expr("(200 * _pc + n_parts) div (2 * n_parts)").cast("double")
+                / 10000.0
+            ).alias("avg_price"),
         )
     )
 
@@ -139,9 +149,10 @@ def rel_window_rank_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     "rel_window_range_frame",
     oracle="""
 SELECT o_orderkey, o_custkey,
-       round(sum(o_totalprice) OVER (
+       sum(CAST(round(o_totalprice * 100) AS BIGINT)) OVER (
          PARTITION BY o_custkey ORDER BY epoch(o_orderdate)
-         RANGE BETWEEN 7776000 PRECEDING AND CURRENT ROW), 2) AS spend_90d
+         RANGE BETWEEN 7776000 PRECEDING AND CURRENT ROW) / 100.0
+         AS spend_90d
 FROM orders
 """,
     doc="RANGE frame: per-customer rolling 90-day spend — rangeBetween "
@@ -157,7 +168,12 @@ def rel_window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     return orders.select(
         "o_orderkey",
         "o_custkey",
-        F.round(F.sum("o_totalprice").over(w), 2).alias("spend_90d"),
+        (
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+            .over(w)
+            .cast("double")
+            / 100.0
+        ).alias("spend_90d"),
     )
 
 
@@ -208,40 +224,63 @@ def udf_pandas_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
     "udf_grouped_agg",
     oracle="""
 SELECT event_type,
-       round(sum(value * CAST(user_id + 1 AS DOUBLE)) /
-             sum(CAST(user_id + 1 AS DOUBLE)), 6) AS weighted_avg
+       ((200 * sum(CAST(round(value * 10000) AS BIGINT) * (user_id + 1))
+         + sum(user_id + 1)) // (2 * sum(user_id + 1))) / 1000000.0
+         AS weighted_avg
 FROM events
 GROUP BY event_type
 """,
     doc="UDAF via pandas_udf GROUPED_AGG: weighted mean per event_type; "
-    "oracle is the algebraic SQL form.",
+    "oracle is the algebraic SQL form. The UDAF accumulates exact "
+    "integers (value in 1e-4 units x integer weights, int64 partials "
+    "then Python ints for the closing division) and emits the 6-dp "
+    "mean via integer half-up division, so the Arrow seam carries no "
+    "summation-order sensitivity.",
 )
 def udf_grouped_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     @F.pandas_udf(T.DoubleType())
-    def wavg(v: pd.Series, w: pd.Series) -> float:
-        return float((v * w).sum() / w.sum())
+    def wavg(v4: pd.Series, w: pd.Series) -> float:
+        num = int((v4.astype("int64") * w.astype("int64")).sum())
+        den = int(w.astype("int64").sum())
+        return float((200 * num + den) // (2 * den)) / 1000000.0
 
     ev = load_table(spark, "events", sf_dir).withColumn(
-        "w", (F.col("user_id") + 1).cast("double")
-    )
+        "v4", F.round(F.col("value") * 10000).cast("long")
+    ).withColumn("w", (F.col("user_id") + 1).cast("long"))
     return ev.groupBy("event_type").agg(
-        F.round(wavg("value", "w"), 6).alias("weighted_avg")
+        wavg("v4", "w").alias("weighted_avg")
     )
 
 
 @register(
     "udf_grouped_zscore",
     oracle="""
+WITH s AS (
+  SELECT event_id, event_type,
+         CAST(round(value * 10000) AS BIGINT) AS u4
+  FROM events
+),
+g AS (
+  SELECT event_type, count(*) AS n, sum(u4) AS s1, sum(u4 * u4) AS s2
+  FROM s GROUP BY event_type
+)
 SELECT event_id, event_type,
-       round((value - avg(value) OVER (PARTITION BY event_type)) /
-             stddev_samp(value) OVER (PARTITION BY event_type), 6) AS zscore
-FROM events
+       CASE WHEN n < 2 THEN NULL
+            ELSE CAST(n * u4 - s1 AS DOUBLE)
+                 / sqrt(CAST(n * s2 - s1 * s1 AS DOUBLE) * n / (n - 1))
+       END AS zscore
+FROM s JOIN g USING (event_type)
 """,
     doc="Grouped-map applyInPandas: per-group pandas z-score; oracle is "
-    "the window-function rewrite — the pandas path must preserve exact "
-    "relational semantics.",
+    "the algebraic window rewrite. Both sides use the exact-integer "
+    "moment identity z = (n·x − S1)/sqrt((n·S2 − S1²)·n/(n−1)) over "
+    "1e-4-unit ints (S1/S2 exact, the same three IEEE double ops close "
+    "it), so the pandas path and the SQL path are bit-identical — no "
+    "order-dependent mean/std and no engine-level rounding.",
 )
 def udf_grouped_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import math
+
     schema = T.StructType(
         [
             T.StructField("event_id", T.LongType()),
@@ -251,13 +290,21 @@ def udf_grouped_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def zscore(pdf: pd.DataFrame) -> pd.DataFrame:
-        mu = pdf["value"].mean()
-        sd = pdf["value"].std(ddof=1)
+        n = len(pdf)
+        u4 = (pdf["value"] * 10000).round().astype("int64")
+        if n < 2:
+            z = pd.Series([None] * n, dtype="float64")
+        else:
+            s1 = int(u4.sum())
+            s2 = int((u4 * u4).sum())
+            a = n * s2 - s1 * s1  # Python int: exact past int64
+            den = math.sqrt(float(a) * n / (n - 1))
+            z = (n * u4 - s1).astype("float64") / den
         return pd.DataFrame(
             {
                 "event_id": pdf["event_id"],
                 "event_type": pdf["event_type"],
-                "zscore": ((pdf["value"] - mu) / sd).round(6),
+                "zscore": z,
             }
         )
 
@@ -594,8 +641,9 @@ SALT_N = 4
     "rel_skew_salted_join",
     oracle="""
 SELECT s_name,
-       sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT))
-         AS revenue_cents,
+       sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+           * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+         AS revenue_c4,
        count(*) AS n_lines
 FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
 GROUP BY s_name
@@ -608,10 +656,18 @@ GROUP BY s_name
     "supplier's rows spread across 4 tasks instead of one straggler. "
     "The oracle is the UNSALTED plain join — proving the rewrite is "
     "exactly semantics-preserving, which is the entire point of the "
-    "lever. Revenue is rounded to integer cents per row before "
-    "summing, so the aggregate is summation-order-independent across "
-    "engines and partitionings (the salted plan's whole purpose is to "
-    "change partitioning). At 100 TB the salt fan-out N scales with "
+    "lever. Revenue is EXACT integer arithmetic in 10^-4-dollar units: "
+    "price and discount are 2-dp decimals stored as doubles, so "
+    "round(x*100) recovers the exact integer (never a halfway case — "
+    "the double is within ~1e-10 of the integer) and the per-line "
+    "product cents*(100-disc_bp) is a plain BIGINT. No round() of a "
+    "computed double anywhere, so the aggregate is independent of "
+    "engine, summation order, and partitioning (the salted plan's "
+    "whole purpose is to change partitioning). The r3 form rounded "
+    "price*(1-disc)*100 per row — a double whose shortest decimal "
+    "repr can sit exactly on .5, where Spark (HALF_UP on the decimal "
+    "string) and DuckDB (round of the binary value) disagree on "
+    "specific data draws. At 100 TB the salt fan-out N scales with "
     "observed skew; AQE's skew-join handles moderate cases, this "
     "explicit lever handles the per-key hot spots it can't split.",
 )
@@ -620,9 +676,10 @@ def rel_skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     supp = load_table(spark, "supplier", sf_dir)
     big = li.select(
         "l_suppkey",
-        F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100)
-        .cast("long")
-        .alias("cents"),
+        (
+            F.round(F.col("l_extendedprice") * 100).cast("long")
+            * (100 - F.round(F.col("l_discount") * 100).cast("long"))
+        ).alias("c4"),
         F.pmod(F.xxhash64("l_orderkey", "l_linenumber"), F.lit(SALT_N)).alias(
             "salt"
         ),
@@ -637,7 +694,7 @@ def rel_skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("s_name")
         .agg(
-            F.sum("cents").alias("revenue_cents"),
+            F.sum("c4").alias("revenue_c4"),
             F.count("*").alias("n_lines"),
         )
     )

@@ -37,9 +37,9 @@ def _pagerank_sql() -> str:
         "edges AS (SELECT src, dst FROM e0 UNION ALL SELECT dst AS src, src AS dst FROM e0)",
         "deg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY src)",
         "n AS (SELECT count(*) AS n_nodes FROM deg)",
-        "r0 AS (SELECT src AS node, CAST(round(1e12 / n_nodes) AS BIGINT) AS r"
+        "r0 AS (SELECT src AS node, 1000000000000 // n_nodes AS r"
         " FROM deg CROSS JOIN n)",
-        "base AS (SELECT CAST(round(0.15 * 1e12 / n_nodes) AS BIGINT) AS b FROM n)",
+        "base AS (SELECT 150000000000 // n_nodes AS b FROM n)",
     ]
     for it in range(PR_ITERS):
         ctes.append(
@@ -112,16 +112,18 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = edges.repartition("src").localCheckpoint()
     deg = edges.groupBy("src").agg(F.count("*").alias("outdeg")).localCheckpoint()
     n = deg.agg(F.count("*").alias("n_nodes"))
+    # Init and damping base in PURE integer division (no round() of a
+    # double quotient: 1e12/n can land where Spark's decimal-string
+    # HALF_UP and DuckDB's binary round disagree for specific n — the
+    # data-dependent divergence class behind the r3 driver mismatch).
     r = (
         deg.crossJoin(F.broadcast(n))
         .select(
             F.col("src").alias("node"),
-            F.round(F.lit(1e12) / F.col("n_nodes")).cast("long").alias("r"),
+            F.expr("1000000000000 div n_nodes").alias("r"),
         )
     )
-    base = n.select(
-        F.round(F.lit(0.15e12) / F.col("n_nodes")).cast("long").alias("b")
-    )
+    base = n.select(F.expr("150000000000 div n_nodes").alias("b"))
     for _ in range(PR_ITERS):
         r = (
             edges.join(r, edges.src == r.node)

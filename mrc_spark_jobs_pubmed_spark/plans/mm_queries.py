@@ -194,8 +194,12 @@ def mm_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.sum("n_bytes").over(w) - F.col("n_bytes")).alias("start_off"),
     )
     return (
+        # Exact integer division (`div`), not floor() of a double
+        # quotient: doubles lose integer exactness above 2^53, so a /
+        # -based bucket id could misplace byte offsets beyond ~9 PB —
+        # the oracle's `//` is exact at all magnitudes and so is this.
         placed.withColumn(
-            "shard_id", F.floor(F.col("start_off") / SHARD_BYTES).cast("long")
+            "shard_id", F.expr(f"start_off div {SHARD_BYTES}").cast("long")
         )
         .groupBy("lang", "shard_id")
         .agg(

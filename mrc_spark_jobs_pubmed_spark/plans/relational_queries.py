@@ -26,48 +26,122 @@ def _revenue():
     return F.col("l_extendedprice") * (1 - F.col("l_discount"))
 
 
+def _cents(name: str):
+    """Exact integer 'cents' of a 2-dp-decimal-valued double column.
+
+    The stored double is within ~1e-10 of the true 2-dp decimal, so
+    round(x*100) is never a halfway case and recovers the exact integer
+    identically on every engine. This is the entry point of the integer
+    micro-unit pattern: once values are exact BIGINTs, every downstream
+    sum/product/half-up-division is engine-, order- and partitioning-
+    independent — unlike round() of an order-dependent double sum (the
+    cross-engine bug class caught in rounds 1-3).
+    """
+    return F.round(F.col(name) * 100).cast("long")
+
+
+def _rev_u4():
+    """price*(1-discount) in EXACT 10^-4-dollar units (BIGINT)."""
+    return _cents("l_extendedprice") * (100 - _cents("l_discount"))
+
+
+# SQL mirrors of the helpers above (DuckDB dialect).
+def _sql_cents(col: str) -> str:
+    return f"CAST(round({col} * 100) AS BIGINT)"
+
+
+_SQL_REV_U4 = (
+    f"{_sql_cents('l_extendedprice')} * (100 - {_sql_cents('l_discount')})"
+)
+
+
 @register(
     "rel_q1_pricing_summary",
-    oracle="""
+    oracle=f"""
+WITH t AS (
+  SELECT l_returnflag, l_linestatus,
+         {_sql_cents('l_quantity')} AS q2,
+         {_sql_cents('l_extendedprice')} AS p2,
+         {_SQL_REV_U4} AS rev4,
+         {_SQL_REV_U4} * (100 + {_sql_cents('l_tax')}) AS chg6,
+         {_sql_cents('l_discount')} AS d2
+  FROM lineitem
+  WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+)
 SELECT l_returnflag, l_linestatus,
-       round(sum(l_quantity), 2) AS sum_qty,
-       round(sum(l_extendedprice), 2) AS sum_base_price,
-       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
-       round(avg(l_quantity), 4) AS avg_qty,
-       round(avg(l_extendedprice), 4) AS avg_price,
-       round(avg(l_discount), 4) AS avg_disc,
+       sum(q2) / 100.0 AS sum_qty,
+       sum(p2) / 100.0 AS sum_base_price,
+       ((sum(rev4) + 50) // 100) / 100.0 AS sum_disc_price,
+       ((sum(chg6) + 5000) // 10000) / 100.0 AS sum_charge,
+       ((200 * sum(q2) + count(*)) // (2 * count(*))) / 10000.0 AS avg_qty,
+       ((200 * sum(p2) + count(*)) // (2 * count(*))) / 10000.0 AS avg_price,
+       ((200 * sum(d2) + count(*)) // (2 * count(*))) / 10000.0 AS avg_disc,
        count(*) AS count_order
-FROM lineitem
-WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+FROM t
 GROUP BY l_returnflag, l_linestatus
 """,
     doc="TPC-H Q1 shape: scan→filter(pushdown)→hash agg with 8 aggregates. "
-    "Partial aggregation map-side; no join.",
+    "Partial aggregation map-side; no join. All money/quantity columns "
+    "aggregate in EXACT integer micro-units (cents / 1e-4 / 1e-6 dollar "
+    "units recovered per row from the 2-dp fixture decimals); the 2-dp "
+    "and 4-dp outputs come from integer half-up division plus ONE "
+    "deterministic float division — never round() of an order-dependent "
+    "double accumulation, so values are identical across engines and "
+    "partitionings at any scale.",
 )
 def rel_q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, "lineitem", sf_dir)
+    chg6 = (_rev_u4() * (100 + _cents("l_tax"))).cast("decimal(38,0)")
     return (
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(F.sum(_revenue()), 2).alias("sum_disc_price"),
-            F.round(F.sum(_revenue() * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
-            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
-            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
-            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.sum(_cents("l_quantity")).alias("_q2"),
+            F.sum(_cents("l_extendedprice")).alias("_p2"),
+            F.sum(_rev_u4()).alias("_rev4"),
+            F.sum(chg6).alias("_chg6"),
+            F.sum(_cents("l_discount")).alias("_d2"),
             F.count("*").alias("count_order"),
+        )
+        .select(
+            "l_returnflag",
+            "l_linestatus",
+            (F.col("_q2").cast("double") / 100.0).alias("sum_qty"),
+            (F.col("_p2").cast("double") / 100.0).alias("sum_base_price"),
+            (F.expr("(_rev4 + 50) div 100").cast("double") / 100.0).alias(
+                "sum_disc_price"
+            ),
+            (F.expr("(_chg6 + 5000) div 10000").cast("double") / 100.0).alias(
+                "sum_charge"
+            ),
+            (
+                F.expr("(200 * _q2 + count_order) div (2 * count_order)").cast(
+                    "double"
+                )
+                / 10000.0
+            ).alias("avg_qty"),
+            (
+                F.expr("(200 * _p2 + count_order) div (2 * count_order)").cast(
+                    "double"
+                )
+                / 10000.0
+            ).alias("avg_price"),
+            (
+                F.expr("(200 * _d2 + count_order) div (2 * count_order)").cast(
+                    "double"
+                )
+                / 10000.0
+            ).alias("avg_disc"),
+            "count_order",
         )
     )
 
 
 @register(
     "rel_q3_shipping_priority",
-    oracle="""
+    oracle=f"""
 SELECT l_orderkey,
-       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       ((sum({_SQL_REV_U4}) + 50) // 100) / 100.0 AS revenue,
        o_orderdate, o_orderpriority
 FROM customer
 JOIN orders ON c_custkey = o_custkey
@@ -96,8 +170,13 @@ def rel_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
             li.l_orderkey == F.col("o_orderkey"),
         )
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
-        .agg(F.round(F.sum(_revenue()), 2).alias("revenue"))
-        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .agg(F.sum(_rev_u4()).alias("_r4"))
+        .select(
+            "l_orderkey",
+            (F.expr("(_r4 + 50) div 100").cast("double") / 100.0).alias("revenue"),
+            "o_orderdate",
+            "o_orderpriority",
+        )
         .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
         .limit(10)
     )
@@ -105,8 +184,8 @@ def rel_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "rel_q5_region_revenue",
-    oracle="""
-SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    oracle=f"""
+SELECT n_name, ((sum({_SQL_REV_U4}) + 50) // 100) / 100.0 AS revenue
 FROM customer
 JOIN orders ON c_custkey = o_custkey
 JOIN lineitem ON l_orderkey = o_orderkey
@@ -142,7 +221,11 @@ def rel_q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(nation), F.col("s_nationkey") == nation.n_nationkey)
         .join(F.broadcast(region), F.col("n_regionkey") == region.r_regionkey)
         .groupBy("n_name")
-        .agg(F.round(F.sum(_revenue()), 2).alias("revenue"))
+        .agg(F.sum(_rev_u4()).alias("_r4"))
+        .select(
+            "n_name",
+            (F.expr("(_r4 + 50) div 100").cast("double") / 100.0).alias("revenue"),
+        )
     )
 
 
@@ -170,13 +253,17 @@ def rel_topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     "rel_window_running_total",
     oracle="""
 SELECT o_custkey, o_orderkey,
-       round(sum(o_totalprice) OVER (
+       sum(CAST(round(o_totalprice * 100) AS BIGINT)) OVER (
          PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_total
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) / 100.0
+         AS running_total
 FROM orders
 """,
     doc="Framed window aggregate: per-customer running revenue. One shuffle "
-    "on the partition key; deterministic frame via (date, key) ordering.",
+    "on the partition key; deterministic frame via (date, key) ordering. "
+    "The running sum accumulates exact integer cents (recovered per row "
+    "from the 2-dp decimal), so every prefix value is engine- and "
+    "order-exact; /100.0 is one deterministic float division.",
 )
 def rel_window_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = (
@@ -187,7 +274,9 @@ def rel_window_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
     return load_table(spark, "orders", sf_dir).select(
         "o_custkey",
         "o_orderkey",
-        F.round(F.sum("o_totalprice").over(w), 2).alias("running_total"),
+        (
+            F.sum(_cents("o_totalprice")).over(w).cast("double") / 100.0
+        ).alias("running_total"),
     )
 
 
@@ -461,32 +550,81 @@ def rel_math_case(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "rel_agg_stats",
     oracle="""
+WITH t AS (
+  SELECT event_type, user_id,
+         CAST(round(value * 10000) AS BIGINT) AS u4
+  FROM events
+)
 SELECT event_type,
        count(*) AS n,
        count(DISTINCT user_id) AS n_users,
-       round(avg(value), 4) AS avg_value,
-       round(stddev_samp(value), 4) AS sd_value,
-       round(min(value), 2) AS min_value,
-       round(max(value), 2) AS max_value,
-       round(quantile_cont(value, 0.5), 4) AS p50,
-       round(quantile_cont(value, 0.95), 4) AS p95
-FROM events
+       ((2 * sum(u4) + count(*)) // (2 * count(*))) / 10000.0 AS avg_value,
+       CASE WHEN count(*) < 2 THEN NULL
+            ELSE sqrt(CAST(count(*) * sum(u4 * u4) - sum(u4) * sum(u4)
+                           AS DOUBLE)
+                      / (count(*) * (count(*) - 1))) / 10000.0
+       END AS sd_value,
+       min(u4) / 10000.0 AS min_value,
+       max(u4) / 10000.0 AS max_value,
+       quantile_cont(u4, 0.5) / 10000.0 AS p50,
+       quantile_cont(u4, 0.95) / 10000.0 AS p95
+FROM t
 GROUP BY event_type
 """,
     doc="Statistical aggregate catalog incl. exact interpolated percentiles "
-    "(Spark `percentile` ≡ DuckDB `quantile_cont`).",
+    "(Spark `percentile` ≡ DuckDB `quantile_cont`). All moments run in "
+    "exact integer 1e-4 units: avg is integer half-up division, the "
+    "sample variance is the exact-integer identity "
+    "(n·Σx² − (Σx)²)/(n(n−1)) with decimal/HUGEINT headroom before ONE "
+    "deterministic double sqrt, and percentiles interpolate over the "
+    "integer grid (interpolated values land on the 5e-6-dollar grid, "
+    "inside any 6-dp comparison tolerance). No round() of an "
+    "order-dependent double accumulation anywhere.",
 )
 def rel_agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, "events", sf_dir)
-    return ev.groupBy("event_type").agg(
-        F.count("*").alias("n"),
-        F.countDistinct("user_id").alias("n_users"),
-        F.round(F.avg("value"), 4).alias("avg_value"),
-        F.round(F.stddev_samp("value"), 4).alias("sd_value"),
-        F.round(F.min("value"), 2).alias("min_value"),
-        F.round(F.max("value"), 2).alias("max_value"),
-        F.round(F.expr("percentile(value, 0.5)"), 4).alias("p50"),
-        F.round(F.expr("percentile(value, 0.95)"), 4).alias("p95"),
+    ev = load_table(spark, "events", sf_dir).withColumn(
+        "u4", F.round(F.col("value") * 10000).cast("long")
+    )
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.sum("u4").alias("_s1"),
+            F.sum((F.col("u4") * F.col("u4")).cast("decimal(38,0)")).alias("_s2"),
+            F.min("u4").alias("_mn"),
+            F.max("u4").alias("_mx"),
+            F.expr("percentile(u4, 0.5)").alias("_p50"),
+            F.expr("percentile(u4, 0.95)").alias("_p95"),
+        )
+        .select(
+            "event_type",
+            "n",
+            "n_users",
+            (
+                F.expr("(2 * _s1 + n) div (2 * n)").cast("double") / 10000.0
+            ).alias("avg_value"),
+            # n < 2 guard: the n(n-1) denominator is 0 for a singleton
+            # group (ANSI divide-by-zero; sample sd undefined) — NULL,
+            # matching the oracle's CASE.
+            F.when(
+                F.col("n") < 2, F.lit(None).cast("double")
+            )
+            .otherwise(
+                F.sqrt(
+                    F.expr(
+                        "cast(n * _s2 - cast(_s1 as decimal(38,0)) * _s1 as double)"
+                    )
+                    / F.expr("cast(n * (n - 1) as double)")
+                )
+                / 10000.0
+            )
+            .alias("sd_value"),
+            (F.col("_mn").cast("double") / 10000.0).alias("min_value"),
+            (F.col("_mx").cast("double") / 10000.0).alias("max_value"),
+            (F.col("_p50") / 10000.0).alias("p50"),
+            (F.col("_p95") / 10000.0).alias("p95"),
+        )
     )
 
 
@@ -568,7 +706,9 @@ def rel_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT event_type,
        count(*) AS n,
-       round(avg(CAST(props->>'$.k' AS INTEGER)), 4) AS avg_k,
+       ((20000 * sum(CAST(props->>'$.k' AS INTEGER))
+         + count(CAST(props->>'$.k' AS INTEGER)))
+        // (2 * count(CAST(props->>'$.k' AS INTEGER)))) / 10000.0 AS avg_k,
        max(CAST(props->>'$.k' AS INTEGER)) AS max_k
 FROM events
 GROUP BY event_type
@@ -580,10 +720,25 @@ GROUP BY event_type
 def rel_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, "events", sf_dir)
     k = F.get_json_object("props", "$.k").cast("int")
-    return ev.groupBy("event_type").agg(
-        F.count("*").alias("n"),
-        F.round(F.avg(k), 4).alias("avg_k"),
-        F.max(k).alias("max_k"),
+    # avg at 4dp by integer half-up division (sum/count of ints are
+    # exact; no engine-level round of a computed double quotient).
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(k).alias("_sk"),
+            F.count(k).alias("_nk"),
+            F.max(k).alias("max_k"),
+        )
+        .select(
+            "event_type",
+            "n",
+            (
+                F.expr("(20000 * _sk + _nk) div (2 * _nk)").cast("double")
+                / 10000.0
+            ).alias("avg_k"),
+            "max_k",
+        )
     )
 
 
@@ -826,8 +981,12 @@ GROUP BY coalesce(click_channel, 'direct')
 def rel_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, "events", sf_dir)
     k = F.get_json_object("props", "$.k").cast("int")
+    # NULL-props clicks carry no channel → they attribute to 'direct'
+    # (mirrors the oracle's explicit props-IS-NULL guard; without it the
+    # .otherwise() branch would silently claim them for 'email').
     channel = (
-        F.when(k % 4 == 0, "organic")
+        F.when(F.col("props").isNull(), F.lit(None).cast("string"))
+        .when(k % 4 == 0, "organic")
         .when(k % 4 == 1, "paid")
         .when(k % 4 == 2, "social")
         .otherwise("email")

@@ -271,7 +271,7 @@ FROM (
          {S.cosine_sql('a.embedding', 'b.embedding')} AS cos
   FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
 )
-WHERE cos > {SEMDEDUP_TAU}
+WHERE round(cos, 6) > {SEMDEDUP_TAU}
 GROUP BY dup_cand
 """,
     doc="SemDeDup-style semantic dedup: prune vectors whose cosine to a "
@@ -1296,7 +1296,7 @@ SELECT f.vec_id,
        round((f.m.d - s.mu) / nullif(s.sigma, 0), 6) AS zscore,
        CAST(s.n_cluster AS BIGINT) AS n_cluster
 FROM fin f JOIN stats s ON s.cid = f.m.cid
-WHERE s.sigma > 0 AND (f.m.d - s.mu) / s.sigma > {OUTLIER_Z}
+WHERE s.sigma > 0 AND round((f.m.d - s.mu) / s.sigma, 6) > {OUTLIER_Z}
 """,
     doc="Embedding-space outlier detection: vectors whose distance to "
     "their (sample-trained) cluster centroid exceeds mean + 2 sigma of "
@@ -1322,7 +1322,11 @@ def emb_outlier_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_cluster"),
     )
     j = assigned.join(F.broadcast(stats), "cid")
-    z = (F.col("d") - F.col("mu")) / F.col("sigma")
+    # Threshold on the 6-dp grid the output already uses: mu/sigma come
+    # from engine-specific accumulation order, so an unrounded z within
+    # float noise of Z could flip between engines (same class as the
+    # semdedup tau edge). Both engines round before comparing.
+    z = F.round((F.col("d") - F.col("mu")) / F.col("sigma"), 6)
     return (
         j.where((F.col("sigma") > 0) & (z > OUTLIER_Z))
         .select(

@@ -96,7 +96,8 @@ WITH lvl1 AS (
   FROM events
   GROUP BY 1, 2
 )
-SELECT CAST(time_bucket(INTERVAL '15 minutes', b5) AS TIMESTAMP) AS wstart,
+SELECT CAST(epoch(time_bucket(INTERVAL '15 minutes', b5)) AS BIGINT)
+         AS wstart_epoch,
        event_type,
        sum(n) AS n_events,
        max(n) AS peak_5min_n,
@@ -106,7 +107,12 @@ GROUP BY 1, 2
 """,
     doc="Chained windowed aggregation (Spark 3.5+ window_time): 5-min "
     "tumbling counts rolled up into 15-min windows — total events, peak "
-    "sub-window, live sub-window count per type. Integer-only outputs "
+    "sub-window, live sub-window count per type. The window start is "
+    "emitted as epoch SECONDS (BIGINT) so every output column is an "
+    "integer or string — no timestamp objects to collect, which makes "
+    "the value contract independent of session timezone, parquet "
+    "timestamp unit, and datetime canonicalization in any harness. "
+    "Integer-only outputs "
     "so the two-level rollup is order-independent; in the stream "
     "runtime both levels run in ONE query with bounded per-level state "
     "(the coarse level sees one row per fine window, not the raw "

@@ -542,8 +542,16 @@ def _bpe_train_ctes() -> list[str]:
         f"""bpe_toks AS (
   SELECT unnest({_dedup_tokens_sql('text')}) AS tok FROM documents
 )""",
+        # Candidate alphabet: printable ASCII, 2..64 chars. The class
+        # [!-~] is identical in Java regex (Spark) and RE2 (DuckDB),
+        # unlike '.'/'$'/line-terminator semantics which diverge on
+        # U+0085/U+2028/U+2029 — restricting the BPE alphabet removes
+        # that data-dependent engine divergence; the length cap keeps
+        # symbol counts far under the pair-index range below (real BPE
+        # trainers cap word length the same way).
         f"""bpe_freqs AS (
-  SELECT tok, count(*) AS freq FROM bpe_toks WHERE length(tok) >= 2
+  SELECT tok, count(*) AS freq FROM bpe_toks
+  WHERE regexp_matches(tok, '^[!-~]{{2,64}}$')
   GROUP BY tok ORDER BY freq DESC, tok LIMIT {BPE_VOCAB_CAP}
 )""",
         "v0 AS (SELECT rtrim(regexp_replace(tok, '(.)', '\\1 ', 'g')) AS seq,"
@@ -589,8 +597,14 @@ def _bpe_encode_sql() -> str:
     for k in range(BPE_MERGES):
         fold = _bpe_fold_sql(fold, k)
     ctes = _bpe_train_ctes() + [
+        # Same printable-ASCII alphabet as training (length 1 allowed:
+        # single-symbol tokens are encodable); out-of-alphabet tokens
+        # are excluded on BOTH engines so the per-doc counts match by
+        # construction.
         f"""dtoks AS (
-  SELECT doc_id, unnest({_dedup_tokens_sql('text')}) AS tok FROM documents
+  SELECT doc_id, tok FROM (
+    SELECT doc_id, unnest({_dedup_tokens_sql('text')}) AS tok FROM documents
+  ) WHERE regexp_matches(tok, '^[!-~]{{1,64}}$')
 )""",
         "dvocab AS (SELECT DISTINCT tok FROM dtoks)",
         f"""encoded AS (
@@ -664,8 +678,11 @@ def _bpe_train(spark: SparkSession, sf_dir: str) -> list[DataFrame]:
 
     docs = load_table(spark, "documents", sf_dir)
     toks = docs.select(F.explode(tokens_col(F.col("text"))).alias("tok"))
+    # Mirror of the oracle's candidate filter: printable-ASCII tokens,
+    # 2..64 chars ([!-~] means the same thing to Java regex and RE2 —
+    # see the oracle CTE comment for why the alphabet is restricted).
     freqs = (
-        toks.filter(F.length("tok") >= 2)
+        toks.filter(F.col("tok").rlike("^[!-~]{2,64}$"))
         .groupBy("tok")
         .agg(F.count("*").alias("freq"))
         .orderBy(F.desc("freq"), F.asc("tok"))
@@ -740,7 +757,9 @@ def text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     bests = _bpe_train(spark, sf_dir)
     docs = load_table(spark, "documents", sf_dir)
-    dtoks = docs.select("doc_id", F.explode(tokens_col(F.col("text"))).alias("tok"))
+    dtoks = docs.select(
+        "doc_id", F.explode(tokens_col(F.col("text"))).alias("tok")
+    ).filter(F.col("tok").rlike("^[!-~]{1,64}$"))
     vocab = dtoks.select("tok").distinct()
     for k, best in enumerate(bests):
         vocab = vocab.crossJoin(

@@ -27,11 +27,24 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from mrc_spark_jobs_pubmed_spark.plans.registry import register
+from mrc_spark_jobs_pubmed_spark.plans.relational_queries import (
+    _cents,
+    _rev_u4,
+    _sql_cents,
+    _SQL_REV_U4,
+)
 from mrc_spark_jobs_pubmed_spark.sources.catalog import load_table
 
 
 def _revenue():
     return F.col("l_extendedprice") * (1 - F.col("l_discount"))
+
+
+def _u4_to_2dp(agg_alias: str):
+    """Integer half-up division of a 1e-4-unit sum to a 2-dp double —
+    the closing step of the exact-integer money pattern (see
+    relational_queries._cents)."""
+    return F.expr(f"({agg_alias} + 50) div 100").cast("double") / 100.0
 
 
 @register(
@@ -68,13 +81,13 @@ def rel_q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "rel_q7_nation_volume",
-    oracle="""
+    oracle=f"""
 SELECT supp_nation, cust_nation, l_year,
-       round(sum(volume), 2) AS revenue
+       ((sum(volume) + 50) // 100) / 100.0 AS revenue
 FROM (
   SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
          year(l_shipdate) AS l_year,
-         l_extendedprice * (1 - l_discount) AS volume
+         {_SQL_REV_U4} AS volume
   FROM supplier
   JOIN lineitem ON s_suppkey = l_suppkey
   JOIN orders ON o_orderkey = l_orderkey
@@ -120,15 +133,21 @@ def rel_q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
         .filter(pair)
         .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
-        .agg(F.round(F.sum(_revenue()), 2).alias("revenue"))
+        .agg(F.sum(_rev_u4()).alias("_r4"))
+        .select(
+            "supp_nation",
+            "cust_nation",
+            "l_year",
+            _u4_to_2dp("_r4").alias("revenue"),
+        )
     )
 
 
 @register(
     "rel_q10_returned_items",
-    oracle="""
+    oracle=f"""
 SELECT c_custkey, c_name,
-       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       ((sum({_SQL_REV_U4}) + 50) // 100) / 100.0 AS revenue,
        round(any_value(c_acctbal), 2) AS c_acctbal,
        any_value(n_name) AS n_name
 FROM customer
@@ -162,9 +181,16 @@ def rel_q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(nat), F.col("c_nationkey") == F.col("n_nationkey"))
         .groupBy("c_custkey", "c_name")
         .agg(
-            F.round(F.sum(_revenue()), 2).alias("revenue"),
+            F.sum(_rev_u4()).alias("_r4"),
             F.round(F.any_value("c_acctbal"), 2).alias("c_acctbal"),
             F.any_value("n_name").alias("n_name"),
+        )
+        .select(
+            "c_custkey",
+            "c_name",
+            _u4_to_2dp("_r4").alias("revenue"),
+            "c_acctbal",
+            "n_name",
         )
         .orderBy(F.desc("revenue"), F.asc("c_custkey"))
         .limit(20)
@@ -243,12 +269,11 @@ def rel_q13_order_count_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "rel_q14_promo_revenue",
-    oracle="""
-SELECT round(
-         100.0 * sum(CASE WHEN p_type = 'PROMO'
-                          THEN l_extendedprice * (1 - l_discount)
-                          ELSE 0 END)
-         / sum(l_extendedprice * (1 - l_discount)), 4) AS promo_revenue
+    oracle=f"""
+SELECT ((2000000 * sum(CASE WHEN p_type = 'PROMO'
+                            THEN {_SQL_REV_U4} ELSE 0 END)
+         + sum({_SQL_REV_U4})) // (2 * sum({_SQL_REV_U4}))) / 10000.0
+         AS promo_revenue
 FROM lineitem
 JOIN part ON l_partkey = p_partkey
 WHERE l_shipdate >= TIMESTAMP '1997-03-01'
@@ -266,19 +291,28 @@ def rel_q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("l_shipdate") >= F.lit("1997-03-01").cast("timestamp"))
         & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
     )
-    promo = F.when(F.col("p_type") == "PROMO", _revenue()).otherwise(F.lit(0.0))
+    promo = F.when(F.col("p_type") == "PROMO", _rev_u4()).otherwise(F.lit(0))
     return (
         li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
-        .agg(
-            F.round(100.0 * F.sum(promo) / F.sum(_revenue()), 4).alias("promo_revenue")
+        .agg(F.sum(promo).alias("_a"), F.sum(_rev_u4()).alias("_b"))
+        # 4-dp percent via integer half-up division (decimal headroom for
+        # the 2e6x numerator); one deterministic /1e4 at the end.
+        .select(
+            (
+                F.expr(
+                    "(2000000 * cast(_a as decimal(38,0)) + _b) div (2 * _b)"
+                ).cast("double")
+                / 10000.0
+            ).alias("promo_revenue")
         )
     )
 
 
 @register(
     "rel_q17_small_qty_revenue",
-    oracle="""
-SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
+    oracle=f"""
+SELECT ((2 * sum({_sql_cents('l_extendedprice')}) + 7) // 14) / 100.0
+         AS avg_yearly
 FROM lineitem
 JOIN part ON p_partkey = l_partkey
 JOIN (
@@ -313,14 +347,20 @@ def rel_q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.join(F.broadcast(thresholds), li.l_partkey == F.col("a_partkey"))
         .filter(F.col("l_quantity") < F.col("qty_threshold"))
-        .agg(F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"))
+        .agg(F.sum(_cents("l_extendedprice")).alias("_c"))
+        # cents/7 with integer half-up rounding, then one exact /100.0.
+        .select(
+            (F.expr("(2 * _c + 7) div 14").cast("double") / 100.0).alias(
+                "avg_yearly"
+            )
+        )
     )
 
 
 @register(
     "rel_q19_disjunctive",
-    oracle="""
-SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    oracle=f"""
+SELECT ((sum({_SQL_REV_U4}) + 50) // 100) / 100.0 AS revenue
 FROM lineitem
 JOIN part ON p_partkey = l_partkey
 WHERE (p_brand = 'Brand#11' AND p_size BETWEEN 1 AND 5
@@ -350,21 +390,23 @@ def rel_q19_disjunctive(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
         .filter(cond)
-        .agg(F.round(F.sum(_revenue()), 2).alias("revenue"))
+        .agg(F.sum(_rev_u4()).alias("_r4"))
+        .select(_u4_to_2dp("_r4").alias("revenue"))
     )
 
 
 @register(
     "rel_q22_idle_customers",
-    oracle="""
+    oracle=f"""
 WITH avg_bal AS (
-  SELECT avg(c_acctbal) AS threshold FROM customer WHERE c_acctbal > 0.0
+  SELECT sum({_sql_cents('c_acctbal')}) AS sum_c, count(*) AS n_c
+  FROM customer WHERE c_acctbal > 0.0
 )
 SELECT n_name, count(*) AS numcust,
-       round(sum(c_acctbal), 2) AS totacctbal
+       sum({_sql_cents('c_acctbal')}) / 100.0 AS totacctbal
 FROM customer
 JOIN nation ON c_nationkey = n_nationkey, avg_bal
-WHERE c_acctbal > threshold
+WHERE {_sql_cents('c_acctbal')} * n_c > sum_c
   AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
                   AND o_orderdate >= TIMESTAMP '1999-01-01')
 GROUP BY n_name
@@ -386,18 +428,26 @@ def rel_q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("o_orderdate") >= F.lit("1999-01-01").cast("timestamp"))
         .select("o_custkey")
     )
+    # Threshold as an exact integer cross-multiplication: bal > sum/n
+    # ⟺ bal_cents * n > sum_cents — a double average here would gate the
+    # FILTER on an order-dependent ulp (row-count divergence class).
     threshold = cust.filter(F.col("c_acctbal") > 0.0).agg(
-        F.avg("c_acctbal").alias("threshold")
+        F.sum(_cents("c_acctbal")).alias("sum_c"), F.count("*").alias("n_c")
     )
     return (
         cust.crossJoin(F.broadcast(threshold))
-        .filter(F.col("c_acctbal") > F.col("threshold"))
+        .filter(_cents("c_acctbal") * F.col("n_c") > F.col("sum_c"))
         .join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
         .join(F.broadcast(nat), F.col("c_nationkey") == F.col("n_nationkey"))
         .groupBy("n_name")
         .agg(
             F.count("*").alias("numcust"),
-            F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+            F.sum(_cents("c_acctbal")).alias("_tc"),
+        )
+        .select(
+            "n_name",
+            "numcust",
+            (F.col("_tc").cast("double") / 100.0).alias("totacctbal"),
         )
     )
 
@@ -405,7 +455,9 @@ def rel_q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "rel_q6_forecast_revenue",
     oracle="""
-SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+SELECT ((sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+             * CAST(round(l_discount * 100) AS BIGINT)) + 50) // 100)
+       / 100.0 AS revenue
 FROM lineitem
 WHERE l_shipdate >= TIMESTAMP '1997-01-01'
   AND l_shipdate < TIMESTAMP '1998-01-01'
@@ -416,11 +468,18 @@ WHERE l_shipdate >= TIMESTAMP '1997-01-01'
     "predicate (date range, discount band, quantity cap) is a "
     "single-column comparison that pushes to the parquet scan as a "
     "row-group filter, so at 100 TB most of the table is never "
-    "decompressed; the single sum folds map-side to one double per "
-    "partition.",
+    "decompressed; the single sum folds map-side to one long per "
+    "partition. Revenue is EXACT integer arithmetic in 10^-4-dollar "
+    "units (price/discount are 2-dp decimals, so round(x*100) recovers "
+    "the exact integer), half-up divided to cents in integer math, "
+    "then a single deterministic /100.0 — no round() of an "
+    "order-dependent double sum (the r1-r3 cross-engine bug class).",
 )
 def rel_q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, "lineitem", sf_dir)
+    u4 = F.round(F.col("l_extendedprice") * 100).cast("long") * F.round(
+        F.col("l_discount") * 100
+    ).cast("long")
     return (
         li.filter(
             (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
@@ -428,10 +487,9 @@ def rel_q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             & F.col("l_discount").between(0.05, 0.07)
             & (F.col("l_quantity") < 24)
         )
-        .agg(
-            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias(
-                "revenue"
-            )
+        .agg(F.sum(u4).alias("_u4"))
+        .select(
+            (F.expr("(_u4 + 50) div 100").cast("double") / 100.0).alias("revenue")
         )
     )
 
@@ -440,11 +498,12 @@ def rel_q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     "rel_q8_market_share",
     oracle="""
 SELECT o_year,
-       round(sum(CASE WHEN supp_nation = 'NATION_3' THEN volume ELSE 0 END)
-             / sum(volume), 6) AS mkt_share
+       ((2000000 * sum(CASE WHEN supp_nation = 'NATION_3' THEN volume ELSE 0 END)
+         + sum(volume)) // (2 * sum(volume))) / 1000000.0 AS mkt_share
 FROM (
   SELECT year(o_orderdate) AS o_year,
-         l_extendedprice * (1 - l_discount) AS volume,
+         CAST(round(l_extendedprice * 100) AS BIGINT)
+           * (100 - CAST(round(l_discount * 100) AS BIGINT)) AS volume,
          n2.n_name AS supp_nation
   FROM part
   JOIN lineitem ON p_partkey = l_partkey
@@ -465,7 +524,11 @@ GROUP BY o_year
     "lineitem x orders large join; the share is a conditional-sum/sum "
     "ratio computed in the same aggregate pass (no second scan or "
     "self-join). The selective p_type filter broadcasts a pruned part "
-    "dim, shrinking the fact stream before everything else.",
+    "dim, shrinking the fact stream before everything else. Volume is "
+    "exact integer 10^-4-dollar units and the 6-dp share is produced "
+    "by integer half-up division (decimal intermediates headroom for "
+    "2e6x sums) then one deterministic /1e6 — no engine-specific "
+    "rounding of an order-dependent double ratio.",
 )
 def rel_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = load_table(spark, "part", sf_dir).filter(F.col("p_type") == "PROMO")
@@ -484,8 +547,10 @@ def rel_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     n2 = load_table(spark, "nation", sf_dir).select(
         F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("supp_nation")
     )
-    volume = F.col("l_extendedprice") * (1 - F.col("l_discount"))
-    nation3 = F.when(F.col("supp_nation") == "NATION_3", volume).otherwise(F.lit(0.0))
+    volume = F.round(F.col("l_extendedprice") * 100).cast("long") * (
+        100 - F.round(F.col("l_discount") * 100).cast("long")
+    )
+    nation3 = F.when(F.col("supp_nation") == "NATION_3", volume).otherwise(F.lit(0))
     return (
         li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
         .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
@@ -495,7 +560,20 @@ def rel_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(region), F.col("n1_region") == F.col("r_regionkey"))
         .join(F.broadcast(n2), F.col("s_nationkey") == F.col("n2_key"))
         .groupBy(F.year("o_orderdate").alias("o_year"))
-        .agg(F.round(F.sum(nation3) / F.sum(volume), 6).alias("mkt_share"))
+        .agg(F.sum(nation3).alias("_a"), F.sum(volume).alias("_b"))
+        # Half-up 6-dp share in integer/decimal arithmetic: the decimal
+        # cast gives 2e6x-the-sum headroom past BIGINT at large scale;
+        # the final /1e6 of an exact integer is one deterministic IEEE
+        # division, identical on both engines.
+        .select(
+            "o_year",
+            (
+                F.expr(
+                    "(2000000 * cast(_a as decimal(38,0)) + _b) div (2 * _b)"
+                ).cast("double")
+                / 1000000.0
+            ).alias("mkt_share"),
+        )
     )
 
 
@@ -550,10 +628,10 @@ def rel_q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "rel_q15_top_supplier",
-    oracle="""
+    oracle=f"""
 WITH revenue AS (
   SELECT l_suppkey AS supplier_no,
-         round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+         ((sum({_SQL_REV_U4}) + 50) // 100) / 100.0 AS total_revenue
   FROM lineitem
   WHERE l_shipdate >= TIMESTAMP '1997-01-01'
     AND l_shipdate < TIMESTAMP '1997-04-01'
@@ -577,8 +655,10 @@ def rel_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
     )
     supp = load_table(spark, "supplier", sf_dir)
-    revenue = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
-        F.round(F.sum(_revenue()), 2).alias("total_revenue")
+    revenue = (
+        li.groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(F.sum(_rev_u4()).alias("_r4"))
+        .select("supplier_no", _u4_to_2dp("_r4").alias("total_revenue"))
     )
     top = revenue.agg(F.max("total_revenue").alias("max_revenue"))
     return (
@@ -593,7 +673,14 @@ def rel_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     "rel_q2_min_cost_supplier",
     oracle="""
 WITH sp AS (
-  SELECT l_suppkey, l_partkey, min(l_extendedprice / l_quantity) AS unit_cost
+  -- unit cost in EXACT integer 1e-6-dollar units: half-up of
+  -- 1e4*price_cents/qty (qty is integer-valued) — the min and the
+  -- equality match below run on exact BIGINTs, and the final /1e6 is
+  -- one deterministic float division (no round() of a computed double).
+  SELECT l_suppkey, l_partkey,
+         min((2 * 10000 * CAST(round(l_extendedprice * 100) AS BIGINT)
+              + CAST(l_quantity AS BIGINT))
+             // (2 * CAST(l_quantity AS BIGINT))) AS cost_u6
   FROM lineitem GROUP BY l_suppkey, l_partkey
 ),
 eu AS (
@@ -604,16 +691,16 @@ eu AS (
 ),
 cand AS (
   SELECT eu.s_suppkey, eu.s_name, eu.s_acctbal, eu.n_name,
-         sp.l_partkey, sp.unit_cost
+         sp.l_partkey, sp.cost_u6
   FROM sp JOIN eu ON sp.l_suppkey = eu.s_suppkey
   JOIN part ON sp.l_partkey = p_partkey
   WHERE p_type = 'STANDARD' AND p_size <= 10
 ),
-mc AS (SELECT l_partkey, min(unit_cost) AS min_cost FROM cand GROUP BY l_partkey)
+mc AS (SELECT l_partkey, min(cost_u6) AS min_cost FROM cand GROUP BY l_partkey)
 SELECT s_acctbal, s_name, n_name, cand.l_partkey AS p_partkey,
-       round(unit_cost, 6) AS unit_cost
+       cost_u6 / 1000000.0 AS unit_cost
 FROM cand JOIN mc ON cand.l_partkey = mc.l_partkey
-                 AND cand.unit_cost = mc.min_cost
+                 AND cand.cost_u6 = mc.min_cost
 ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
 LIMIT 20
 """,
@@ -634,8 +721,12 @@ def rel_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     nation = load_table(spark, "nation", sf_dir)
     region = load_table(spark, "region", sf_dir)
     part = load_table(spark, "part", sf_dir)
+    cost_u6 = F.expr(
+        "(2 * 10000 * cast(round(l_extendedprice * 100) as bigint)"
+        " + cast(l_quantity as bigint)) div (2 * cast(l_quantity as bigint))"
+    )
     sp = li.groupBy("l_suppkey", "l_partkey").agg(
-        F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_cost")
+        F.min(cost_u6).alias("cost_u6")
     )
     eu = (
         supp.join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
@@ -647,22 +738,22 @@ def rel_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     cand = (
         sp.join(F.broadcast(eu), sp.l_suppkey == eu.s_suppkey)
         .join(F.broadcast(pf), sp.l_partkey == pf.p_partkey)
-        .select("s_suppkey", "s_name", "s_acctbal", "n_name", "l_partkey", "unit_cost")
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name", "l_partkey", "cost_u6")
     )
     mc = cand.groupBy(F.col("l_partkey").alias("_pk")).agg(
-        F.min("unit_cost").alias("min_cost")
+        F.min("cost_u6").alias("min_cost")
     )
     return (
         cand.join(
             mc,
-            (cand.l_partkey == mc._pk) & (cand.unit_cost == mc.min_cost),
+            (cand.l_partkey == mc._pk) & (cand.cost_u6 == mc.min_cost),
         )
         .select(
             "s_acctbal",
             "s_name",
             "n_name",
             F.col("l_partkey").alias("p_partkey"),
-            F.round("unit_cost", 6).alias("unit_cost"),
+            (F.col("cost_u6").cast("double") / 1000000.0).alias("unit_cost"),
         )
         .orderBy(
             F.desc("s_acctbal"), F.asc("n_name"), F.asc("s_name"), F.asc("p_partkey")

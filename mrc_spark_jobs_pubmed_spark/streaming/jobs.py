@@ -155,7 +155,10 @@ def chained_window_rollup(events: DataFrame, with_watermark: bool = True) -> Dat
             F.count("*").alias("n_subwindows"),
         )
         .select(
-            F.col("w2.start").alias("wstart"),
+            # Epoch seconds, not a timestamp object: integer outputs are
+            # immune to session-timezone / datetime-canonicalization
+            # differences between collection harnesses.
+            F.unix_timestamp(F.col("w2.start")).alias("wstart_epoch"),
             "event_type",
             "n_events",
             "peak_5min_n",

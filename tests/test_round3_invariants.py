@@ -176,15 +176,15 @@ def test_salted_join_matches_plain_join(spark):
         .groupBy("s_name")
         .agg(
             F.sum(
-                F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100)
-                .cast("long")
-            ).alias("revenue_cents"),
+                F.round(F.col("l_extendedprice") * 100).cast("long")
+                * (100 - F.round(F.col("l_discount") * 100).cast("long"))
+            ).alias("revenue_c4"),
             F.count("*").alias("n_lines"),
         )
     )
     got = {
-        r.s_name: (r.revenue_cents, r.n_lines)
+        r.s_name: (r.revenue_c4, r.n_lines)
         for r in _q(spark, "rel_skew_salted_join").collect()
     }
-    want = {r.s_name: (r.revenue_cents, r.n_lines) for r in plain.collect()}
+    want = {r.s_name: (r.revenue_c4, r.n_lines) for r in plain.collect()}
     assert got == want

@@ -45,11 +45,11 @@ def test_chained_rollup_stream_emits_finalized_subset(spark):
     q = J.run_to_memory(stream, "t_chain", "append")
     _drain(q)
     got = {
-        (r.wstart, r.event_type): (r.n_events, r.peak_5min_n, r.n_subwindows)
+        (r.wstart_epoch, r.event_type): (r.n_events, r.peak_5min_n, r.n_subwindows)
         for r in spark.sql("SELECT * FROM t_chain").collect()
     }
     want = {
-        (r.wstart, r.event_type): (r.n_events, r.peak_5min_n, r.n_subwindows)
+        (r.wstart_epoch, r.event_type): (r.n_events, r.peak_5min_n, r.n_subwindows)
         for r in J.chained_window_rollup(
             _batch_events(spark), with_watermark=False
         ).collect()
