@@ -75,17 +75,28 @@ def main() -> None:
     for name in HEADLINE:
         registry[name].fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
 
-    # Best of two timed runs: a single sample still carries first-run
-    # shuffle-file setup and GC noise (measured: jaccard 2.7s on run 1
-    # vs 1.95s steady); min-of-2 is the steady-state number.
+    # Median of five timed runs: best-of-2 at sub-second per-query scale
+    # produced false round-over-round regressions twice (r2, r3 — both
+    # resolved as noise only after ad-hoc n=5 re-measurement); the
+    # median is robust to both GC spikes and the occasional
+    # suspiciously-fast sample, and makes BENCH files directly
+    # comparable across rounds.
+    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "5"))
     times: dict[str, float] = {}
     for name in HEADLINE:
-        best = float("inf")
-        for _ in range(2):
+        samples = []
+        for _ in range(runs):
             t0 = time.time()
             registry[name].fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
-            best = min(best, time.time() - t0)
-        times[name] = round(best, 3)
+            samples.append(time.time() - t0)
+        samples.sort()
+        mid = len(samples) // 2
+        med = (
+            samples[mid]
+            if len(samples) % 2
+            else (samples[mid - 1] + samples[mid]) / 2
+        )
+        times[name] = round(med, 3)
 
     m = re.search(r"sf([0-9.]+)", SF_DIR)
     sf = float(m.group(1)) if m else None

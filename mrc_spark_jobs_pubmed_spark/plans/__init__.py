@@ -97,6 +97,9 @@ DRIVER_WINDOW: list[str] = [
     "text_hashing_vectorizer",
     "text_pmi_collocations",
     "text_rake_keywords",
+    # round-4 additions (beyond the 50-row window if the driver cuts at
+    # 50 — next in line for the r5 rotation otherwise)
+    "stream_stateful_sessions",
 ]
 
 set_priority(DRIVER_WINDOW)

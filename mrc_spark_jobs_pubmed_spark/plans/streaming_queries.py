@@ -88,6 +88,52 @@ def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "stream_stateful_sessions",
+    oracle="""
+WITH marked AS (
+  SELECT user_id, ts, CAST(round(value * 10000) AS BIGINT) AS v4,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR ts - lag(ts) OVER w >= INTERVAL '5 minutes'
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+),
+sessions AS (
+  SELECT *, sum(new_session) OVER (
+    PARTITION BY user_id ORDER BY ts
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+  FROM marked
+)
+SELECT user_id,
+       CAST(sid AS BIGINT) AS session_seq,
+       CAST(epoch_us(min(ts)) // 1000000 AS BIGINT) AS start_epoch,
+       CAST(epoch_us(max(ts)) // 1000000 + 300 AS BIGINT) AS end_epoch,
+       count(*) AS n_events,
+       sum(v4) / 10000.0 AS value_sum
+FROM sessions
+GROUP BY user_id, sid
+""",
+    doc="Arbitrary-state sessionization (the custom-stateful-operator "
+    "row): per-user sessions with a 5-min gap AND a per-user session "
+    "sequence number — an output the built-in session_window cannot "
+    "produce, which is exactly when the applyInPandas(WithState) seam "
+    "earns its keep. This registered batch form runs fold_sessions "
+    "(streaming/jobs.py) over each user's history via applyInPandas; "
+    "the STREAMING twin stateful_sessionize runs the SAME fold under "
+    "applyInPandasWithState with EventTimeTimeout (update mode, "
+    "bounded per-active-user state, watermark-reaped) and is "
+    "replay-tested batch-equivalent in tests/test_streaming.py. "
+    "Epoch-seconds outputs keep the value contract free of timestamp "
+    "canonicalization; value sums are exact 1e-4-unit integers. Scale: "
+    "one shuffle on user_id; per-group Arrow batches are one user's "
+    "events — bounded by the heaviest user, the same bound the "
+    "stateful runtime carries.",
+)
+def stream_stateful_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return J.sessionize_batch(load_table(spark, "events", sf_dir))
+
+
+@register(
     "stream_chained_rollup",
     oracle="""
 WITH lvl1 AS (

@@ -847,20 +847,30 @@ def text_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mrc_spark_jobs_pubmed_spark.operators.dedup import tokens_col
 
     docs = load_table(spark, "documents", sf_dir)
-    toks = docs.select("doc_id", tokens_col(F.col("text")).alias("toks"))
-    # ONE corpus pass counts unigrams and bigrams together (tokens are
-    # non-space runs, so "contains a space" splits the combined vocab
-    # exactly), and ONE checkpoint serves every consumer — separate
-    # uni/big explode+agg passes measured 3.6s vs 2.8s combined at sf1,
-    # and each fed 2-3 branches that would otherwise replay the corpus
-    # explode.
+    # ONE corpus pass, ONE explode, ONE shuffle: each doc emits its n-1
+    # adjacent bigrams PLUS its bare last token (space-free, so it can
+    # never collide with a bigram — tokens are non-space runs). Unigram
+    # counts then fall out as MARGINS of the aggregated table: every
+    # token occurrence either starts a bigram or is its doc's last
+    # token, so c(tok) = Σ c_ab over bigrams starting with tok + the
+    # last-token count. The margin sums run over the vocab-sized
+    # aggregate, not the corpus; vs the r3 combined uni+bigram explode
+    # this halves the exploded row volume (2n-1 → n elements/doc)
+    # feeding the single corpus-scale hash agg.
+    toks = docs.select(tokens_col(F.col("text")).alias("toks"))
     comb = (
         toks.select(
+            # index-walk, not slice+zip_with+filter: slice() copies the
+            # array and filter() re-allocates — sequence/transform
+            # builds each bigram string once with no array copies.
+            # (sequence(2, 0) would count DOWN — short docs guarded.)
             F.explode(
                 F.expr(
-                    "concat(toks, "
-                    "filter(zip_with(toks, slice(toks, 2, greatest(size(toks) - 1, 0)), "
-                    "(a, b) -> concat(a, ' ', b)), s -> s IS NOT NULL))"
+                    "CASE WHEN size(toks) = 0 THEN array() "
+                    "WHEN size(toks) = 1 THEN array(toks[0]) "
+                    "ELSE concat(transform(sequence(2, size(toks)), "
+                    "i -> concat(toks[i - 2], ' ', toks[i - 1])), "
+                    "array(toks[size(toks) - 1])) END"
                 )
             ).alias("g")
         )
@@ -868,20 +878,33 @@ def text_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("c"))
         .localCheckpoint(eager=True)
     )
-    uni = comb.where(~F.col("g").contains(" ")).select(
-        F.col("g").alias("tok"), F.col("c")
+    big = comb.where(F.col("g").contains(" ")).select(
+        F.col("g").alias("bigram"),
+        F.split("g", " ")[0].alias("a"),
+        F.split("g", " ")[1].alias("b"),
+        F.col("c").alias("c_ab"),
+    )
+    lasts = comb.where(~F.col("g").contains(" ")).select(
+        F.col("g").alias("tok"), F.col("c").alias("c_last")
+    )
+    starts = big.groupBy(F.col("a").alias("tok")).agg(
+        F.sum("c_ab").alias("c_start")
+    )
+    uni = starts.join(lasts, "tok", "full_outer").select(
+        "tok",
+        (
+            F.coalesce(F.col("c_start"), F.lit(0))
+            + F.coalesce(F.col("c_last"), F.lit(0))
+        ).alias("c"),
     )
     totals = uni.agg(F.sum("c").cast("long").alias("n_tokens"))
-    big = comb.where(F.col("g").contains(" ")).select(
-        F.col("g").alias("bigram"), F.col("c").alias("c_ab")
-    )
     btotals = big.agg(F.sum("c_ab").cast("long").alias("n_bigrams"))
     ua = uni.select(F.col("tok").alias("tok_a"), F.col("c").alias("c_a"))
     ub = uni.select(F.col("tok").alias("tok_b"), F.col("c").alias("c_b"))
     scored = (
         big.where(F.col("c_ab") >= PMI_MIN_COUNT)
-        .withColumn("tok_a", F.split("bigram", " ")[0])
-        .withColumn("tok_b", F.split("bigram", " ")[1])
+        .withColumn("tok_a", F.col("a"))
+        .withColumn("tok_b", F.col("b"))
         .join(F.broadcast(ua), "tok_a")
         .join(F.broadcast(ub), "tok_b")
         .crossJoin(F.broadcast(totals))

@@ -57,6 +57,14 @@ def get_session(
         # to micros. Harmless when the fixture is micros (the current one):
         # the flag only changes how ns columns surface.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # Scans must not under-parallelize CPU-heavy per-row work: a
+        # ~200 MB documents table splits into only 2 default 128 MB
+        # partitions, so a tokenize/explode pipeline would run on 2 of
+        # N cores (measured 3.6x on the PMI bigram agg at sf1). This is
+        # a MINIMUM split count — maxPartitionBytes still bounds
+        # per-task input at real scale, where file volume alone
+        # saturates the cluster and this floor is already met.
+        .config("spark.sql.files.minPartitionNum", str(2 * int(cpus)))
         .config("spark.ui.enabled", "false")
     )
     if master is not None:

@@ -203,7 +203,47 @@ def load_table(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> 
         if needs_ns_conversion:
             df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
         return df
-    return spark.read.schema(TABLE_SCHEMAS[name]).parquet(path)
+    df = spark.read.schema(TABLE_SCHEMAS[name]).parquet(path)
+    if name in ("documents", "embeddings"):
+        # The two corpus tables feed tokenize/regex/vector pipelines
+        # where per-row CPU dwarfs a one-pass shuffle; the relational
+        # tables don't (see fan_out). Projection pruning still pushes
+        # below the exchange, so metadata-only document queries shuffle
+        # only the columns they read.
+        df = fan_out(df, cache_key=path)
+    return df
+
+
+# Partition-probe results by (path, target): physical planning for
+# getNumPartitions costs ~100 ms, and a table's scan layout is fixed
+# within a session.
+_FAN_OUT_NEEDED: dict[tuple[str, int], bool] = {}
+
+
+def fan_out(df: DataFrame, cache_key: str | None = None) -> DataFrame:
+    """Decouple scan parallelism from file layout for CPU-heavy per-row
+    stages (tokenize / regex / HOF / vector-math pipelines).
+
+    A parquet file is splittable only at row-group boundaries, so a
+    compact single-row-group file pins the whole downstream pipeline to
+    one task regardless of `files.minPartitionNum` (measured: the PMI
+    bigram pass ran on 2 of 32 cores at sf1, 3.6x slower). When the scan
+    yields fewer partitions than the cluster has cores, pay one
+    round-robin shuffle of the raw rows to spread the CPU work; when the
+    input is already wide (any real multi-file table — the 100 TB case)
+    this is a no-op and costs nothing. NOT for cheap-per-row scans
+    (plain relational aggs): there the shuffle costs more than the
+    single-threaded scan saves (measured on TPC-H Q1).
+    """
+    target = df.sparkSession.sparkContext.defaultParallelism
+    key = (cache_key, target) if cache_key else None
+    if key is not None and key in _FAN_OUT_NEEDED:
+        needed = _FAN_OUT_NEEDED[key]
+    else:
+        needed = df.rdd.getNumPartitions() < target
+        if key is not None:
+            _FAN_OUT_NEEDED[key] = needed
+    return df.repartition(target) if needed else df
 
 
 def load_tables(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> dict[str, DataFrame]:

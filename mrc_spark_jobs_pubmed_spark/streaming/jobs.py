@@ -126,6 +126,190 @@ def session_windows(events: DataFrame, with_watermark: bool = True) -> DataFrame
     )
 
 
+SESSION_GAP_SEC = 300  # == SESSION_GAP, as integer seconds for the fold
+_GAP_US = SESSION_GAP_SEC * 1_000_000
+
+
+def fold_sessions(ts_us, v4):
+    """Fold a user's time-sorted events into sessions (5-min gap).
+
+    Pure-Python core shared by the batch applyInPandas plan and the
+    streaming applyInPandasWithState operator, so the two runtimes are
+    the same algorithm by construction. Input: int64 epoch-micros and
+    exact 1e-4-unit values. Returns (closed_sessions, open_session)
+    where each session is (start_us, last_us, n, v4_sum) — the caller
+    decides whether the trailing open session is final (batch: yes;
+    streaming: only via event-time timeout).
+    """
+    closed = []
+    cur = None
+    for t, v in zip(ts_us, v4):
+        t, v = int(t), int(v)
+        if cur is None:
+            cur = (t, t, 1, v)
+        elif t - cur[1] < _GAP_US:
+            # strict <: session windows are [start, last+gap), so an
+            # event landing exactly at the gap boundary starts a NEW
+            # session — the same end-exclusive convention as Spark's
+            # built-in session_window and the gaps-and-islands oracle.
+            cur = (cur[0], max(cur[1], t), cur[2] + 1, cur[3] + v)
+        else:
+            closed.append(cur)
+            cur = (t, t, 1, v)
+    return closed, cur
+
+
+def stateful_sessionize(events: DataFrame) -> DataFrame:
+    """Custom sessionization as an ARBITRARY-STATE streaming operator
+    (applyInPandasWithState + EventTimeTimeout) — the protobuf-free
+    Spark 4 path, unlike transformWithStateInPandas whose state-server
+    protocol needs google.protobuf.
+
+    Per-user GroupState holds the open session (start, last-seen, count,
+    exact value sum). A session closes either when a later event for the
+    same user arrives beyond the gap (emitted in that micro-batch) or
+    when the event-time watermark passes last_ts + gap (emitted by the
+    timeout callback, state removed). Update mode; emitted rows are
+    final. State is bounded: one fixed-width tuple per ACTIVE user, and
+    the timeout reaps users who go quiet — this is the operator shape
+    for sessionization semantics the built-in session_window can't
+    express (e.g. carrying exact integer sums through custom logic).
+    """
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    out_schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("session_start", T.TimestampType()),
+            T.StructField("session_end", T.TimestampType()),
+            T.StructField("n_events", T.LongType()),
+            T.StructField("value_sum", T.DoubleType()),
+        ]
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("start_us", T.LongType()),
+            T.StructField("last_us", T.LongType()),
+            T.StructField("n", T.LongType()),
+            T.StructField("v4", T.LongType()),
+        ]
+    )
+
+    def _to_frame(uid, sessions):
+        return pd.DataFrame(
+            {
+                "user_id": [uid] * len(sessions),
+                "session_start": pd.to_datetime(
+                    [s[0] for s in sessions], unit="us"
+                ),
+                "session_end": pd.to_datetime(
+                    [s[1] + _GAP_US for s in sessions], unit="us"
+                ),
+                "n_events": [s[2] for s in sessions],
+                "value_sum": [float(s[3]) / 10000.0 for s in sessions],
+            }
+        )
+
+    def update(key, pdfs, state):
+        uid = key[0]
+        if state.hasTimedOut:
+            start_us, last_us, n, v4 = state.get
+            state.remove()
+            yield _to_frame(uid, [(start_us, last_us, n, v4)])
+            return
+        rows = pd.concat(list(pdfs), ignore_index=True)
+        if not len(rows):
+            return
+        rows = rows.sort_values("ts")
+        ts_us = rows["ts"].astype("int64") // 1000
+        v4 = (rows["value"] * 10000).round().astype("int64")
+        prior = list(state.get) if state.exists else None
+        if prior is not None:
+            # seed the fold with the open session from state
+            closed, cur = fold_sessions(ts_us, v4)
+            first_t = int(ts_us.iloc[0])
+            if first_t - prior[1] < _GAP_US:
+                # batch's first session continues the stored one
+                head = closed[0] if closed else cur
+                merged = (
+                    prior[0],
+                    max(prior[1], head[1]),
+                    prior[2] + head[2],
+                    prior[3] + head[3],
+                )
+                if closed:
+                    closed[0] = merged
+                else:
+                    cur = merged
+            else:
+                closed.insert(0, tuple(prior))
+        else:
+            closed, cur = fold_sessions(ts_us, v4)
+        state.update(tuple(cur))
+        # reap via event time: fires once the watermark passes gap-end
+        # (clamped above the current watermark — a session whose gap-end
+        # is already behind the watermark must still time out, just on
+        # the next advance, and an at-or-below-watermark timestamp is an
+        # error)
+        state.setTimeoutTimestamp(
+            max((cur[1] + _GAP_US) // 1000, state.getCurrentWatermarkMs() + 1)
+        )
+        if closed:
+            yield _to_frame(uid, closed)
+
+    src = events.withWatermark("ts", WATERMARK)
+    return src.groupBy("user_id").applyInPandasWithState(
+        update, out_schema, state_schema, "update", "EventTimeTimeout"
+    )
+
+
+def sessionize_batch(events: DataFrame) -> DataFrame:
+    """Batch twin of stateful_sessionize: the SAME fold_sessions core
+    over each user's full history via applyInPandas, emitting every
+    session (trailing one included) plus its 1-based per-user sequence
+    number — the session_seq output is what the built-in session_window
+    cannot produce and the custom-state path exists for."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("session_seq", T.LongType()),
+            T.StructField("start_epoch", T.LongType()),
+            T.StructField("end_epoch", T.LongType()),
+            T.StructField("n_events", T.LongType()),
+            T.StructField("value_sum", T.DoubleType()),
+        ]
+    )
+
+    def per_user(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("ts")
+        ts_us = pdf["ts"].astype("int64") // 1000
+        v4 = (pdf["value"] * 10000).round().astype("int64")
+        closed, cur = fold_sessions(ts_us, v4)
+        if cur is not None:
+            closed.append(cur)
+        uid = int(pdf["user_id"].iloc[0])
+        return pd.DataFrame(
+            {
+                "user_id": [uid] * len(closed),
+                "session_seq": list(range(1, len(closed) + 1)),
+                "start_epoch": [s[0] // 1_000_000 for s in closed],
+                "end_epoch": [(s[1] + _GAP_US) // 1_000_000 for s in closed],
+                "n_events": [s[2] for s in closed],
+                "value_sum": [float(s[3]) / 10000.0 for s in closed],
+            }
+        )
+
+    return (
+        events.select("user_id", "ts", "value")
+        .groupBy("user_id")
+        .applyInPandas(per_user, schema)
+    )
+
+
 def chained_window_rollup(events: DataFrame, with_watermark: bool = True) -> DataFrame:
     """Chained windowed aggregation: 5-minute tumbling counts rolled up
     into 15-minute windows (total events, peak 5-min sub-window, number
@@ -350,19 +534,41 @@ def run_topk_to_files(
 ):
     """Streaming windowed top-k via foreachBatch: rank-over-aggregate is
     not expressible inside a single streaming query (window functions
-    cannot stack on a streaming agg), so the production pattern is the
-    aggregation running incrementally in the stream and the (tiny) rank
-    applied per micro-batch over the maintained aggregate, overwriting
-    the serving copy. State stays bounded by the windowed agg; the
-    foreachBatch input is one row per (window, type) — aggregate volume,
-    not event volume — so the per-batch rank is always small.
+    cannot stack on a streaming agg), so the aggregation runs
+    incrementally in the stream and the (tiny) rank is applied per
+    micro-batch over a MERGED serving copy of the aggregate.
+
+    UPDATE mode, not complete: complete mode ignores the watermark and
+    retains every window ever seen in engine state — unbounded for a
+    long-running stream. In update mode the engine emits only the
+    (window, type) rows each batch changed and evicts windows the
+    watermark has passed, so engine state stays bounded; the full
+    history lives in the serving-copy parquet, where foreachBatch
+    upserts the deltas (left-anti on the key + union — the MERGE INTO
+    pattern; on a transactional table format this would be a real
+    MERGE). The per-batch input is delta-aggregate volume, not event
+    volume; the rank runs over the merged copy, which is one row per
+    (window, type) — vocabulary-sized, not stream-sized.
     """
+    counts_path = path + "_counts"
 
     def _emit(batch_df: DataFrame, _batch_id: int) -> None:
-        rank_topk(batch_df, k).write.mode("overwrite").parquet(path)
+        spark = batch_df.sparkSession
+        batch = batch_df.localCheckpoint(eager=True)
+        try:
+            existing = spark.read.parquet(counts_path)
+            merged = existing.join(
+                batch, ["wstart", "event_type"], "left_anti"
+            ).unionByName(batch)
+        except Exception:  # first batch: no serving copy yet
+            merged = batch
+        # materialize BEFORE overwriting the path it was read from
+        merged = merged.localCheckpoint(eager=True)
+        merged.write.mode("overwrite").parquet(counts_path)
+        rank_topk(merged, k).write.mode("overwrite").parquet(path)
 
     return (
-        stream_counts.writeStream.outputMode("complete")
+        stream_counts.writeStream.outputMode("update")
         .foreachBatch(_emit)
         .option("checkpointLocation", checkpoint)
         .start()

@@ -160,6 +160,41 @@ def test_interval_join_stream_equals_batch(spark):
     assert got == want and len(want) > 0
 
 
+def test_stateful_sessionize_stream_equals_batch(spark, tmp_path):
+    """Arbitrary-state sessionization (applyInPandasWithState +
+    EventTimeTimeout): every session the stream finalizes — by a
+    later-than-gap event or by the watermark-driven timeout — must
+    exactly match the batch fold (sessionize_batch, the oracle-checked
+    registered query). Sessions whose gap-end the final watermark never
+    passes stay open in state and are legitimately unemitted."""
+    stream = J.stateful_sessionize(J.read_events_stream(spark, SF))
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("t_sess")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "sess_ckpt"))
+        .start()
+    )
+    _drain(q)
+    got = {
+        (r.user_id, r.se): (r.ee, r.n_events, r.value_sum)
+        for r in spark.sql(
+            "SELECT user_id, unix_timestamp(session_start) AS se, "
+            "unix_timestamp(session_end) AS ee, n_events, value_sum "
+            "FROM t_sess"
+        ).collect()
+    }
+    want = {
+        (r.user_id, r.start_epoch): (r.end_epoch, r.n_events, r.value_sum)
+        for r in J.sessionize_batch(_batch_events(spark)).collect()
+    }
+    assert len(got) > 0
+    for k, v in got.items():
+        assert want.get(k) == v, (k, v, want.get(k))
+    # the replay must finalize a non-trivial share (timeouts fired)
+    assert len(got) > len(want) * 0.5
+
+
 def test_transform_with_state_running_count(spark, tmp_path):
     """Spark 4 arbitrary state V2 (transformWithStateInPandas): a
     per-user running event counter with explicit ValueState, emitting
@@ -250,10 +285,10 @@ def test_static_enrich_stream_equals_batch(spark):
 
 
 def test_windowed_topk_stream_equals_batch(spark, tmp_path):
-    """foreachBatch top-k: after draining the replay, the overwritten
-    serving copy must equal the batch rank over the full history —
-    the complete-mode aggregate the last batch ranked IS the batch
-    aggregate."""
+    """foreachBatch top-k: after draining the replay, the ranked serving
+    copy must equal the batch rank over the full history — update-mode
+    deltas merged (anti-join upsert) into the counts serving copy
+    reconstruct the batch aggregate exactly."""
     out = str(tmp_path / "topk_out")
     ckpt = str(tmp_path / "topk_ckpt")
     stream = J.windowed_type_counts(J.read_events_stream(spark, SF))
