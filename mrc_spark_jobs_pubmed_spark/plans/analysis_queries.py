@@ -136,8 +136,13 @@ freqs AS (
 SELECT doc_id,
        CAST(sum(n) AS BIGINT) AS n_chars,
        CAST(count(*) AS BIGINT) AS n_distinct_chars,
-       round(-sum((n::DOUBLE / tot) * ln(n::DOUBLE / tot) / ln(2)), 6)
-         AS entropy_bits
+       -- per-character terms rounded to exact 1e-9-unit BIGINTs before
+       -- summing (order-independent; each -p*log2(p) >= 0), then the
+       -- 6-dp value closes with pure integer half-up division — no
+       -- round() of any engine-accumulated double
+       ((sum(CAST(round(-(n::DOUBLE / tot) * ln(n::DOUBLE / tot) / ln(2)
+                        * 1000000000) AS BIGINT)) + 500) // 1000)
+         / 1000000.0 AS entropy_bits
 FROM (SELECT doc_id, ch, n, sum(n) OVER (PARTITION BY doc_id) AS tot FROM freqs)
 GROUP BY doc_id
 """,
@@ -149,8 +154,10 @@ GROUP BY doc_id
     "doc to its ≤|alphabet| distinct-char counts before the exchange, "
     "and the per-doc total + final entropy agg both reuse the same "
     "doc_id partitioning (window + agg, no extra exchange). Entropy "
-    "uses ln(p)/ln(2): IEEE-identical on both engines, rounded at 6dp "
-    "only at the contract edge.",
+    "uses ln(p)/ln(2) (IEEE-identical on both engines) with each term "
+    "rounded to an exact 1e-9-unit integer before summing — the "
+    "aggregate is order-independent and the 6-dp close is integer "
+    "division, not a round() of an accumulated double.",
 )
 def ta_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
@@ -176,7 +183,19 @@ def ta_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.sum("n").cast("long").alias("n_chars"),
             F.count("*").cast("long").alias("n_distinct_chars"),
-            F.round(-F.sum(p * F.log(p) / F.log(F.lit(2.0))), 6).alias(
+            # exact-integer entropy: each per-char term rounds to a
+            # 1e-9-unit BIGINT (non-negative) before the sum, so the
+            # aggregate is order-independent; the 6-dp close is integer
+            # half-up division, never round() of an accumulated double
+            F.sum(
+                F.round(-p * F.log(p) / F.log(F.lit(2.0)) * 1e9).cast("long")
+            ).alias("_e9"),
+        )
+        .select(
+            "doc_id",
+            "n_chars",
+            "n_distinct_chars",
+            (F.expr("(_e9 + 500) div 1000").cast("double") / 1e6).alias(
                 "entropy_bits"
             ),
         )

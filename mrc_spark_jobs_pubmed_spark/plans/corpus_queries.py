@@ -629,7 +629,10 @@ vocab AS (SELECT tok, count(*) AS n FROM toks GROUP BY tok),
 tot AS (SELECT sum(n) AS total FROM vocab)
 SELECT doc_id,
        CAST(count(*) AS BIGINT) AS n_tok,
-       round(avg(ln(n::DOUBLE / total)), 6) AS avg_logprob
+       -- exact-int mean of per-token 1e-6-unit logprobs (p < 1 so
+       -- -ln(p) >= 0): order-independent sum + integer half-up close
+       -(((2 * sum(CAST(round(-ln(n::DOUBLE / total) * 1000000) AS BIGINT))
+           + count(*)) // (2 * count(*)))) / 1000000.0 AS avg_logprob
 FROM toks JOIN vocab USING (tok) CROSS JOIN tot
 GROUP BY doc_id
 """,
@@ -651,8 +654,19 @@ def corpus_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(
             F.count("*").cast("long").alias("n_tok"),
-            F.round(
-                F.avg(F.log(F.col("n").cast("double") / F.col("total"))), 6
+            # exact-int mean of per-token 1e-6-unit logprobs (see oracle)
+            F.sum(
+                F.round(
+                    -F.log(F.col("n").cast("double") / F.col("total")) * 1e6
+                ).cast("long")
+            ).alias("_nl6"),
+        )
+        .select(
+            "doc_id",
+            "n_tok",
+            (
+                -F.expr("(2 * _nl6 + n_tok) div (2 * n_tok)").cast("double")
+                / 1e6
             ).alias("avg_logprob"),
         )
     )
@@ -911,10 +925,15 @@ pre AS (SELECT b, count(*) AS n_pre FROM big GROUP BY b),
 t AS (SELECT count(*) AS n_types FROM big)
 SELECT i.doc_id,
        CAST(count(*) AS BIGINT) AS n_bigrams,
-       round(avg(ln(
-         (c_ab - {KN_D}) / c_a
-         + ({KN_D} * n_fol / c_a) * (n_pre::DOUBLE / n_types)
-       )), 6) AS avg_logprob
+       -- exact-integer mean of per-bigram 1e-6-unit logprobs: the sum
+       -- is an exact BIGINT (order-independent), closed by one
+       -- round-half-away-from-zero integer division; // floors but the
+       -- operands are made non-negative first so it equals truncation
+       -(((2 * sum(CAST(round(-ln(
+           (c_ab - {KN_D}) / c_a
+           + ({KN_D} * n_fol / c_a) * (n_pre::DOUBLE / n_types)
+         ) * 1000000) AS BIGINT)) + count(*)) // (2 * count(*)))
+       ) / 1000000.0 AS avg_logprob
 FROM inst i
 JOIN big USING (a, b)
 JOIN ctx USING (a)
@@ -965,7 +984,23 @@ def corpus_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(
             F.count("*").cast("long").alias("n_bigrams"),
-            F.round(F.avg(F.log(p)), 6).alias("avg_logprob"),
+            # per-bigram logprob rounded to an exact 1e-6-unit BIGINT
+            # BEFORE summing: the sum is order-independent (a raw
+            # avg(log) double accumulation is not), and the mean closes
+            # with one half-away-from-zero integer division — the same
+            # exact-integer idiom as the money sums. -ln(p) >= 0 since
+            # p < 1 by construction.
+            F.sum(F.round(-F.log(p) * 1e6).cast("long")).alias("_nl6"),
+        )
+        .select(
+            "doc_id",
+            "n_bigrams",
+            (
+                -F.expr("(2 * _nl6 + n_bigrams) div (2 * n_bigrams)").cast(
+                    "double"
+                )
+                / 1e6
+            ).alias("avg_logprob"),
         )
     )
 

@@ -42,7 +42,10 @@ def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT {S.bucket_id_sql('embedding')} AS bucket,
        count(*) AS n_vecs,
        min(vec_id) AS min_vec,
-       round(avg(CAST(label AS DOUBLE)), 4) AS avg_label
+       -- labels are small ints: exact 4-dp mean via integer half-up
+       -- division, not round() of a double ratio
+       ((20000 * sum(CAST(label AS BIGINT)) + count(*)) // (2 * count(*)))
+         / 10000.0 AS avg_label
 FROM embeddings
 GROUP BY 1
 """,
@@ -58,7 +61,19 @@ def sim_lsh_bucket_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count("*").alias("n_vecs"),
             F.min("vec_id").alias("min_vec"),
-            F.round(F.avg(F.col("label").cast("double")), 4).alias("avg_label"),
+            F.sum(F.col("label").cast("long")).alias("_ls"),
+        )
+        .select(
+            "bucket",
+            "n_vecs",
+            "min_vec",
+            # exact 4-dp mean via integer half-up division (see oracle)
+            (
+                F.expr("(20000 * _ls + n_vecs) div (2 * n_vecs)").cast(
+                    "double"
+                )
+                / 10000.0
+            ).alias("avg_label"),
         )
     )
 
@@ -335,7 +350,11 @@ def _kmeans_sql() -> str:
     return (
         "WITH " + _kmeans_assign_ctes() + """
 SELECT m.cid AS cluster_id, count(*) AS n_vecs, min(vec_id) AS min_vec,
-       round(avg(m.d), 6) AS avg_dist
+       -- exact-int mean: per-vector distances round to 1e-6-unit
+       -- BIGINTs before the (order-independent) sum; 6-dp close is
+       -- integer half-up division of non-negative operands
+       ((2 * sum(CAST(round(m.d * 1000000) AS BIGINT)) + count(*))
+        // (2 * count(*))) / 1000000.0 AS avg_dist
 FROM fin GROUP BY m.cid
 """
     )
@@ -356,10 +375,23 @@ def sim_kmeans_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     assigned = S.kmeans_assign(
         emb, k=KMEANS_K, iters=KMEANS_ITERS, dim=64, train_mod=KMEANS_TRAIN_MOD
     )
-    return assigned.groupBy(F.col("cid").alias("cluster_id")).agg(
-        F.count("*").alias("n_vecs"),
-        F.min("vec_id").alias("min_vec"),
-        F.round(F.avg("d"), 6).alias("avg_dist"),
+    return (
+        assigned.groupBy(F.col("cid").alias("cluster_id"))
+        .agg(
+            F.count("*").alias("n_vecs"),
+            F.min("vec_id").alias("min_vec"),
+            # exact-int mean of 1e-6-unit distances (see oracle)
+            F.sum(F.round(F.col("d") * 1e6).cast("long")).alias("_d6"),
+        )
+        .select(
+            "cluster_id",
+            "n_vecs",
+            "min_vec",
+            (
+                F.expr("(2 * _d6 + n_vecs) div (2 * n_vecs)").cast("double")
+                / 1e6
+            ).alias("avg_dist"),
+        )
     )
 
 
@@ -753,8 +785,8 @@ PCA_ITERS = 3
 def _pca_sql() -> str:
     """Unrolled power iteration over the exact integer covariance.
 
-    Determinism: per-dimension means are rounded to 6dp (absorbing
-    engine summation-order ulps), centered cross products are rounded
+    Determinism: per-dimension means are exact-integer (1e-6-unit
+    sums closed by half-up integer division), centered cross products are rounded
     to integer micro-units PER ROW and summed as BIGINT (exact,
     order-independent), and every subsequent dot product is a
     sequential list fold — the same float-op sequence on both engines.
@@ -763,7 +795,18 @@ def _pca_sql() -> str:
     ctes = [
         "e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)",
         f"ex AS (SELECT vec_id, t.i AS i, v[t.i] AS x FROM e CROSS JOIN range(1, {d + 1}) t(i))",
-        "means AS (SELECT i, round(avg(x), 6) AS m FROM ex GROUP BY i)",
+        # exact-int mean: per-element 1e-6-unit BIGINTs (values may be
+        # negative, so the half-up close runs on the absolute value) —
+        # no round() of an order-dependent avg() accumulation
+        """means AS (
+  SELECT i,
+         CASE WHEN sum(x6) < 0
+              THEN -((2 * -sum(x6) + count(*)) // (2 * count(*)))
+              ELSE (2 * sum(x6) + count(*)) // (2 * count(*)) END
+           / 1000000.0 AS m
+  FROM (SELECT i, CAST(round(x * 1000000) AS BIGINT) AS x6 FROM ex)
+  GROUP BY i
+)""",
         "cx AS (SELECT vec_id, i, x - m AS xc FROM ex JOIN means USING (i))",
         """cov AS (
   SELECT a.i AS i, b.i AS j,
@@ -803,7 +846,7 @@ FROM v{PCA_ITERS} CROSS JOIN range(1, {d + 1}) t(i)
     "iteration (3 unrolled rounds) — the PCA/whitening front-end of an "
     "embedding pipeline, as pure DataFrame ops. Cross-engine "
     "determinism is engineered at every step: per-dimension means "
-    "round to 6dp, centered cross products round to integer "
+    "are exact-integer micro-unit sums, centered cross products round to integer "
     "micro-units PER ROW and sum as exact BIGINTs (the covariance is "
     "bit-identical regardless of partitioning or engine), and the "
     "iteration's matrix-vector products are sequential list folds with "
@@ -824,7 +867,26 @@ def emb_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
     ex = e.select(
         "vec_id", F.posexplode("v").alias("i0", "x")
     ).select("vec_id", (F.col("i0") + 1).alias("i"), "x")
-    means = ex.groupBy("i").agg(F.round(F.avg("x"), 6).alias("m"))
+    # exact-int per-dimension mean (possibly negative — half-up close on
+    # the absolute value), mirroring the oracle; never round(avg(double))
+    means = (
+        ex.groupBy("i")
+        .agg(
+            F.sum(F.round(F.col("x") * 1e6).cast("long")).alias("_x6"),
+            F.count("*").alias("_n"),
+        )
+        .select(
+            "i",
+            (
+                F.expr(
+                    "CASE WHEN _x6 < 0"
+                    " THEN -((2 * -_x6 + _n) div (2 * _n))"
+                    " ELSE (2 * _x6 + _n) div (2 * _n) END"
+                ).cast("double")
+                / 1e6
+            ).alias("m"),
+        )
+    )
     marr = means.agg(
         F.transform(
             F.array_sort(F.collect_list(F.struct("i", "m"))), lambda s: s["m"]

@@ -254,21 +254,26 @@ qtf AS (
 ),
 df_t AS (SELECT word, count(*) AS df FROM qtf GROUP BY word),
 scored AS (
+  -- per-term contributions rounded to exact 1e-6-unit BIGINTs before
+  -- the sum: order-independent, and the output is the integer divided
+  -- by a literal — no round() of an engine-accumulated double
   SELECT qtf.doc_id,
-         sum(ln((stats.n_docs - df_t.df + 0.5) / (df_t.df + 0.5) + 1.0)
+         sum(CAST(round(
+             ln((stats.n_docs - df_t.df + 0.5) / (df_t.df + 0.5) + 1.0)
              * qtf.tf * ({BM25_K1} + 1.0)
              / (qtf.tf + {BM25_K1} * (1.0 - {BM25_B}
                                       + {BM25_B} * dl.dl / stats.avgdl))
-         ) AS s
+             * 1000000) AS BIGINT)
+         ) AS s6
   FROM qtf
   JOIN df_t USING (word)
   JOIN dl USING (doc_id)
   CROSS JOIN stats
   GROUP BY qtf.doc_id
 )
-SELECT doc_id, round(s, 6) AS bm25
+SELECT doc_id, s6 / 1000000.0 AS bm25
 FROM scored
-ORDER BY round(s, 6) DESC, doc_id
+ORDER BY s6 DESC, doc_id
 LIMIT {BM25_TOPK}
 """,
     doc="BM25 retrieval (Okapi, k1=1.2 b=0.75) for a fixed term set — the "
@@ -309,7 +314,15 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         qtf.join(F.broadcast(df_t), "word")
         .crossJoin(F.broadcast(stats))
         .groupBy("doc_id")
-        .agg(F.round(F.sum(idf * F.col("tf") * (BM25_K1 + 1.0) / denom), 6).alias("bm25"))
+        # exact-int sum of per-term 1e-6-unit contributions (see oracle)
+        .agg(
+            F.sum(
+                F.round(
+                    idf * F.col("tf") * (BM25_K1 + 1.0) / denom * 1e6
+                ).cast("long")
+            ).alias("_s6")
+        )
+        .select("doc_id", (F.col("_s6").cast("double") / 1e6).alias("bm25"))
     )
     return scored.orderBy(F.desc("bm25"), F.asc("doc_id")).limit(BM25_TOPK)
 
