@@ -100,6 +100,9 @@ DRIVER_WINDOW: list[str] = [
     # round-4 additions (beyond the 50-row window if the driver cuts at
     # 50 — next in line for the r5 rotation otherwise)
     "stream_stateful_sessions",
+    "graph_bfs_levels",
+    "sim_mips_topk",
+    "emb_matryoshka_recall",
 ]
 
 set_priority(DRIVER_WINDOW)

@@ -258,3 +258,100 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_triangles"), F.asc("tok"))
         .limit(TRI_TOP)
     )
+
+
+# --- BFS shortest-path levels over the trade graph --------------------------
+
+BFS_ITERS = 4  # unrolled frontier expansions (graph diameter is small)
+
+
+def _bfs_sql() -> str:
+    ctes = [
+        """e0 AS (
+  SELECT DISTINCT o_custkey AS src, l_suppkey + 10000000 AS dst
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+)""",
+        "edges AS (SELECT src, dst FROM e0 UNION ALL SELECT dst AS src, src AS dst FROM e0)",
+        "s AS (SELECT min(src) AS sn FROM edges)",
+        "b0 AS (SELECT sn AS node, 0 AS dist FROM s)",
+    ]
+    for it in range(BFS_ITERS):
+        ctes.append(
+            f"""b{it + 1} AS (
+  SELECT node, min(dist) AS dist FROM (
+    SELECT node, dist FROM b{it}
+    UNION ALL
+    SELECT e.dst AS node, b.dist + 1 AS dist
+    FROM edges e JOIN b{it} b ON e.src = b.node
+  ) GROUP BY node
+)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+SELECT CAST(dist AS BIGINT) AS dist,
+       count(*) AS n_nodes,
+       min(node) AS min_node,
+       max(node) AS max_node
+FROM b{BFS_ITERS}
+GROUP BY dist
+ORDER BY dist
+"""
+    )
+
+
+@register(
+    "graph_bfs_levels",
+    oracle=_bfs_sql(),
+    doc="BFS shortest-path levels ({} unrolled frontier expansions, all-"
+    "integer so levels are engine- and partitioning-exact) from the "
+    "lowest-id node of the undirected customer–supplier trade graph — "
+    "the reachability/diameter probe of the graph family, level "
+    "histogram as output. Same iterative-join shape as graph_pagerank: "
+    "the edge list is built once, hash-partitioned on src, and "
+    "localCheckpointed, so each expansion is one partitioning-reusing "
+    "equi-join + min-agg over a frontier that is never wider than the "
+    "node set; lineage is cut per round (the Pregel idiom). At 100 TB "
+    "the same plan runs with the frontier table checkpointed to "
+    "cluster storage; the min-combine is associative so map-side "
+    "partial aggs keep the shuffle at frontier width.".format(BFS_ITERS),
+)
+def graph_bfs_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, "lineitem", sf_dir)
+    orders = load_table(spark, "orders", sf_dir)
+    e0 = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .select(
+            F.col("o_custkey").alias("src"),
+            (F.col("l_suppkey") + _SUPP_OFFSET).alias("dst"),
+        )
+        .distinct()
+    )
+    edges = e0.unionByName(
+        e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    edges = edges.repartition("src").localCheckpoint()
+    b = edges.agg(F.min("src").alias("node")).select(
+        "node", F.lit(0).alias("dist")
+    )
+    for _ in range(BFS_ITERS):
+        b = (
+            b.unionByName(
+                edges.join(b, edges.src == b.node).select(
+                    F.col("dst").alias("node"), (F.col("dist") + 1).alias("dist")
+                )
+            )
+            .groupBy("node")
+            .agg(F.min("dist").alias("dist"))
+            .localCheckpoint()
+        )
+    return (
+        b.groupBy(F.col("dist").cast("long").alias("dist"))
+        .agg(
+            F.count("*").alias("n_nodes"),
+            F.min("node").alias("min_node"),
+            F.max("node").alias("max_node"),
+        )
+        .orderBy(F.asc("dist"))
+    )

@@ -1399,3 +1399,134 @@ def emb_outlier_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_cluster").cast("long").alias("n_cluster"),
         )
     )
+
+
+# --- maximum-inner-product search (MIPS) ------------------------------------
+
+
+@register(
+    "sim_mips_topk",
+    oracle=f"""
+WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qe FROM embeddings
+           WHERE vec_id = {QUERY_VEC_ID})
+SELECT vec_id,
+       round(list_dot_product(CAST(embedding AS DOUBLE[]), qe), 6) AS ip
+FROM embeddings CROSS JOIN q
+WHERE vec_id <> {QUERY_VEC_ID}
+ORDER BY round(list_dot_product(CAST(embedding AS DOUBLE[]), qe), 6) DESC,
+         vec_id
+LIMIT {TOP_K}
+""",
+    doc="Maximum-inner-product top-k (the recommendation/retrieval "
+    "scoring where vector MAGNITUDE matters, unlike cosine): exact "
+    "brute force with the query row riding a 1-row broadcast "
+    "nested-loop join, per-row dot as the same unrolled codegen chain "
+    "as the cosine family (bit-identical to DuckDB's sequential "
+    "list_dot_product), TakeOrderedAndProject top-k — one pass, no "
+    "global sort. At scale MIPS reduces to cosine-ANN by the standard "
+    "norm-augmentation transform (append sqrt(M^2 - |x|^2) as an extra "
+    "dimension), after which the IVF/PQ family above applies "
+    "unchanged.",
+)
+def sim_mips_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, "embeddings", sf_dir)
+    qdf = emb.filter(F.col("vec_id") == QUERY_VEC_ID).select(
+        F.col("embedding").alias("_qe")
+    )
+    d = S._dot_terms("embedding", "_qe", S.EMB_DIM)
+    return (
+        emb.filter(F.col("vec_id") != QUERY_VEC_ID)
+        .join(F.broadcast(qdf))
+        .select("vec_id", F.round(F.expr(d), 6).alias("ip"))
+        .orderBy(F.desc("ip"), F.asc("vec_id"))
+        .limit(TOP_K)
+    )
+
+
+# --- matryoshka (truncated-dimension) retrieval quality ---------------------
+
+MRL_DIM = 16  # truncated prefix dimensionality evaluated against full 64
+
+
+@register(
+    "emb_matryoshka_recall",
+    oracle=f"""
+WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qe FROM embeddings
+           WHERE vec_id = {QUERY_VEC_ID}),
+full_rank AS (
+  SELECT vec_id
+  FROM embeddings CROSS JOIN q
+  WHERE vec_id <> {QUERY_VEC_ID}
+  ORDER BY round({S.cosine_sql('embedding', 'qe')}, 6) DESC, vec_id
+  LIMIT {TOP_K}
+),
+trunc AS (
+  SELECT vec_id,
+         (CAST(embedding AS DOUBLE[]))[1:{MRL_DIM}] AS tv,
+         qe[1:{MRL_DIM}] AS tq
+  FROM embeddings CROSS JOIN q
+  WHERE vec_id <> {QUERY_VEC_ID}
+),
+trunc_rank AS (
+  SELECT vec_id FROM trunc
+  ORDER BY round(list_dot_product(tv, tq)
+                 / (sqrt(list_dot_product(tv, tv))
+                    * sqrt(list_dot_product(tq, tq))), 6) DESC, vec_id
+  LIMIT {TOP_K}
+)
+SELECT {TOP_K} AS k, {MRL_DIM} AS trunc_dim,
+       (SELECT count(*) FROM full_rank JOIN trunc_rank USING (vec_id))
+         AS n_hits,
+       (SELECT count(*) FROM full_rank JOIN trunc_rank USING (vec_id))::DOUBLE
+         / {TOP_K} AS recall
+""",
+    doc="Matryoshka-representation evaluation: top-k retrieval by the "
+    "first-{}-dims cosine measured against full-dimension cosine as "
+    "recall@k — the 'can we search the cheap prefix' check behind "
+    "MRL-style tiered retrieval (prefix search + full-dim rerank). "
+    "Both rankings are brute-force passes with 6-dp-rounded "
+    "deterministic tie-breaks; the truncated cosine reuses the same "
+    "unrolled codegen chain with dim={} (prefix dims of the SAME "
+    "column — no data movement, just a narrower expression). The "
+    "measured-recall contract matches sim_ann_recall/sim_ivfpq_recall: "
+    "approximation quality is reported, never assumed.".format(
+        MRL_DIM, MRL_DIM
+    ),
+)
+def emb_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, "embeddings", sf_dir)
+    qdf = emb.filter(F.col("vec_id") == QUERY_VEC_ID).select(
+        F.col("embedding").alias("_qe")
+    )
+    base = emb.filter(F.col("vec_id") != QUERY_VEC_ID).join(F.broadcast(qdf))
+    full = (
+        base.select(
+            "vec_id",
+            F.round(S.cosine_named("embedding", "_qe"), 6).alias("c"),
+        )
+        .orderBy(F.desc("c"), F.asc("vec_id"))
+        .limit(TOP_K)
+        .select("vec_id")
+        .localCheckpoint()
+    )
+    trunc = (
+        base.select(
+            "vec_id",
+            F.round(
+                S.cosine_named("embedding", "_qe", dim=MRL_DIM), 6
+            ).alias("c"),
+        )
+        .orderBy(F.desc("c"), F.asc("vec_id"))
+        .limit(TOP_K)
+        .select("vec_id")
+        .localCheckpoint()
+    )
+    n_hits = full.join(trunc, "vec_id").agg(
+        F.count("*").cast("long").alias("n_hits")
+    )
+    return n_hits.select(
+        F.lit(TOP_K).cast("long").alias("k"),
+        F.lit(MRL_DIM).cast("long").alias("trunc_dim"),
+        "n_hits",
+        (F.col("n_hits").cast("double") / TOP_K).alias("recall"),
+    )
