@@ -52,6 +52,10 @@ HEADLINE = (
     # PERF_sf1_newops_r3.json
     "dedup_fuzzy_keep_best",
     "corpus_ngram_novelty",
+    # round-4 flagship additions: the two r3 perf-weak text ops, now
+    # fan-out-parallelized (PERF.md round-4 section)
+    "text_pmi_collocations",
+    "ta_winnow_fingerprint",
 )
 
 
