@@ -900,15 +900,14 @@ def text_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     lasts = comb.where(~F.col("g").contains(" ")).select(
         F.col("g").alias("tok"), F.col("c").alias("c_last")
     )
-    starts = big.groupBy(F.col("a").alias("tok")).agg(
-        F.sum("c_ab").alias("c_start")
-    )
-    uni = starts.join(lasts, "tok", "full_outer").select(
-        "tok",
-        (
-            F.coalesce(F.col("c_start"), F.lit(0))
-            + F.coalesce(F.col("c_last"), F.lit(0))
-        ).alias("c"),
+    # margins combine as a UNION + re-agg (both inputs are vocab-sized
+    # slices of the checkpointed aggregate) — a full-outer join here
+    # would plan a sort-merge join for no benefit
+    uni = (
+        big.select(F.col("a").alias("tok"), F.col("c_ab").alias("c"))
+        .unionByName(lasts.select("tok", F.col("c_last").alias("c")))
+        .groupBy("tok")
+        .agg(F.sum("c").alias("c"))
     )
     totals = uni.agg(F.sum("c").cast("long").alias("n_tokens"))
     btotals = big.agg(F.sum("c_ab").cast("long").alias("n_bigrams"))

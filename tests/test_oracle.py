@@ -57,28 +57,42 @@ def test_query_matches_oracle(spark, duck, name):
     )
 
 
-def test_driver_window_covers_every_family():
-    """The driver writes official CORRECTNESS rows for only the first ~50
-    registered queries; assert the curated window covers every query
-    family so no family ships without an official row (r01 gap)."""
+def test_driver_window_r4_policy():
+    """Round-4 rotation: the driver writes official CORRECTNESS rows for
+    only the first ~50 registered queries. The window must (a) lead with
+    the four r3 hash-fail rows so their fixes get official green rows,
+    and (b) give every query that has NEVER had an official row
+    (CORRECTNESS r01 ∪ r02 ∪ r03) a slot in the first 50 — round-4
+    additions may sit beyond 50 as next-in-line for r5."""
+    import json
+    import os
+
     names = list(plans.all_queries())
     window = names[:50]
-    families = {n.split("_")[0] for n in names}
-    window_families = {n.split("_")[0] for n in window}
-    assert families == window_families, (
-        f"families missing from driver window: {families - window_families}"
+    for i, must in enumerate(
+        ("text_bpe_merges", "rel_skew_salted_join", "graph_pagerank",
+         "stream_chained_rollup")
+    ):
+        assert window[i] == must, f"r3-red row {must} not leading the window"
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    seen: set[str] = set()
+    for r in ("r01", "r02", "r03"):
+        p = os.path.join(repo, f"CORRECTNESS_{r}.json")
+        if os.path.exists(p):
+            with open(p) as f:
+                seen.update(json.load(f))
+    never_official = [
+        n for n in names if n not in seen and n not in plans.DRIVER_WINDOW
+    ]
+    assert not [n for n in never_official if n not in window], (
+        f"never-official queries outside the 50-row window: "
+        f"{[n for n in never_official if n not in window]}"
     )
-    assert "text_word_topk" in window  # flagship
-    # the six r02 driver-red rows (events-ts bug, fixed in r3) must sit
-    # inside the checked window so the fix gets official green rows
-    for must in ("stream_tumbling_counts", "stream_sliding_avg",
-                 "stream_session_windows", "stream_interval_join",
-                 "stream_static_enrich", "rel_asof_join"):
-        assert must in window, f"{must} outside driver window"
 
 
 def test_driver_window_is_consistent():
     """DRIVER_WINDOW names must all exist (set_priority raises on typos)
-    and leave headroom for the driver's 50-row cap."""
-    assert len(plans.DRIVER_WINDOW) <= 50
+    and be duplicate-free; entries beyond the driver's 50-row cap are
+    the documented next-in-line set."""
     assert len(set(plans.DRIVER_WINDOW)) == len(plans.DRIVER_WINDOW)
+    assert len(plans.DRIVER_WINDOW) <= 60
