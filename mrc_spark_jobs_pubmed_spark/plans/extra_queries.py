@@ -240,7 +240,11 @@ GROUP BY event_type
 def udf_grouped_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     @F.pandas_udf(T.DoubleType())
     def wavg(v4: pd.Series, w: pd.Series) -> float:
-        num = int((v4.astype("int64") * w.astype("int64")).sum())
+        # object dtype = Python-int accumulation: Σ v4·w reaches ~4.5e19
+        # at sf1 (user ids up to 9e8), past int64 — a silent-wrap bug the
+        # sf1 oracle sweep caught; DuckDB promotes to int128, so the UDAF
+        # must accumulate exactly too.
+        num = int((v4.astype(object) * w.astype(object)).sum())
         den = int(w.astype("int64").sum())
         return float((200 * num + den) // (2 * den)) / 1000000.0
 
@@ -296,7 +300,9 @@ def udf_grouped_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
             z = pd.Series([None] * n, dtype="float64")
         else:
             s1 = int(u4.sum())
-            s2 = int((u4 * u4).sum())
+            # object dtype: Σ u4² is ~3e13 per row — an int64 sum wraps
+            # once groups pass ~300k rows (same class as the wavg bug)
+            s2 = int((u4.astype(object) * u4).sum())
             a = n * s2 - s1 * s1  # Python int: exact past int64
             den = math.sqrt(float(a) * n / (n - 1))
             z = (n * u4 - s1).astype("float64") / den

@@ -266,18 +266,22 @@ BFS_ITERS = 4  # unrolled frontier expansions (graph diameter is small)
 
 
 def _bfs_sql() -> str:
+    # AS MATERIALIZED is load-bearing: every level references the
+    # previous one twice (carry + expand), so an inlining optimizer
+    # would re-derive each level 2^k times — the classic exponential
+    # CTE blowup (measured: the sf1 oracle went from >10 min to seconds)
     ctes = [
-        """e0 AS (
+        """e0 AS MATERIALIZED (
   SELECT DISTINCT o_custkey AS src, l_suppkey + 10000000 AS dst
   FROM lineitem JOIN orders ON l_orderkey = o_orderkey
 )""",
-        "edges AS (SELECT src, dst FROM e0 UNION ALL SELECT dst AS src, src AS dst FROM e0)",
+        "edges AS MATERIALIZED (SELECT src, dst FROM e0 UNION ALL SELECT dst AS src, src AS dst FROM e0)",
         "s AS (SELECT min(src) AS sn FROM edges)",
         "b0 AS (SELECT sn AS node, 0 AS dist FROM s)",
     ]
     for it in range(BFS_ITERS):
         ctes.append(
-            f"""b{it + 1} AS (
+            f"""b{it + 1} AS MATERIALIZED (
   SELECT node, min(dist) AS dist FROM (
     SELECT node, dist FROM b{it}
     UNION ALL

@@ -41,6 +41,10 @@ def get_session(
     builder = (
         SparkSession.builder.appName(app_name)
         .config("spark.driver.memory", driver_mem)
+        # the oracle harness collects full results; pair-enumeration
+        # outputs at sf>=1 exceed the 1g default (engine paths never
+        # collect — this bounds only the verification harness)
+        .config("spark.driver.maxResultSize", "4g")
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
