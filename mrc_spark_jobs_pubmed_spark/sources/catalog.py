@@ -204,12 +204,13 @@ def load_table(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> 
             df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
         return df
     df = spark.read.schema(TABLE_SCHEMAS[name]).parquet(path)
-    if name in ("documents", "embeddings"):
+    if name in ("documents", "embeddings") and _scan_bytes(path) >= FAN_OUT_MIN_BYTES:
         # The two corpus tables feed tokenize/regex/vector pipelines
         # where per-row CPU dwarfs a one-pass shuffle; the relational
-        # tables don't (see fan_out). Projection pruning still pushes
-        # below the exchange, so metadata-only document queries shuffle
-        # only the columns they read.
+        # tables don't (see fan_out), and below FAN_OUT_MIN_BYTES the
+        # shuffle overhead wins. Projection pruning still pushes below
+        # the exchange, so metadata-only document queries shuffle only
+        # the columns they read.
         df = fan_out(df, cache_key=path)
     return df
 
@@ -218,6 +219,23 @@ def load_table(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> 
 # getNumPartitions costs ~100 ms, and a table's scan layout is fixed
 # within a session.
 _FAN_OUT_NEEDED: dict[tuple[str, int], bool] = {}
+
+# Below this compressed-scan volume the repartition's shuffle + extra
+# stage costs more than single-threaded per-row work saves — measured
+# at sf0.1 (0.6 MB documents): BM25 0.53 s -> 1.8 s with fan-out, while
+# at sf1 (5.8 MB) fan-out wins 4-8x. Compressed bytes is the only
+# cheap static proxy for per-row CPU volume; at production scale every
+# table clears this by orders of magnitude (and is wide anyway).
+FAN_OUT_MIN_BYTES = int(os.environ.get("SPARK_GRAFT_FAN_OUT_MIN_BYTES", 4 << 20))
+
+
+def _scan_bytes(path: str) -> int:
+    if os.path.isfile(path):
+        return os.path.getsize(path)
+    total = 0
+    for root, _dirs, files in os.walk(path):
+        total += sum(os.path.getsize(os.path.join(root, f)) for f in files)
+    return total
 
 
 def fan_out(df: DataFrame, cache_key: str | None = None) -> DataFrame:

@@ -2,23 +2,36 @@
 
 from __future__ import annotations
 
+from mrc_spark_jobs_pubmed_spark.sources import catalog
 from mrc_spark_jobs_pubmed_spark.sources.catalog import load_table
 from mrc_spark_jobs_pubmed_spark.streaming.jobs import _GAP_US, fold_sessions
 
 SF = "/root/testdata/sf0.001"
 
 
-def test_documents_scan_fans_out_to_cluster_parallelism(spark):
+def test_documents_scan_fans_out_to_cluster_parallelism(spark, monkeypatch):
     # single-row-group fixture files are unsplittable — the corpus
-    # tables must decouple pipeline parallelism from file layout
+    # tables must decouple pipeline parallelism from file layout once
+    # the scan is big enough to amortize the shuffle
+    monkeypatch.setattr(catalog, "FAN_OUT_MIN_BYTES", 0)
+    monkeypatch.setattr(catalog, "_FAN_OUT_NEEDED", {})
     target = spark.sparkContext.defaultParallelism
     assert load_table(spark, "documents", SF).rdd.getNumPartitions() >= target
     assert load_table(spark, "embeddings", SF).rdd.getNumPartitions() >= target
 
 
-def test_relational_scans_are_not_fanned_out(spark):
+def test_small_scans_skip_the_fan_out_shuffle(spark):
+    # below FAN_OUT_MIN_BYTES the repartition costs more than the
+    # single-threaded per-row work it parallelizes (measured on BM25 at
+    # sf0.1) — the tiny fixture must NOT be repartitioned
+    target = spark.sparkContext.defaultParallelism
+    assert load_table(spark, "documents", SF).rdd.getNumPartitions() < target
+
+
+def test_relational_scans_are_not_fanned_out(spark, monkeypatch):
     # cheap-per-row scans must NOT pay a repartition shuffle (measured
     # slower on TPC-H Q1) — the scan keeps its file-layout partitioning
+    monkeypatch.setattr(catalog, "FAN_OUT_MIN_BYTES", 0)
     target = spark.sparkContext.defaultParallelism
     assert load_table(spark, "lineitem", SF).rdd.getNumPartitions() < target
 
