@@ -287,15 +287,32 @@ LIMIT {BM25_TOPK}
 )
 def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, "documents", sf_dir)
-    toks = docs.select(
-        "doc_id",
-        F.explode(F.split(F.col("text"), r"\s+")).alias("word"),
-    ).filter(F.length("word") > 0)
-    tf_cols = [
-        F.sum(F.when(F.col("word") == t, 1).otherwise(0)).alias(f"tf_{i}")
-        for i, t in enumerate(BM25_TERMS)
-    ]
-    perdoc = toks.groupBy("doc_id").agg(F.count("*").alias("dl"), *tf_cols)
+    # (dl, tf per query term) is a PURE NARROW projection: split the doc
+    # once into an array column, dl = its size, each tf = size(filter) —
+    # no explode, no shuffle, no pivot agg (the explode+groupBy form
+    # shuffled 10M token rows at sf1 for the same 4 numbers; narrow form
+    # measured 2.0 -> 1.4 s). Both consumers (postings unpivot + avgdl)
+    # replay the narrow subtree — cheaper than a checkpoint barrier at
+    # every measured scale.
+    arr = F.filter(F.split(F.col("text"), r"\s+"), lambda w: F.length(w) > 0)
+    perdoc = (
+        docs.select(
+            "doc_id",
+            arr.alias("_a"),
+        )
+        .select(
+            "doc_id",
+            F.size("_a").cast("long").alias("dl"),
+            *[
+                # F.expr, not a lambda-with-default: a 2-parameter
+                # Python lambda would be bound as (element, index)
+                F.expr(f"size(filter(_a, w -> w = '{t}'))")
+                .cast("long")
+                .alias(f"tf_{i}")
+                for i, t in enumerate(BM25_TERMS)
+            ],
+        )
+    )
     stack_args = ", ".join(f"'{t}', tf_{i}" for i, t in enumerate(BM25_TERMS))
     qtf = perdoc.select(
         "doc_id",
