@@ -103,6 +103,7 @@ DRIVER_WINDOW: list[str] = [
     "graph_bfs_levels",
     "sim_mips_topk",
     "emb_matryoshka_recall",
+    "corpus_rag_chunks",
 ]
 
 set_priority(DRIVER_WINDOW)

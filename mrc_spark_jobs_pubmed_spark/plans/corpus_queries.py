@@ -1109,3 +1109,96 @@ def corpus_soft_dedup_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cluster_size",
         F.round(F.lit(1.0) / F.col("cluster_size"), 6).alias("weight"),
     )
+
+
+# --- RAG-style overlapping chunking -----------------------------------------
+
+RAG_WINDOW = 64  # tokens per chunk
+RAG_STRIDE = 48  # tokens between chunk starts (overlap = 16)
+
+
+@register(
+    "corpus_rag_chunks",
+    oracle=f"""
+SELECT doc_id, chunk_id,
+       CAST(start_tok AS BIGINT) AS start_tok,
+       CAST(len(chunk) AS BIGINT) AS n_chunk_tokens,
+       CAST(CASE WHEN chunk_id = 0 THEN 0
+                 ELSE least({RAG_WINDOW} - {RAG_STRIDE},
+                            prev_len - {RAG_STRIDE}) END AS BIGINT)
+         AS overlap_prev,
+       md5(array_to_string(chunk, ' ')) AS chunk_md5
+FROM (
+  SELECT doc_id, c AS chunk_id,
+         c * {RAG_STRIDE} AS start_tok,
+         list_slice(toks, c * {RAG_STRIDE} + 1,
+                    c * {RAG_STRIDE} + {RAG_WINDOW}) AS chunk,
+         len(list_slice(toks, (c - 1) * {RAG_STRIDE} + 1,
+                        (c - 1) * {RAG_STRIDE} + {RAG_WINDOW})) AS prev_len
+  FROM (
+    SELECT doc_id, toks,
+           unnest(range(0, CAST(ceil(greatest(len(toks) - {RAG_WINDOW}
+                                              + {RAG_STRIDE}, 1)
+                                     / {RAG_STRIDE}.0) AS BIGINT))) AS c
+    FROM (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents)
+    WHERE len(toks) > 0
+  )
+)
+""",
+    doc="RAG-style overlapping chunker: sliding {}-token windows every "
+    "{} tokens (16-token overlap), emitting per-chunk start offset, "
+    "size, overlap-with-previous, and content hash — the "
+    "retrieval-index splitter, vs corpus_chunk_tokens' disjoint "
+    "context-window splitter. Chunk count is "
+    "ceil(max(n - W + S, 1) / S), so the tail is covered exactly once "
+    "and short docs yield one chunk. Same scale shape as the disjoint "
+    "chunker: sequence+explode row expansion is NARROW — chunks stay "
+    "on their doc's partition, no shuffle anywhere in the plan (the "
+    "hash is per-row); at 100 TB the op is embarrassingly parallel "
+    "and output volume is input x W/S.".format(RAG_WINDOW, RAG_STRIDE),
+)
+def corpus_rag_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    base = docs.select(
+        "doc_id", tokens_col(F.col("text")).alias("toks")
+    ).where(F.size("toks") > 0)
+    n_chunks = F.ceil(
+        F.greatest(
+            F.size("toks") - F.lit(RAG_WINDOW) + F.lit(RAG_STRIDE), F.lit(1)
+        )
+        / F.lit(float(RAG_STRIDE))
+    ).cast("long")
+    exploded = base.select(
+        "doc_id",
+        "toks",
+        F.explode(F.sequence(F.lit(0).cast("long"), n_chunks - 1)).alias(
+            "chunk_id"
+        ),
+    )
+    chunk = F.slice(
+        F.col("toks"),
+        (F.col("chunk_id") * RAG_STRIDE + 1).cast("int"),
+        RAG_WINDOW,
+    )
+    prev_chunk = F.slice(
+        F.col("toks"),
+        ((F.col("chunk_id") - 1) * RAG_STRIDE + 1).cast("int"),
+        RAG_WINDOW,
+    )
+    overlap = (
+        F.when(F.col("chunk_id") == 0, F.lit(0).cast("long"))
+        .otherwise(
+            F.least(
+                F.lit(RAG_WINDOW - RAG_STRIDE).cast("long"),
+                F.size(prev_chunk).cast("long") - RAG_STRIDE,
+            )
+        )
+    )
+    return exploded.select(
+        "doc_id",
+        "chunk_id",
+        (F.col("chunk_id") * RAG_STRIDE).cast("long").alias("start_tok"),
+        F.size(chunk).cast("long").alias("n_chunk_tokens"),
+        overlap.alias("overlap_prev"),
+        F.md5(F.concat_ws(" ", chunk)).alias("chunk_md5"),
+    )
