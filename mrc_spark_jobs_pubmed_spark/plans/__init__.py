@@ -104,6 +104,7 @@ DRIVER_WINDOW: list[str] = [
     "sim_mips_topk",
     "emb_matryoshka_recall",
     "corpus_rag_chunks",
+    "rel_gap_fill_interpolate",
 ]
 
 set_priority(DRIVER_WINDOW)
