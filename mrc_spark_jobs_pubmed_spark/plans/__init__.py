@@ -105,6 +105,7 @@ DRIVER_WINDOW: list[str] = [
     "emb_matryoshka_recall",
     "corpus_rag_chunks",
     "rel_gap_fill_interpolate",
+    "rel_ts_anomaly_mad",
 ]
 
 set_priority(DRIVER_WINDOW)

@@ -1351,3 +1351,98 @@ def rel_gap_fill_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .alias("value_u4_filled"),
     )
+
+
+# --- robust time-series anomaly detection (median/MAD) ----------------------
+
+MAD_K = 3.0  # flag buckets beyond K * MAD from the median
+
+
+@register(
+    "rel_ts_anomaly_mad",
+    oracle=f"""
+WITH buckets AS (
+  SELECT event_type,
+         epoch_us(ts) // ({GAP_BUCKET_SEC} * 1000000) AS b,
+         count(*) AS n_events,
+         sum(CAST(round(value * 10000) AS BIGINT)) AS v_u4
+  FROM events
+  GROUP BY 1, 2
+),
+med AS (
+  SELECT event_type, quantile_cont(v_u4, 0.5) AS med
+  FROM buckets GROUP BY event_type
+),
+stats AS (
+  SELECT b.event_type,
+         any_value(m.med) AS med,
+         quantile_cont(abs(b.v_u4 - m.med), 0.5) AS mad
+  FROM buckets b JOIN med m USING (event_type)
+  GROUP BY b.event_type
+)
+SELECT b.event_type,
+       b.b * {GAP_BUCKET_SEC} AS bucket_epoch,
+       b.n_events,
+       b.v_u4,
+       s.med AS median_u4,
+       s.mad AS mad_u4,
+       (b.v_u4 - s.med) / nullif(s.mad, 0) AS deviation_mads
+FROM buckets b JOIN stats s USING (event_type)
+WHERE s.mad > 0 AND abs(b.v_u4 - s.med) > {MAD_K} * s.mad
+""",
+    doc="Robust time-series anomaly detection: 5-min value sums per "
+    "event type flagged when they sit more than {}x the median absolute "
+    "deviation from the per-type median — the outlier monitor that, "
+    "unlike mean/sigma, is not dragged by the outliers it hunts. "
+    "Exactness: bucket sums are exact integer micro-units; median and "
+    "MAD interpolate on the integer (then half-integer) grid, so both "
+    "are exactly-representable doubles and the threshold compare is "
+    "bit-identical across engines — no rounding anywhere. Scale shape: "
+    "one (type, bucket) hash-agg over the events stream, then the "
+    "percentile pair runs on the BOUNDED bucket domain (time x types, "
+    "constant in row volume) and broadcasts back to it — the expensive "
+    "part never touches raw events twice.".format(MAD_K),
+)
+def rel_ts_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    buckets = (
+        ev.groupBy(
+            "event_type",
+            (F.unix_timestamp("ts") / GAP_BUCKET_SEC).cast("long").alias("b"),
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.round(F.col("value") * 10000).cast("long")).alias("v_u4"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    med = buckets.groupBy("event_type").agg(
+        F.expr("percentile(v_u4, 0.5)").alias("med")
+    )
+    mad = (
+        buckets.join(F.broadcast(med), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.expr("percentile(abs(v_u4 - med), 0.5)").alias("mad"),
+            F.first("med").alias("med"),
+        )
+    )
+    return (
+        buckets.join(F.broadcast(mad), "event_type")
+        .where(
+            (F.col("mad") > 0)
+            & (F.abs(F.col("v_u4") - F.col("med")) > MAD_K * F.col("mad"))
+        )
+        .select(
+            "event_type",
+            (F.col("b") * GAP_BUCKET_SEC).alias("bucket_epoch"),
+            "n_events",
+            "v_u4",
+            F.col("med").alias("median_u4"),
+            F.col("mad").alias("mad_u4"),
+            (
+                (F.col("v_u4") - F.col("med"))
+                / F.nullif(F.col("mad"), F.lit(0.0))
+            ).alias("deviation_mads"),
+        )
+    )
