@@ -1227,7 +1227,7 @@ WITH buckets AS (
   SELECT event_type,
          epoch_us(ts) // ({GAP_BUCKET_SEC} * 1000000) AS b,
          count(*) AS n_events,
-         sum(CAST(round(value * 10000) AS BIGINT)) AS v_u4
+         CAST(sum(CAST(round(value * 10000) AS BIGINT)) AS BIGINT) AS v_u4
   FROM events
   GROUP BY 1, 2
 ),
@@ -1365,7 +1365,7 @@ WITH buckets AS (
   SELECT event_type,
          epoch_us(ts) // ({GAP_BUCKET_SEC} * 1000000) AS b,
          count(*) AS n_events,
-         sum(CAST(round(value * 10000) AS BIGINT)) AS v_u4
+         CAST(sum(CAST(round(value * 10000) AS BIGINT)) AS BIGINT) AS v_u4
   FROM events
   GROUP BY 1, 2
 ),
