@@ -131,12 +131,13 @@ flags AS (
   FROM feats
 )
 SELECT count(*) AS n_total,
-       sum(CASE WHEN q_ok THEN 1 ELSE 0 END) AS after_quality,
-       sum(CASE WHEN q_ok AND lang_ok THEN 1 ELSE 0 END) AS after_lang,
-       sum(CASE WHEN q_ok AND lang_ok AND exact_ok THEN 1 ELSE 0 END)
-         AS after_exact_dedup,
-       sum(CASE WHEN q_ok AND lang_ok AND exact_ok AND near_ok THEN 1 ELSE 0 END)
-         AS after_near_dedup
+       CAST(sum(CASE WHEN q_ok THEN 1 ELSE 0 END) AS BIGINT) AS after_quality,
+       CAST(sum(CASE WHEN q_ok AND lang_ok THEN 1 ELSE 0 END) AS BIGINT)
+         AS after_lang,
+       CAST(sum(CASE WHEN q_ok AND lang_ok AND exact_ok THEN 1 ELSE 0 END)
+            AS BIGINT) AS after_exact_dedup,
+       CAST(sum(CASE WHEN q_ok AND lang_ok AND exact_ok AND near_ok
+                     THEN 1 ELSE 0 END) AS BIGINT) AS after_near_dedup
 FROM flags
 """
 

@@ -647,9 +647,9 @@ SALT_N = 4
     "rel_skew_salted_join",
     oracle="""
 SELECT s_name,
-       sum(CAST(round(l_extendedprice * 100) AS BIGINT)
-           * (100 - CAST(round(l_discount * 100) AS BIGINT)))
-         AS revenue_c4,
+       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+            AS BIGINT) AS revenue_c4,
        count(*) AS n_lines
 FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
 GROUP BY s_name
@@ -830,7 +830,7 @@ SELECT CAST(floor(o_totalprice / 25000) AS BIGINT) AS bin,
        count(*) AS n,
        min(o_totalprice) AS lo,
        max(o_totalprice) AS hi,
-       sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS total_cents
+       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents
 FROM orders
 GROUP BY 1
 """,
@@ -951,7 +951,7 @@ active AS (
 cohort_sizes AS (
   SELECT cohort_week, count(*) AS cohort_n FROM firsts GROUP BY cohort_week
 )
-SELECT f.cohort_week,
+SELECT strftime(f.cohort_week, '%Y-%m-%d') AS cohort_week,
        CAST(date_diff('day', f.cohort_week, a.active_week) / 7 AS BIGINT)
          AS week_offset,
        count(*) AS n_active,
@@ -985,7 +985,10 @@ def rel_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         firsts.join(active, "user_id")
         .join(F.broadcast(sizes), "cohort_week")
         .groupBy(
-            "cohort_week",
+            # STRING week key: a Spark DATE canonicalizes as a pandas
+            # object cell while DuckDB's date_trunc is datetime64 — the
+            # driver's type-sensitive comparator needs one shared dtype
+            F.date_format("cohort_week", "yyyy-MM-dd").alias("cohort_week"),
             (F.datediff("active_week", "cohort_week") / 7)
             .cast("long")
             .alias("week_offset"),

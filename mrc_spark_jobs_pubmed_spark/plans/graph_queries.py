@@ -59,7 +59,7 @@ def _pagerank_sql() -> str:
 SELECT node,
        CASE WHEN node >= {_SUPP_OFFSET} THEN 'supplier' ELSE 'customer' END
          AS node_type,
-       r AS rank_p12
+       CAST(r AS BIGINT) AS rank_p12
 FROM r{PR_ITERS}
 ORDER BY rank_p12 DESC, node
 LIMIT {PR_TOP}

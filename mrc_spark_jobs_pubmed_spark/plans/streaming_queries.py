@@ -145,7 +145,7 @@ WITH lvl1 AS (
 SELECT CAST(epoch(time_bucket(INTERVAL '15 minutes', b5)) AS BIGINT)
          AS wstart_epoch,
        event_type,
-       sum(n) AS n_events,
+       CAST(sum(n) AS BIGINT) AS n_events,
        max(n) AS peak_5min_n,
        count(*) AS n_subwindows
 FROM lvl1

@@ -607,7 +607,7 @@ def _bpe_train_ctes() -> list[str]:
 def _bpe_sql() -> str:
     sels = " UNION ALL ".join(
         f"SELECT {k} AS merge_step, l AS left_sym, r AS right_sym,"
-        f" cnt AS pair_count FROM b{k}"
+        f" CAST(cnt AS BIGINT) AS pair_count FROM b{k}"
         for k in range(BPE_MERGES)
     )
     return "WITH " + ",\n".join(_bpe_train_ctes()) + "\n" + sels
@@ -646,7 +646,7 @@ def _bpe_encode_sql() -> str:
         "WITH "
         + ",\n".join(ctes)
         + """
-SELECT doc_id, count(*) AS n_tokens, sum(n_sym) AS n_bpe_symbols
+SELECT doc_id, count(*) AS n_tokens, CAST(sum(n_sym) AS BIGINT) AS n_bpe_symbols
 FROM dtoks JOIN encoded USING (tok) GROUP BY doc_id
 """
     )

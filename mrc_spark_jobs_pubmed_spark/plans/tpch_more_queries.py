@@ -767,7 +767,7 @@ def rel_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 WITH pv AS (
   SELECT l_partkey,
-         sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS value_cents
+         CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS value_cents
   FROM lineitem
   JOIN supplier ON l_suppkey = s_suppkey
   JOIN nation ON s_nationkey = n_nationkey

@@ -83,11 +83,30 @@ def main() -> int:
             ok_cols = sorted(scols) == sorted(dcols)
             ok_count = len(srows) == len(drows)
             ok_vals = ok_cols and ok_count and canon(srows, scols) == canon(drows, dcols)
-            status = "PASS" if (ok_cols and ok_count and ok_vals) else "FAIL"
+            # dtype parity mirrors the DRIVER's type-sensitive pandas
+            # canonicalizer: identical VALUES still hash-mismatch when
+            # e.g. a DuckDB HUGEINT sum lands as float64 against
+            # Spark's int64 — the root cause of all four r3 red rows,
+            # invisible to a value-only compare.
+            ok_dtype = True
+            dtype_msg = "ok"
+            if ok_cols:
+                sdt = sdf.toPandas().dtypes
+                ddt = con.execute(oracles[name]).df().dtypes
+                bad = [
+                    f"{c}: spark={sdt[c]} duckdb={ddt[c]}"
+                    for c in scols
+                    if str(sdt[c]) != str(ddt[c])
+                ]
+                if bad:
+                    ok_dtype = False
+                    dtype_msg = "; ".join(bad)
+            status = "PASS" if (ok_cols and ok_count and ok_vals and ok_dtype) else "FAIL"
             print(
                 f"  {status} {name}: rows={len(srows)}/{len(drows)} "
                 f"cols={'ok' if ok_cols else f'{sorted(scols)} vs {sorted(dcols)}'} "
-                f"vals={'ok' if ok_vals else 'MISMATCH'} ({time.time()-t0:.1f}s)"
+                f"vals={'ok' if ok_vals else 'MISMATCH'} "
+                f"dtypes={dtype_msg} ({time.time()-t0:.1f}s)"
             )
             n_pass += status == "PASS"
             n_fail += status == "FAIL"
