@@ -1315,10 +1315,16 @@ def rel_gap_fill_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("b")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    # the forward carry runs over a REVERSED cumulative frame, not
+    # [current row, unbounded following]: Spark's UnboundedFollowing
+    # window frame re-scans the rest of the partition for EVERY row
+    # (O(n^2) — measured 10 s vs 0.7 s at sf0.01); a running frame over
+    # the descending sort is the same value in O(n), at the cost of one
+    # extra sort on the already-partitioned data
     w_next = (
         Window.partitionBy("event_type")
-        .orderBy("b")
-        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        .orderBy(F.desc("b"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     carried = joined.select(
         "event_type",
@@ -1331,8 +1337,8 @@ def rel_gap_fill_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .over(w_prev)
         .alias("prev_b"),
-        F.first("v_u4", ignorenulls=True).over(w_next).alias("next_v"),
-        F.first(
+        F.last("v_u4", ignorenulls=True).over(w_next).alias("next_v"),
+        F.last(
             F.when(F.col("v_u4").isNotNull(), F.col("b")), ignorenulls=True
         )
         .over(w_next)

@@ -93,10 +93,15 @@ def main() -> int:
             if ok_cols:
                 sdt = sdf.toPandas().dtypes
                 ddt = con.execute(oracles[name]).df().dtypes
+                # KIND-level compare, same rule as scripts/dtype_audit:
+                # r01 evidence says width (int32/int64) and unit (ns/us)
+                # differences hash fine in the driver; KIND differences
+                # (int vs float: HUGEINT→float64, date-object vs
+                # datetime64) do not.
                 bad = [
                     f"{c}: spark={sdt[c]} duckdb={ddt[c]}"
                     for c in scols
-                    if str(sdt[c]) != str(ddt[c])
+                    if sdt[c].kind != ddt[c].kind
                 ]
                 if bad:
                     ok_dtype = False
