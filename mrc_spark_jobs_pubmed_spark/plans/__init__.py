@@ -27,6 +27,7 @@ from mrc_spark_jobs_pubmed_spark.plans import (  # noqa: F401,E402
     similarity_queries,
     streaming_queries,
     text_queries,
+    timeseries_queries,
     tpch_more_queries,
 )
 
@@ -106,6 +107,10 @@ DRIVER_WINDOW: list[str] = [
     "corpus_rag_chunks",
     "rel_gap_fill_interpolate",
     "rel_ts_anomaly_mad",
+    "rel_time_weighted_avg",
+    "rel_concurrency_sweep",
+    "rel_ts_downsample_m4",
+    "rel_markov_transitions",
 ]
 
 set_priority(DRIVER_WINDOW)
