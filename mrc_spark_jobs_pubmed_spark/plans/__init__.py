@@ -111,6 +111,7 @@ DRIVER_WINDOW: list[str] = [
     "rel_concurrency_sweep",
     "rel_ts_downsample_m4",
     "rel_markov_transitions",
+    "dedup_simhash_stats",
 ]
 
 set_priority(DRIVER_WINDOW)

@@ -227,7 +227,12 @@ WHERE bit_count(xor(a.simhash, b.simhash)) <= {SIMHASH_HAM_MAX}
 )
 def dedup_simhash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, "documents", sf_dir)
-    sig = D.simhash_fingerprints(docs)
+    return _simhash_banded_pairs(D.simhash_fingerprints(docs))
+
+
+def _simhash_banded_pairs(sig: DataFrame) -> DataFrame:
+    """Distinct near-dup pairs (doc_a < doc_b, hamming <= max) via
+    byte-band LSH candidate generation + exact popcount verify."""
     bands = sig.select(
         "doc_id",
         "simhash",
@@ -252,6 +257,60 @@ def dedup_simhash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
             ham.alias("hamming"),
         )
         .distinct()
+    )
+
+
+@register(
+    "dedup_simhash_stats",
+    oracle=f"""
+WITH sig AS ({D.simhash_fingerprints_sql()}),
+bands AS (
+  SELECT doc_id, simhash, t.b AS band_id, (simhash >> (8 * t.b)) & 255 AS band_val
+  FROM sig CROSS JOIN unnest([0, 1, 2, 3]) t(b)
+),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         bit_count(xor(a.simhash, b.simhash)) AS hamming
+  FROM bands a JOIN bands b
+    ON a.band_id = b.band_id AND a.band_val = b.band_val
+   AND a.doc_id < b.doc_id
+  WHERE bit_count(xor(a.simhash, b.simhash)) <= {SIMHASH_HAM_MAX}
+),
+members AS (
+  SELECT hamming, doc_a AS doc_id FROM pairs
+  UNION
+  SELECT hamming, doc_b AS doc_id FROM pairs
+)
+SELECT p.hamming,
+       count(*) AS n_pairs,
+       (SELECT count(*) FROM members m WHERE m.hamming = p.hamming)
+         AS n_docs_involved
+FROM pairs p
+GROUP BY p.hamming
+""",
+    doc="SimHash near-dup AGGREGATE contract — the scale companion to "
+    "dedup_simhash_hamming: per Hamming distance, the pair count and "
+    "the number of distinct documents involved. The pair-enumeration "
+    "query's OUTPUT grows quadratically with duplicate density, which "
+    "makes it a small-scale exact diagnostic; this histogram keeps the "
+    "identical banded candidate generation + exact popcount verify but "
+    "closes with two bounded aggregations (<= 4 rows out at any corpus "
+    "size), so the duplication profile of a 100 TB corpus ships as a "
+    "handful of integers. All counts are exact; no floats anywhere.",
+)
+def dedup_simhash_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    pairs = _simhash_banded_pairs(D.simhash_fingerprints(docs))
+    n_pairs = pairs.groupBy("hamming").agg(F.count("*").alias("n_pairs"))
+    members = (
+        pairs.select("hamming", F.col("doc_a").alias("doc_id"))
+        .union(pairs.select("hamming", F.col("doc_b").alias("doc_id")))
+        .distinct()
+        .groupBy("hamming")
+        .agg(F.count("*").alias("n_docs_involved"))
+    )
+    return n_pairs.join(members, ["hamming"]).select(
+        "hamming", "n_pairs", "n_docs_involved"
     )
 
 
