@@ -112,6 +112,7 @@ DRIVER_WINDOW: list[str] = [
     "rel_ts_downsample_m4",
     "rel_markov_transitions",
     "dedup_simhash_stats",
+    "stream_cdc_apply",
 ]
 
 set_priority(DRIVER_WINDOW)

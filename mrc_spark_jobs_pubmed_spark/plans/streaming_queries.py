@@ -293,3 +293,40 @@ def stream_topk_per_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     return J.rank_topk(
         J.windowed_type_counts(load_table(spark, "events", sf_dir), with_watermark=False)
     )
+
+
+@register(
+    "stream_cdc_apply",
+    oracle="""
+WITH log AS (
+  SELECT user_id, epoch_us(ts) AS t_us, event_id,
+         CASE WHEN event_type = 'purchase' THEN 'delete'
+              ELSE 'upsert' END AS op,
+         event_type AS last_type,
+         CAST(round(value * 10000) AS BIGINT) AS v_u4
+  FROM events
+),
+latest AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY user_id ORDER BY t_us DESC, event_id DESC) AS rn
+  FROM log
+)
+SELECT user_id, t_us, event_id, last_type, v_u4
+FROM latest WHERE rn = 1 AND op = 'upsert'
+""",
+    doc="CDC changelog apply (streaming materialized view): the events "
+    "stream read as a change feed on a per-user row — 'purchase' is a "
+    "DELETE, everything else an UPSERT — reduced latest-wins on the "
+    "total (t_us, event_id) change order, tombstoned keys dropped. "
+    "This batch form is the full-replay materialization the DuckDB "
+    "oracle checks; the STREAMING twin (streaming/jobs.py "
+    "run_cdc_apply_to_files) maintains the same table incrementally "
+    "via a foreachBatch MERGE with per-batch latest-wins pre-reduction "
+    "(associative, so stream and batch provably agree — the replay "
+    "test asserts it). Tombstones persist in the state copy so "
+    "out-of-order older upserts cannot resurrect deleted keys. Scale: "
+    "one shuffle on user_id; streaming state is the key domain, not "
+    "the stream volume.",
+)
+def stream_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return J.cdc_apply_batch(load_table(spark, "events", sf_dir))

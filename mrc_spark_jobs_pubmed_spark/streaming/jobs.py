@@ -573,3 +573,94 @@ def run_topk_to_files(
         .option("checkpointLocation", checkpoint)
         .start()
     )
+
+
+# --- CDC changelog apply (streaming materialized upsert/delete) -------------
+
+
+def cdc_changelog(events: DataFrame) -> DataFrame:
+    """Project the events stream as a CDC changelog on a per-user row.
+
+    Every event is a change record for its user's profile row: a
+    'purchase' clears the row (DELETE — the cart is consumed), any other
+    type UPSERTs it with the event's type and exact 1e-4-unit value.
+    (t_us, event_id) is the total change order — deterministic and
+    gap-free, the role a binlog LSN plays in a real CDC feed.
+    """
+    return events.select(
+        "user_id",
+        F.unix_micros("ts").alias("t_us"),
+        "event_id",
+        F.when(F.col("event_type") == "purchase", F.lit("delete"))
+        .otherwise(F.lit("upsert"))
+        .alias("op"),
+        F.col("event_type").alias("last_type"),
+        value_micro().alias("v_u4"),
+    )
+
+
+def cdc_latest(changelog: DataFrame) -> DataFrame:
+    """Latest-wins reduction of a changelog: one row per key carrying the
+    most recent change (by LSN = (t_us, event_id)), tombstones included."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy(
+        F.desc("t_us"), F.desc("event_id")
+    )
+    return (
+        changelog.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def cdc_apply_batch(events: DataFrame) -> DataFrame:
+    """Batch twin of the streaming CDC apply: the materialized table a
+    full changelog replay produces (latest-wins, tombstones dropped)."""
+    return cdc_latest(cdc_changelog(events)).where(
+        F.col("op") == "upsert"
+    ).drop("op")
+
+
+def run_cdc_apply_to_files(
+    events_stream: DataFrame, path: str, checkpoint: str
+):
+    """Streaming CDC apply via foreachBatch MERGE: maintain a serving
+    parquet copy of the materialized table as the changelog streams in.
+
+    Per micro-batch: reduce the batch to its per-key latest change
+    (latest-wins is associative, so reducing before merging is exact),
+    then merge into the state copy with the newer LSN winning — the
+    MERGE INTO ... WHEN MATCHED pattern on a plain parquet path (a
+    transactional table format would make the merge a real MERGE).
+    Tombstones stay IN the state copy so a late-replayed older upsert
+    can never resurrect a deleted key; the published serving table
+    filters them out. State size is the key domain (live + deleted
+    keys), never the stream volume; per-batch cost is one
+    state-vs-batch merge — the standard CDC materialization shape.
+    Append mode with a pass-through projection: the merge logic lives
+    entirely in foreachBatch, so no engine aggregation state is held.
+    """
+    state_path = path + "_state"
+
+    def _merge(batch_df: DataFrame, _batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        batch = cdc_latest(batch_df).localCheckpoint(eager=True)
+        try:
+            state = spark.read.parquet(state_path)
+            merged = cdc_latest(state.unionByName(batch))
+        except Exception:  # first batch: no state yet
+            merged = batch
+        merged = merged.localCheckpoint(eager=True)
+        merged.write.mode("overwrite").parquet(state_path)
+        merged.where(F.col("op") == "upsert").drop("op").write.mode(
+            "overwrite"
+        ).parquet(path)
+
+    return (
+        cdc_changelog(events_stream)
+        .writeStream.outputMode("append")
+        .foreachBatch(_merge)
+        .option("checkpointLocation", checkpoint)
+        .start()
+    )

@@ -310,3 +310,35 @@ def test_windowed_topk_stream_equals_batch(spark, tmp_path):
         per_window.setdefault(_w, []).append(rnk)
     assert all(sorted(v) == list(range(1, len(v) + 1)) for v in per_window.values())
     assert all(len(v) <= J.TOPK_K for v in per_window.values())
+
+
+def test_cdc_apply_stream_equals_batch(spark, tmp_path):
+    """Streaming CDC apply (foreachBatch latest-wins MERGE) must
+    materialize exactly the table the batch full-replay produces —
+    regardless of how the changelog is split into micro-batches, since
+    latest-wins on the (t_us, event_id) LSN is associative and
+    tombstones persist in the state copy. Replays the fixture as THREE
+    files (one per micro-batch) in hash order, i.e. not time order."""
+    src = str(tmp_path / "cdc_src")
+    # split by hash, NOT by time: batches arrive with interleaved LSNs,
+    # so the merge must actually resolve cross-batch conflicts
+    _batch_events(spark).repartition(3, "event_id").write.parquet(src)
+    stream = (
+        spark.readStream.schema(_batch_events(spark).schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    out = str(tmp_path / "cdc_serving")
+    q = J.run_cdc_apply_to_files(
+        stream, out, str(tmp_path / "cdc_ckpt")
+    )
+    _drain(q)
+    got = {
+        (r.user_id): (r.t_us, r.event_id, r.last_type, r.v_u4)
+        for r in spark.read.parquet(out).collect()
+    }
+    want = {
+        (r.user_id): (r.t_us, r.event_id, r.last_type, r.v_u4)
+        for r in J.cdc_apply_batch(_batch_events(spark)).collect()
+    }
+    assert got == want and len(got) > 0
