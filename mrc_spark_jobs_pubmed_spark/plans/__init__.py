@@ -113,6 +113,7 @@ DRIVER_WINDOW: list[str] = [
     "rel_markov_transitions",
     "dedup_simhash_stats",
     "stream_cdc_apply",
+    "corpus_dsir_weights",
 ]
 
 set_priority(DRIVER_WINDOW)

@@ -416,3 +416,161 @@ def corpus_length_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.lit(1.0) / F.col("p"), 6).alias("weight"),
         )
     )
+
+
+# --- DSIR importance weights (hashed n-gram importance resampling) ----------
+
+DSIR_BUCKETS = 64  # hashed feature space (paper uses 10k; domain here is tiny)
+DSIR_KEEP_FRAC = 4  # keep top 1/4 by importance weight
+
+
+def _dsir_bucket_sql() -> str:
+    from mrc_spark_jobs_pubmed_spark.operators.dedup import _hex2long
+
+    return f"{_hex2long('md5(tok)', 1)} % {DSIR_BUCKETS}"
+
+
+@register(
+    "corpus_dsir_weights",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, t.tok AS tok
+  FROM (SELECT doc_id, {tokens_sql('text')} AS toklist FROM documents),
+       unnest(toklist) AS t(tok)
+),
+feat AS (
+  SELECT doc_id, CAST({_dsir_bucket_sql()} AS BIGINT) AS bucket,
+         count(*) AS n
+  FROM toks GROUP BY 1, 2
+),
+tgt AS (
+  SELECT f.bucket, CAST(sum(f.n) AS BIGINT) AS t_n
+  FROM feat f JOIN documents d USING (doc_id)
+  WHERE d.lang = 'en' GROUP BY f.bucket
+),
+raw AS (
+  SELECT bucket, CAST(sum(n) AS BIGINT) AS r_n FROM feat GROUP BY bucket
+),
+delta AS (
+  SELECT r.bucket,
+         CAST(round((ln((coalesce(t.t_n, 0) + 1.0)
+                        / ((SELECT sum(t_n) FROM tgt) + {DSIR_BUCKETS}.0))
+                     - ln((r.r_n + 1.0)
+                          / ((SELECT sum(r_n) FROM raw) + {DSIR_BUCKETS}.0)))
+                    * 1000000) AS BIGINT) AS d_u6
+  FROM raw r LEFT JOIN tgt t USING (bucket)
+),
+docw AS (
+  SELECT f.doc_id,
+         CAST(sum(f.n) AS BIGINT) AS n_tok,
+         CAST(sum(f.n * dl.d_u6) AS BIGINT) AS logw_u6
+  FROM feat f JOIN delta dl USING (bucket)
+  GROUP BY f.doc_id
+),
+scored AS (
+  SELECT d.doc_id, d.lang,
+         coalesce(w.n_tok, 0) AS n_tok,
+         coalesce(w.logw_u6, 0) AS logw_u6
+  FROM documents d LEFT JOIN docw w USING (doc_id)
+)
+SELECT doc_id, lang, n_tok, logw_u6,
+       row_number() OVER (ORDER BY logw_u6 DESC, doc_id)
+         <= (SELECT count(*) FROM documents) // {DSIR_KEEP_FRAC}
+         AS selected
+FROM scored
+""",
+    doc="DSIR importance weights (Xie et al. 2023, 'Data Selection for "
+    "LMs via Importance Resampling'): hashed-unigram bag models of the "
+    "target distribution (here: English docs) and the raw corpus, "
+    "add-1 smoothed over a {b}-bucket md5 feature space; each doc's "
+    "log importance weight is sum(count_b * (ln p_tgt(b) - ln "
+    "p_raw(b))), and the top 1/{k} by weight are marked selected. "
+    "Exactness: per-BUCKET log-ratio deltas are rounded once to 1e-6 "
+    "units (ln of a ratio of exact integers — one libm call per "
+    "distinct bucket, the corpus_unigram_logprob discipline), then "
+    "per-doc weights are exact integer dot products — no per-doc float "
+    "accumulation, so ranking ties are impossible to flip across "
+    "engines. Scale shape: feature extraction is a (doc, bucket) "
+    "hash-agg with map-side partials bounded at {b} rows/doc; the "
+    "bucket stat tables are {b} rows and broadcast into the per-doc "
+    "dot product; the final selection window is a global rank over "
+    "doc-count rows — at 100 TB that becomes a threshold join "
+    "(quantile of logw_u6) instead of row_number, same output "
+    "contract.".format(b=DSIR_BUCKETS, k=DSIR_KEEP_FRAC),
+)
+def corpus_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, "documents", sf_dir)
+    toks = docs.select(
+        "doc_id", F.explode(tokens_col(F.col("text"))).alias("tok")
+    )
+    feat = (
+        toks.select(
+            "doc_id",
+            F.expr(_dsir_bucket_sql()).cast("long").alias("bucket"),
+        )
+        .groupBy("doc_id", "bucket")
+        .agg(F.count("*").alias("n"))
+    )
+    tgt = (
+        feat.join(docs.where(F.col("lang") == "en").select("doc_id"), "doc_id")
+        .groupBy("bucket")
+        .agg(F.sum("n").cast("long").alias("t_n"))
+    )
+    raw = feat.groupBy("bucket").agg(F.sum("n").cast("long").alias("r_n"))
+    t_tot = tgt.agg(F.sum("t_n").alias("t_tot"))
+    r_tot = raw.agg(F.sum("r_n").alias("r_tot"))
+    delta = (
+        raw.join(tgt, ["bucket"], "left")
+        .crossJoin(F.broadcast(t_tot))
+        .crossJoin(F.broadcast(r_tot))
+        .select(
+            "bucket",
+            F.round(
+                (
+                    F.log(
+                        (F.coalesce("t_n", F.lit(0)) + F.lit(1.0))
+                        / (F.col("t_tot") + F.lit(float(DSIR_BUCKETS)))
+                    )
+                    - F.log(
+                        (F.col("r_n") + F.lit(1.0))
+                        / (F.col("r_tot") + F.lit(float(DSIR_BUCKETS)))
+                    )
+                )
+                * 1e6
+            )
+            .cast("long")
+            .alias("d_u6"),
+        )
+    )
+    docw = (
+        feat.join(F.broadcast(delta), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("n").cast("long").alias("n_tok"),
+            F.sum(F.col("n") * F.col("d_u6")).cast("long").alias("logw_u6"),
+        )
+    )
+    n_docs = docs.agg(F.count("*").alias("n_docs"))
+    scored = (
+        docs.select("doc_id", "lang")
+        .join(docw, ["doc_id"], "left")
+        .select(
+            "doc_id",
+            "lang",
+            F.coalesce("n_tok", F.lit(0)).cast("long").alias("n_tok"),
+            F.coalesce("logw_u6", F.lit(0)).cast("long").alias("logw_u6"),
+        )
+    )
+    w = Window.orderBy(F.desc("logw_u6"), F.asc("doc_id"))
+    return scored.crossJoin(F.broadcast(n_docs)).select(
+        "doc_id",
+        "lang",
+        "n_tok",
+        "logw_u6",
+        (
+            F.row_number().over(w)
+            <= F.expr(f"n_docs div {DSIR_KEEP_FRAC}")
+        ).alias("selected"),
+    )
