@@ -114,6 +114,7 @@ DRIVER_WINDOW: list[str] = [
     "dedup_simhash_stats",
     "stream_cdc_apply",
     "corpus_dsir_weights",
+    "ta_tokenizer_fertility",
 ]
 
 set_priority(DRIVER_WINDOW)

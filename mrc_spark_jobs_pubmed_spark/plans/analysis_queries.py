@@ -477,3 +477,77 @@ def ta_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("r_squared"),
     )
+
+
+# --- tokenizer fertility -----------------------------------------------------
+
+FERT_CHUNK = 4  # BPE-proxy subword width: a word of L chars -> ceil(L/4) tokens
+
+
+@register(
+    "ta_tokenizer_fertility",
+    oracle=f"""
+WITH words AS (
+  SELECT d.doc_id, d.lang, strlen(d.text) AS n_bytes, t.tok AS tok
+  FROM (SELECT doc_id, lang, text, {_TOKS_SQL} AS toklist FROM documents) d,
+       unnest(d.toklist) AS t(tok)
+),
+per_doc AS (
+  SELECT doc_id, lang,
+         any_value(n_bytes) AS n_bytes,
+         count(*) AS n_words,
+         sum((length(tok) + {FERT_CHUNK - 1}) // {FERT_CHUNK}) AS n_subwords
+  FROM words GROUP BY doc_id, lang
+)
+SELECT lang,
+       count(*) AS n_docs,
+       CAST(sum(n_words) AS BIGINT) AS n_words,
+       CAST(sum(n_subwords) AS BIGINT) AS n_subwords,
+       CAST(sum(n_bytes) AS BIGINT) AS n_bytes,
+       CAST((sum(n_subwords) * 1000000) // sum(n_words) AS BIGINT)
+         AS fertility_u6,
+       CAST((sum(n_bytes) * 1000000) // sum(n_subwords) AS BIGINT)
+         AS bytes_per_token_u6
+FROM per_doc
+GROUP BY lang
+""",
+    doc="Tokenizer fertility audit per language: subword tokens per "
+    "word and bytes per token — the two numbers that decide whether a "
+    "tokenizer taxes a language (high fertility = more sequence "
+    "positions per sentence = less effective context and higher "
+    "training cost for that language; the standard multilingual-"
+    "tokenizer fairness check). The subword count uses the fixed-width "
+    "BPE proxy ceil(len/{c}) — deterministic and engine-neutral; a "
+    "trained tokenizer swaps in the text_bpe_encode machinery with the "
+    "same aggregate contract. Ratios are exact integer 1e-6-unit "
+    "divisions of exact sums. Scale shape: per-row tokenize + one "
+    "(doc, lang) hash-agg then a |langs|-row rollup — map-side "
+    "partials everywhere, output bounded by the language inventory "
+    "at any corpus size.".format(c=FERT_CHUNK),
+)
+def ta_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    words = docs.select(
+        "doc_id",
+        "lang",
+        F.octet_length("text").alias("n_bytes"),
+        F.explode(tokens_col(F.col("text"))).alias("tok"),
+    )
+    per_doc = words.groupBy("doc_id", "lang").agg(
+        F.first("n_bytes").alias("n_bytes"),
+        F.count("*").alias("n_words"),
+        F.sum(
+            F.expr(f"(length(tok) + {FERT_CHUNK - 1}) div {FERT_CHUNK}")
+        ).alias("n_subwords"),
+    )
+    return per_doc.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_words").cast("long").alias("n_words"),
+        F.sum("n_subwords").cast("long").alias("n_subwords"),
+        F.sum("n_bytes").cast("long").alias("n_bytes"),
+        F.expr("CAST((sum(n_subwords) * 1000000) div sum(n_words) AS LONG)")
+        .alias("fertility_u6"),
+        F.expr(
+            "CAST((sum(n_bytes) * 1000000) div sum(n_subwords) AS LONG)"
+        ).alias("bytes_per_token_u6"),
+    )
