@@ -115,6 +115,7 @@ DRIVER_WINDOW: list[str] = [
     "stream_cdc_apply",
     "corpus_dsir_weights",
     "ta_tokenizer_fertility",
+    "graph_label_propagation",
 ]
 
 set_priority(DRIVER_WINDOW)

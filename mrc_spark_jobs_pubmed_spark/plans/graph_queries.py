@@ -359,3 +359,128 @@ def graph_bfs_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.asc("dist"))
     )
+
+
+# --- label propagation (community detection) --------------------------------
+
+LPA_ITERS = 3
+
+
+def _lpa_sql() -> str:
+    ctes = [
+        """e0 AS (
+  SELECT DISTINCT o_custkey AS src, l_suppkey + 10000000 AS dst
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+)""",
+        "edges AS (SELECT src, dst FROM e0"
+        " UNION ALL SELECT dst AS src, src AS dst FROM e0)",
+        "nodes AS (SELECT DISTINCT src AS node FROM edges)",
+        "l0 AS (SELECT node, node AS lbl FROM nodes)",
+    ]
+    for it in range(LPA_ITERS):
+        ctes.append(
+            f"""c{it} AS (
+  SELECT e.dst AS node, l.lbl, count(*) AS c
+  FROM edges e JOIN l{it} l ON e.src = l.node
+  GROUP BY e.dst, l.lbl
+)"""
+        )
+        ctes.append(
+            f"""l{it + 1} AS (
+  SELECT node, lbl FROM (
+    SELECT node, lbl,
+           row_number() OVER (PARTITION BY node ORDER BY c DESC, lbl) AS rn
+    FROM c{it}
+  ) WHERE rn = 1
+)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+SELECT lbl AS community,
+       count(*) AS n_members,
+       CAST(sum(CASE WHEN node < {_SUPP_OFFSET} THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_customers,
+       CAST(sum(CASE WHEN node >= {_SUPP_OFFSET} THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_suppliers
+FROM l{LPA_ITERS}
+GROUP BY lbl
+"""
+    )
+
+
+@register(
+    "graph_label_propagation",
+    oracle=_lpa_sql(),
+    doc="Label-propagation community detection (synchronous LPA, "
+    f"{LPA_ITERS} unrolled iterations) over the undirected customer–"
+    "supplier trade graph: every node adopts the most frequent label "
+    "among its neighbors, ties broken by MINIMUM label — which makes "
+    "the usually-randomized algorithm fully deterministic (same "
+    "communities on any engine, partitioning, or cluster size) while "
+    "keeping its character, unlike min-label propagation "
+    "(dedup_cluster_components) which converges to connected "
+    "components. Output is the community-size histogram with the "
+    "customer/supplier split per community. Scale shape per iteration: "
+    "one equi-join of the hash-partitioned edge list against the label "
+    "vector + a (node, lbl) count agg + a per-node arg-max that runs "
+    "as an associative struct-max with map-side partials (no window, "
+    "no extra shuffle class); labels are 16 bytes/node and the "
+    "partitioning is reused across iterations with lineage cut per "
+    "round (the Pregel idiom, as in graph_pagerank).",
+)
+def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, "lineitem", sf_dir)
+    orders = load_table(spark, "orders", sf_dir)
+    e0 = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .select(
+            F.col("o_custkey").alias("src"),
+            (F.col("l_suppkey") + _SUPP_OFFSET).alias("dst"),
+        )
+        .distinct()
+    )
+    edges = (
+        e0.unionByName(
+            e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        .repartition("src")
+        .localCheckpoint(eager=True)
+    )
+    labels = edges.select(F.col("src").alias("node")).distinct().select(
+        "node", F.col("node").alias("lbl")
+    )
+    for _ in range(LPA_ITERS):
+        cnt = (
+            edges.join(labels, edges.src == labels.node)
+            .groupBy(F.col("dst").alias("node"), "lbl")
+            .agg(F.count("*").alias("c"))
+        )
+        # per-node arg-max(count, then min label) as an associative
+        # struct-max: (c, -lbl) orders by count desc then label asc,
+        # and the carried lbl field is the winner — map-side partials,
+        # no per-node window
+        labels = (
+            cnt.groupBy("node")
+            .agg(
+                F.max(
+                    F.struct(
+                        F.col("c").alias("c"),
+                        (-F.col("lbl")).alias("nl"),
+                        F.col("lbl").alias("lbl"),
+                    )
+                ).alias("m")
+            )
+            .select("node", F.col("m.lbl").alias("lbl"))
+            .localCheckpoint(eager=True)
+        )
+    return labels.groupBy(F.col("lbl").alias("community")).agg(
+        F.count("*").alias("n_members"),
+        F.sum(F.when(F.col("node") < _SUPP_OFFSET, 1).otherwise(0))
+        .cast("long")
+        .alias("n_customers"),
+        F.sum(F.when(F.col("node") >= _SUPP_OFFSET, 1).otherwise(0))
+        .cast("long")
+        .alias("n_suppliers"),
+    )
