@@ -116,6 +116,9 @@ DRIVER_WINDOW: list[str] = [
     "corpus_dsir_weights",
     "ta_tokenizer_fertility",
     "graph_label_propagation",
+    "rel_multitouch_attribution",
+    "corpus_k_anonymity",
+    "rel_ts_correlation",
 ]
 
 set_priority(DRIVER_WINDOW)

@@ -1202,3 +1202,52 @@ def corpus_rag_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
         overlap.alias("overlap_prev"),
         F.md5(F.concat_ws(" ", chunk)).alias("chunk_md5"),
     )
+
+
+# --- k-anonymity audit ------------------------------------------------------
+
+KANON_K = 5
+KANON_LEN_BUCKET = 500  # n_chars bucket width for the quasi-identifier
+
+
+@register(
+    "corpus_k_anonymity",
+    oracle=f"""
+WITH cells AS (
+  SELECT lang, source,
+         n_chars // {KANON_LEN_BUCKET} AS len_bucket,
+         count(*) AS n_docs,
+         min(doc_id) AS sample_doc_id
+  FROM documents
+  GROUP BY 1, 2, 3
+)
+SELECT lang, source, CAST(len_bucket AS BIGINT) AS len_bucket,
+       CAST(n_docs AS BIGINT) AS n_docs, sample_doc_id
+FROM cells
+WHERE n_docs < {KANON_K}
+""",
+    doc="k-anonymity audit (k={k}): every quasi-identifier cell — "
+    "(lang, source, length bucket) — holding fewer than k documents, "
+    "i.e. the rows where metadata alone narrows a document to a "
+    "re-identifiable handful. The release-gating privacy check that "
+    "runs BEFORE a corpus ships alongside its metadata; the flagged "
+    "cells are the ones to generalize (widen buckets) or suppress. "
+    "Pure integer bucketing + one hash-agg with map-side partials; "
+    "output is bounded by the violating-cell count, and the cell "
+    "domain (langs x sources x buckets) is metadata-sized at any "
+    "corpus volume.".format(k=KANON_K),
+)
+def corpus_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    return (
+        docs.groupBy(
+            "lang",
+            "source",
+            F.expr(f"n_chars div {KANON_LEN_BUCKET}").alias("len_bucket"),
+        )
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.min("doc_id").alias("sample_doc_id"),
+        )
+        .where(F.col("n_docs") < KANON_K)
+    )

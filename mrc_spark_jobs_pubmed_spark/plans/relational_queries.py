@@ -1019,3 +1019,126 @@ def rel_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.sum(micro) / 10000.0).alias("attributed_value"),
         )
     )
+
+
+# --- linear multi-touch attribution -----------------------------------------
+
+MTA_LOOKBACK_US = 7 * 24 * 3600 * 1000000  # 7-day click lookback
+
+
+@register(
+    "rel_multitouch_attribution",
+    oracle=f"""
+WITH clicks AS (
+  SELECT user_id, epoch_us(ts) AS t_c, event_id AS click_id,
+         CASE WHEN props IS NULL THEN 'email'
+              WHEN CAST(props->>'$.k' AS INTEGER) % 4 = 0 THEN 'organic'
+              WHEN CAST(props->>'$.k' AS INTEGER) % 4 = 1 THEN 'paid'
+              WHEN CAST(props->>'$.k' AS INTEGER) % 4 = 2 THEN 'social'
+              ELSE 'email' END AS channel
+  FROM events WHERE event_type = 'click'
+),
+purchases AS (
+  SELECT user_id, epoch_us(ts) AS t_p, event_id AS purchase_id,
+         CAST(round(value * 10000) AS BIGINT) AS v_u4
+  FROM events WHERE event_type = 'purchase'
+),
+touched AS (
+  SELECT p.purchase_id, p.v_u4, c.channel,
+         count(*) OVER w_n AS n_touch,
+         row_number() OVER w_r AS touch_rank
+  FROM purchases p JOIN clicks c
+    ON p.user_id = c.user_id
+   AND c.t_c <= p.t_p AND c.t_c > p.t_p - {MTA_LOOKBACK_US}
+  WINDOW w_n AS (PARTITION BY p.purchase_id),
+         w_r AS (PARTITION BY p.purchase_id ORDER BY c.t_c, c.click_id)
+),
+split AS (
+  SELECT channel,
+         v_u4 // n_touch
+           + CASE WHEN touch_rank = 1 THEN v_u4 % n_touch ELSE 0 END
+           AS share_u4
+  FROM touched
+),
+direct AS (
+  SELECT 'direct' AS channel, p.v_u4 AS share_u4
+  FROM purchases p
+  WHERE NOT EXISTS (
+    SELECT 1 FROM clicks c
+    WHERE c.user_id = p.user_id
+      AND c.t_c <= p.t_p AND c.t_c > p.t_p - {MTA_LOOKBACK_US}
+  )
+)
+SELECT channel,
+       count(*) AS n_touches,
+       CAST(sum(share_u4) AS BIGINT) AS attributed_u4
+FROM (SELECT * FROM split UNION ALL SELECT * FROM direct)
+GROUP BY channel
+""",
+    doc="Linear multi-touch attribution: each purchase's value splits "
+    "EQUALLY across every click the user made in the prior 7 days "
+    "(purchases with no lookback click attribute to 'direct') — the "
+    "multi-touch counterpart of rel_touch_attribution's last-touch "
+    "model. Exactness: the split is integer division of 1e-4-unit "
+    "value with the REMAINDER granted to the earliest touch "
+    "(deterministic tie order (t, click_id)), so per-channel sums "
+    "reconcile to the total to the last micro-unit on any engine — a "
+    "float split never does. Scale shape: the touch join is an "
+    "equi-join on user_id with the time band as a residual filter "
+    "(no range-join blowup; fan-out is bounded by clicks-per-user-"
+    "week), the two per-purchase windows share one purchase_id "
+    "exchange, and the no-touch purchases arrive via the same-shaped "
+    "anti-join. Channel rollup is a 5-row agg with map-side partials.",
+)
+def rel_multitouch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    k = F.get_json_object("props", "$.k").cast("int")
+    channel = (
+        F.when(F.col("props").isNull(), F.lit("email"))
+        .when(k % 4 == 0, "organic")
+        .when(k % 4 == 1, "paid")
+        .when(k % 4 == 2, "social")
+        .otherwise("email")
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"),
+        F.unix_micros("ts").alias("t_c"),
+        F.col("event_id").alias("click_id"),
+        channel.alias("channel"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.unix_micros("ts").alias("t_p"),
+        F.col("event_id").alias("purchase_id"),
+        F.round(F.col("value") * 10000).cast("long").alias("v_u4"),
+    )
+    in_window = (
+        (F.col("c_user") == F.col("user_id"))
+        & (F.col("t_c") <= F.col("t_p"))
+        & (F.col("t_c") > F.col("t_p") - F.lit(MTA_LOOKBACK_US))
+    )
+    touched = purchases.join(clicks, in_window)
+    w_n = Window.partitionBy("purchase_id")
+    w_r = Window.partitionBy("purchase_id").orderBy("t_c", "click_id")
+    split = touched.select(
+        "channel",
+        (
+            F.expr("v_u4 div count(*) over (partition by purchase_id)")
+            + F.when(
+                F.row_number().over(w_r) == 1,
+                F.col("v_u4") % F.count("*").over(w_n),
+            ).otherwise(F.lit(0))
+        ).alias("share_u4"),
+    )
+    direct = (
+        purchases.join(clicks, in_window, "left_anti")
+        .select(F.lit("direct").alias("channel"), F.col("v_u4").alias("share_u4"))
+    )
+    return (
+        split.unionByName(direct)
+        .groupBy("channel")
+        .agg(
+            F.count("*").alias("n_touches"),
+            F.sum("share_u4").cast("long").alias("attributed_u4"),
+        )
+    )

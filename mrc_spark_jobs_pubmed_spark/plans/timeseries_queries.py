@@ -367,3 +367,94 @@ def rel_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_src",
         F.expr("CAST((n_trans * 1000000) div n_src AS LONG)").alias("p_u6"),
     )
+
+
+# --- cross-series correlation -----------------------------------------------
+
+CORR_BUCKET_SEC = 300  # 5-minute buckets, same grid as the gap-fill family
+
+
+@register(
+    "rel_ts_correlation",
+    oracle=f"""
+WITH buckets AS (
+  SELECT event_type,
+         epoch_us(ts) // ({CORR_BUCKET_SEC} * 1000000) AS b,
+         CAST(sum(CAST(round(value * 10000) AS BIGINT)) AS BIGINT) AS v
+  FROM events
+  GROUP BY 1, 2
+),
+paired AS (
+  SELECT a.event_type AS type_a, bb.event_type AS type_b,
+         a.v AS x, bb.v AS y
+  FROM buckets a JOIN buckets bb
+    ON a.b = bb.b AND a.event_type < bb.event_type
+),
+moments AS (
+  SELECT type_a, type_b,
+         count(*) AS n,
+         CAST(sum(x) AS BIGINT) AS sx,
+         CAST(sum(y) AS BIGINT) AS sy,
+         CAST(sum(x * x) AS BIGINT) AS sxx,
+         CAST(sum(y * y) AS BIGINT) AS syy,
+         CAST(sum(x * y) AS BIGINT) AS sxy
+  FROM paired GROUP BY type_a, type_b
+)
+SELECT type_a, type_b, n,
+       round((n * sxy - sx * sy)
+             / sqrt((n * sxx - sx * sx) * 1.0 * (n * syy - sy * sy)), 6)
+         AS pearson_r
+FROM moments
+WHERE (n * sxx - sx * sx) > 0 AND (n * syy - sy * sy) > 0
+""",
+    doc="Cross-series Pearson correlation: every pair of event types "
+    "compared on the shared 5-min bucket grid (inner join on bucket — "
+    "only co-observed buckets count), the 'do these two metrics move "
+    "together' primitive behind alert correlation and metric-graph "
+    "discovery. Exactness: all five moment sums are exact BIGINTs over "
+    "1e-4-unit values (sum x*y <= 2.4e13 * buckets — decades of "
+    "headroom in int64), and the closing Pearson formula is a fixed "
+    "expression over those exact integers rounded once at 6dp — the "
+    "udf_grouped_zscore moment-identity discipline, no running float "
+    "accumulation anywhere. Scale shape: one (type, bucket) hash-agg "
+    "shrinks the stream to the bounded bucket domain; the pair join "
+    "and moment agg run entirely on that time-bounded table "
+    "(|types|^2 x |buckets|, constant in row volume).",
+)
+def rel_ts_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    buckets = ev.groupBy(
+        "event_type",
+        (F.unix_micros("ts") / F.lit(CORR_BUCKET_SEC * 1000000))
+        .cast("long")
+        .alias("b"),
+    ).agg(F.sum(F.round(F.col("value") * 10000).cast("long")).alias("v"))
+    a = buckets.select(
+        F.col("event_type").alias("type_a"), "b", F.col("v").alias("x")
+    )
+    bb = buckets.select(
+        F.col("event_type").alias("type_b"), "b", F.col("v").alias("y")
+    )
+    paired = a.join(
+        bb, (a.b == bb.b) & (F.col("type_a") < F.col("type_b"))
+    )
+    moments = paired.groupBy("type_a", "type_b").agg(
+        F.count("*").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+    )
+    var_x = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    var_y = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    return moments.where((var_x > 0) & (var_y > 0)).select(
+        "type_a",
+        "type_b",
+        "n",
+        F.round(
+            (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+            / F.sqrt(var_x * F.lit(1.0) * var_y),
+            6,
+        ).alias("pearson_r"),
+    )
