@@ -119,6 +119,9 @@ DRIVER_WINDOW: list[str] = [
     "rel_multitouch_attribution",
     "corpus_k_anonymity",
     "rel_ts_correlation",
+    "rel_new_users_daily",
+    "rel_rfm_segmentation",
+    "graph_kcore",
 ]
 
 set_priority(DRIVER_WINDOW)

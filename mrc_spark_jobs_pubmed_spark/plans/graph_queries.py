@@ -484,3 +484,107 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_suppliers"),
     )
+
+
+# --- k-core decomposition (fixed-round peeling) -----------------------------
+
+KCORE_K = 40
+KCORE_ROUNDS = 3
+
+
+def _kcore_sql() -> str:
+    ctes = [
+        """e0g AS (
+  SELECT DISTINCT o_custkey AS src, l_suppkey + 10000000 AS dst
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+)""",
+        "g0 AS (SELECT src, dst FROM e0g"
+        " UNION ALL SELECT dst AS src, src AS dst FROM e0g)",
+    ]
+    for it in range(KCORE_ROUNDS):
+        ctes.append(
+            f"k{it} AS (SELECT src FROM g{it} GROUP BY src"
+            f" HAVING count(*) >= {KCORE_K})"
+        )
+        ctes.append(
+            f"""g{it + 1} AS (
+  SELECT e.src, e.dst FROM g{it} e
+  JOIN k{it} a ON e.src = a.src
+  JOIN k{it} b ON e.dst = b.src
+)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+SELECT CAST(count(DISTINCT src) AS BIGINT) AS n_nodes,
+       CAST(count(*) // 2 AS BIGINT) AS n_edges,
+       CAST(count(DISTINCT CASE WHEN src < {_SUPP_OFFSET} THEN src END)
+            AS BIGINT) AS n_customers,
+       CAST(count(DISTINCT CASE WHEN src >= {_SUPP_OFFSET} THEN src END)
+            AS BIGINT) AS n_suppliers
+FROM g{KCORE_ROUNDS}
+"""
+    )
+
+
+@register(
+    "graph_kcore",
+    oracle=_kcore_sql(),
+    doc=f"k-core decomposition ({KCORE_ROUNDS} unrolled peeling rounds, "
+    f"k={KCORE_K}): repeatedly drop nodes with degree < k and the edges "
+    "they carry, keeping the dense trade-graph core — the standard "
+    "cohesion filter that strips hangers-on before community or "
+    "influence analysis (a node in the final subgraph has >= k "
+    "surviving neighbors, up to the fixed round budget; full "
+    "convergence iterates until no node drops, same plan per round). "
+    "All-integer degree arithmetic — exact on any engine or "
+    "partitioning. Scale shape per round: one degree hash-agg + a "
+    "semi-join of the edge list against the surviving-node set on "
+    "BOTH endpoints; the edge list is hash-partitioned once and the "
+    "src-side join reuses that layout, and the keep-set is degrees-"
+    "filtered (node-domain-sized, broadcastable when the graph has a "
+    "small core). Lineage is cut per round (the Pregel idiom).",
+)
+def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, "lineitem", sf_dir)
+    orders = load_table(spark, "orders", sf_dir)
+    e0 = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .select(
+            F.col("o_custkey").alias("src"),
+            (F.col("l_suppkey") + _SUPP_OFFSET).alias("dst"),
+        )
+        .distinct()
+    )
+    g = (
+        e0.unionByName(
+            e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        .repartition("src")
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(KCORE_ROUNDS):
+        keep = (
+            g.groupBy("src")
+            .agg(F.count("*").alias("c"))
+            .where(F.col("c") >= KCORE_K)
+            .select("src")
+        )
+        g = (
+            g.join(keep, "src")
+            .join(keep.select(F.col("src").alias("dst")), "dst")
+            .select("src", "dst")
+            .repartition("src")
+            .localCheckpoint(eager=True)
+        )
+    return g.agg(
+        F.countDistinct("src").alias("n_nodes"),
+        F.expr("count(*) div 2").alias("n_edges"),
+        F.countDistinct(
+            F.when(F.col("src") < _SUPP_OFFSET, F.col("src"))
+        ).alias("n_customers"),
+        F.countDistinct(
+            F.when(F.col("src") >= _SUPP_OFFSET, F.col("src"))
+        ).alias("n_suppliers"),
+    )

@@ -458,3 +458,139 @@ def rel_ts_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("pearson_r"),
     )
+
+
+# --- daily new users + cumulative distinct ----------------------------------
+
+DAY_US = 86400 * 1000000
+
+
+@register(
+    "rel_new_users_daily",
+    oracle=f"""
+WITH first_seen AS (
+  SELECT user_id, min(epoch_us(ts)) AS f_us FROM events GROUP BY user_id
+),
+daily AS (
+  SELECT f_us // {DAY_US} AS day, count(*) AS new_users
+  FROM first_seen GROUP BY 1
+)
+SELECT CAST(day * 86400 AS BIGINT) AS day_epoch,
+       CAST(new_users AS BIGINT) AS new_users,
+       CAST(sum(new_users) OVER (
+         ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+       ) AS BIGINT) AS cum_users
+FROM daily
+""",
+    doc="Daily new users and cumulative distinct users — the growth "
+    "curve. COUNT(DISTINCT) over an expanding window is quadratic and "
+    "unshippable; the first-seen rewrite (min event time per user, "
+    "then count first-seens per day + running sum) computes the exact "
+    "same curve with one user_id hash-agg and a day-domain window. "
+    "All integer. Scale shape: the only stream-sized operation is the "
+    "min-per-user agg (map-side partials ship one (user, ts) pair per "
+    "partition); the daily rollup and the cumulative window run on "
+    "the bounded day domain. This is the standard incremental-"
+    "materialization trick for distinct-growth metrics at any volume.",
+)
+def rel_new_users_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    first_seen = ev.groupBy("user_id").agg(
+        F.min(F.unix_micros("ts")).alias("f_us")
+    )
+    daily = first_seen.groupBy(
+        F.expr(f"f_us div {DAY_US}").alias("day")
+    ).agg(F.count("*").alias("new_users"))
+    w = Window.orderBy("day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return daily.select(
+        (F.col("day") * 86400).cast("long").alias("day_epoch"),
+        F.col("new_users").cast("long").alias("new_users"),
+        F.sum("new_users").over(w).cast("long").alias("cum_users"),
+    )
+
+
+# --- RFM customer segmentation ----------------------------------------------
+
+RFM_TILES = 4
+
+
+@register(
+    "rel_rfm_segmentation",
+    oracle=f"""
+WITH purchases AS (
+  SELECT user_id, epoch_us(ts) AS t_us,
+         CAST(round(value * 10000) AS BIGINT) AS v_u4
+  FROM events WHERE event_type = 'purchase'
+),
+horizon AS (SELECT max(t_us) AS h FROM purchases),
+rfm AS (
+  SELECT p.user_id,
+         (hh.h - max(p.t_us)) // {DAY_US} AS r_days,
+         count(*) AS f_n,
+         CAST(sum(p.v_u4) AS BIGINT) AS m_u4
+  FROM purchases p CROSS JOIN horizon hh
+  GROUP BY p.user_id, hh.h
+)
+SELECT user_id,
+       CAST(r_days AS BIGINT) AS r_days,
+       CAST(f_n AS BIGINT) AS f_n, m_u4,
+       CAST(ntile({RFM_TILES}) OVER (ORDER BY r_days, user_id)
+            AS BIGINT) AS r_q,
+       CAST(ntile({RFM_TILES}) OVER (ORDER BY f_n DESC, user_id)
+            AS BIGINT) AS f_q,
+       CAST(ntile({RFM_TILES}) OVER (ORDER BY m_u4 DESC, user_id)
+            AS BIGINT) AS m_q
+FROM rfm
+""",
+    doc="RFM customer segmentation: per purchasing user, recency in "
+    "days from the corpus horizon, purchase frequency, and exact "
+    "1e-4-unit monetary total, each quartiled by ntile({t}) with a "
+    "deterministic user_id tie-break (best quartile = 1: most recent, "
+    "most frequent, highest spend). The standard marketing "
+    "segmentation primitive. Scale shape: the purchases agg is one "
+    "user_id hash-agg; the three ntile windows run on the USER domain "
+    "(not the event stream) — at fixture scale a single sort each, at "
+    "100 TB the quartile boundaries come from approx_percentile "
+    "cutpoints broadcast back (the corpus_curriculum_order idiom) "
+    "with the same output contract.".format(t=RFM_TILES),
+)
+def rel_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.unix_micros("ts").alias("t_us"),
+        F.round(F.col("value") * 10000).cast("long").alias("v_u4"),
+    )
+    horizon = purchases.agg(F.max("t_us").alias("h"))
+    rfm = (
+        purchases.crossJoin(F.broadcast(horizon))
+        .groupBy("user_id", "h")
+        .agg(
+            F.expr(f"(any_value(h) - max(t_us)) div {DAY_US}").alias(
+                "r_days"
+            ),
+            F.count("*").alias("f_n"),
+            F.sum("v_u4").cast("long").alias("m_u4"),
+        )
+        .drop("h")
+    )
+    return rfm.select(
+        "user_id",
+        F.col("r_days").cast("long").alias("r_days"),
+        F.col("f_n").cast("long").alias("f_n"),
+        "m_u4",
+        F.ntile(RFM_TILES)
+        .over(Window.orderBy("r_days", "user_id"))
+        .cast("long")
+        .alias("r_q"),
+        F.ntile(RFM_TILES)
+        .over(Window.orderBy(F.desc("f_n"), F.asc("user_id")))
+        .cast("long")
+        .alias("f_q"),
+        F.ntile(RFM_TILES)
+        .over(Window.orderBy(F.desc("m_u4"), F.asc("user_id")))
+        .cast("long")
+        .alias("m_q"),
+    )
