@@ -122,6 +122,8 @@ DRIVER_WINDOW: list[str] = [
     "rel_new_users_daily",
     "rel_rfm_segmentation",
     "graph_kcore",
+    "ta_langid_confusion",
+    "emb_label_centroid_drift",
 ]
 
 set_priority(DRIVER_WINDOW)

@@ -551,3 +551,47 @@ def ta_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST((sum(n_bytes) * 1000000) div sum(n_subwords) AS LONG)"
         ).alias("bytes_per_token_u6"),
     )
+
+
+# --- lang-ID confusion matrix ------------------------------------------------
+
+
+@register(
+    "ta_langid_confusion",
+    oracle=f"""
+WITH scored AS (
+  SELECT lang AS labeled_lang,
+         {{pred}} AS predicted_lang
+  FROM (SELECT lang, {_TOKS_SQL} AS toks FROM documents)
+)
+SELECT labeled_lang, predicted_lang,
+       count(*) AS n_docs
+FROM scored
+GROUP BY labeled_lang, predicted_lang
+""".format(pred=X.predicted_lang_sql(_score_exprs_sql())),
+    doc="Language-ID confusion matrix: labeled vs predicted language "
+    "counts — the AGGREGATE evaluation contract for the ta_langid "
+    "heuristic (per-doc scores are the diagnostic form; the confusion "
+    "matrix is what a corpus build actually monitors, and its "
+    "|langs|^2-bounded output ships from any corpus size). Same "
+    "deterministic marker-count argmax as ta_langid; one hash-agg "
+    "with map-side partials over per-row scoring — zero joins, zero "
+    "windows.",
+)
+def ta_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    base = docs.select(
+        F.col("lang").alias("labeled_lang"),
+        tokens_col(F.col("text")).alias("toks"),
+    )
+    scores = {
+        lang: X.marker_hits(F.col("toks"), markers)
+        for lang, markers in X.LANG_MARKERS.items()
+    }
+    return (
+        base.select(
+            "labeled_lang", X.predicted_lang(scores).alias("predicted_lang")
+        )
+        .groupBy("labeled_lang", "predicted_lang")
+        .agg(F.count("*").alias("n_docs"))
+    )

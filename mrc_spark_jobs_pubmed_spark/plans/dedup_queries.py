@@ -263,54 +263,131 @@ def _simhash_banded_pairs(sig: DataFrame) -> DataFrame:
 @register(
     "dedup_simhash_stats",
     oracle=f"""
-WITH sig AS ({D.simhash_fingerprints_sql()}),
-bands AS (
-  SELECT doc_id, simhash, t.b AS band_id, (simhash >> (8 * t.b)) & 255 AS band_val
-  FROM sig CROSS JOIN unnest([0, 1, 2, 3]) t(b)
+WITH sig AS MATERIALIZED ({D.simhash_fingerprints_sql()}),
+grp AS MATERIALIZED (SELECT simhash, count(*) AS m FROM sig GROUP BY simhash),
+gbands AS (
+  SELECT simhash, m, t.b AS band_id, (simhash >> (8 * t.b)) & 255 AS band_val
+  FROM grp CROSS JOIN unnest([0, 1, 2, 3]) t(b)
 ),
-pairs AS (
-  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+sig_pairs AS MATERIALIZED (
+  SELECT DISTINCT a.simhash AS s1, b.simhash AS s2, a.m AS m1, b.m AS m2,
          bit_count(xor(a.simhash, b.simhash)) AS hamming
-  FROM bands a JOIN bands b
+  FROM gbands a JOIN gbands b
     ON a.band_id = b.band_id AND a.band_val = b.band_val
-   AND a.doc_id < b.doc_id
+   AND a.simhash < b.simhash
   WHERE bit_count(xor(a.simhash, b.simhash)) <= {SIMHASH_HAM_MAX}
 ),
-members AS (
-  SELECT hamming, doc_a AS doc_id FROM pairs
+cross_pairs AS (
+  SELECT hamming, CAST(sum(m1 * m2) AS BIGINT) AS n_pairs
+  FROM sig_pairs GROUP BY hamming
+),
+sigs_h AS (
+  SELECT hamming, s1 AS s, m1 AS m FROM sig_pairs
   UNION
-  SELECT hamming, doc_b AS doc_id FROM pairs
+  SELECT hamming, s2 AS s, m2 AS m FROM sig_pairs
+),
+docs_h AS (
+  SELECT hamming, CAST(sum(m) AS BIGINT) AS n_docs_involved
+  FROM sigs_h GROUP BY hamming
+),
+zero AS (
+  SELECT 0 AS hamming,
+         CAST(sum(m * (m - 1) // 2) AS BIGINT) AS n_pairs,
+         CAST(sum(m) AS BIGINT) AS n_docs_involved
+  FROM grp WHERE m >= 2 HAVING count(*) > 0
 )
-SELECT p.hamming,
-       count(*) AS n_pairs,
-       (SELECT count(*) FROM members m WHERE m.hamming = p.hamming)
-         AS n_docs_involved
-FROM pairs p
-GROUP BY p.hamming
+SELECT c.hamming, c.n_pairs, d.n_docs_involved
+FROM cross_pairs c JOIN docs_h d USING (hamming)
+UNION ALL
+SELECT hamming, n_pairs, n_docs_involved FROM zero
 """,
     doc="SimHash near-dup AGGREGATE contract — the scale companion to "
     "dedup_simhash_hamming: per Hamming distance, the pair count and "
-    "the number of distinct documents involved. The pair-enumeration "
-    "query's OUTPUT grows quadratically with duplicate density, which "
-    "makes it a small-scale exact diagnostic; this histogram keeps the "
-    "identical banded candidate generation + exact popcount verify but "
-    "closes with two bounded aggregations (<= 4 rows out at any corpus "
-    "size), so the duplication profile of a 100 TB corpus ships as a "
-    "handful of integers. All counts are exact; no floats anywhere.",
+    "the number of distinct documents involved, closed combinatorially "
+    "over DISTINCT fingerprints. Exact-duplicate docs collapse to one "
+    "signature row BEFORE the banded join (Hamming-0 pairs are "
+    "C(m,2) per group, cross-signature pairs contribute m1*m2), so "
+    "the candidate join runs on the distinct-signature table — "
+    "quadratic only in distinct-near-miss density, never in duplicate "
+    "density (the doc-level join is what made the pair-enumeration "
+    "form a small-scale diagnostic; measured 187 s -> signature-level "
+    "at sf1). Output stays <= 4 rows at any corpus size and every "
+    "count is an exact integer identical to the doc-level pair "
+    "histogram.",
 )
 def dedup_simhash_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, "documents", sf_dir)
-    pairs = _simhash_banded_pairs(D.simhash_fingerprints(docs))
-    n_pairs = pairs.groupBy("hamming").agg(F.count("*").alias("n_pairs"))
-    members = (
-        pairs.select("hamming", F.col("doc_a").alias("doc_id"))
-        .union(pairs.select("hamming", F.col("doc_b").alias("doc_id")))
+    sig = D.simhash_fingerprints(docs)
+    # grp is the distinct-signature table (tiny fixed point of the
+    # corpus-sized fingerprint scan) and feeds FOUR consumers (both
+    # join sides + the zero branch) — materialize once or the whole
+    # tokenize pipeline re-runs per consumer
+    grp = (
+        sig.groupBy("simhash")
+        .agg(F.count("*").alias("m"))
+        .localCheckpoint(eager=True)
+    )
+    gbands = grp.select(
+        "simhash",
+        "m",
+        F.explode(F.array(*[F.lit(b) for b in range(4)])).alias("band_id"),
+    ).withColumn("band_val", F.expr("shiftright(simhash, 8 * band_id) & 255"))
+    a = gbands.select(
+        F.col("simhash").alias("s1"),
+        F.col("m").alias("m1"),
+        "band_id",
+        "band_val",
+    )
+    b = gbands.select(
+        F.col("simhash").alias("s2"),
+        F.col("m").alias("m2"),
+        "band_id",
+        "band_val",
+    )
+    ham = F.bit_count(F.expr("s1 ^ s2"))
+    sig_pairs = (
+        a.join(
+            b,
+            ["band_id", "band_val"],
+        )
+        .where(F.col("s1") < F.col("s2"))
+        .where(ham <= SIMHASH_HAM_MAX)
+        .select("s1", "s2", "m1", "m2", ham.alias("hamming"))
+        .distinct()
+        .localCheckpoint(eager=True)  # 3 consumers, same reasoning
+    )
+    cross_pairs = sig_pairs.groupBy("hamming").agg(
+        F.sum(F.col("m1") * F.col("m2")).cast("long").alias("n_pairs")
+    )
+    docs_h = (
+        sig_pairs.select("hamming", F.col("s1").alias("s"), F.col("m1").alias("m"))
+        .union(
+            sig_pairs.select(
+                "hamming", F.col("s2").alias("s"), F.col("m2").alias("m")
+            )
+        )
         .distinct()
         .groupBy("hamming")
-        .agg(F.count("*").alias("n_docs_involved"))
+        .agg(F.sum("m").cast("long").alias("n_docs_involved"))
     )
-    return n_pairs.join(members, ["hamming"]).select(
-        "hamming", "n_pairs", "n_docs_involved"
+    zero = (
+        grp.where(F.col("m") >= 2)
+        .agg(
+            F.count("*").alias("_g"),
+            F.sum(F.expr("m * (m - 1) div 2")).cast("long").alias("n_pairs"),
+            F.sum("m").cast("long").alias("n_docs_involved"),
+        )
+        .where(F.col("_g") > 0)
+        .select(
+            F.lit(0).cast("integer").alias("hamming"),
+            "n_pairs",
+            "n_docs_involved",
+        )
+    )
+    return (
+        cross_pairs.join(docs_h, ["hamming"])
+        .select("hamming", "n_pairs", "n_docs_involved")
+        .unionByName(zero)
     )
 
 

@@ -452,8 +452,12 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
         "node", F.col("node").alias("lbl")
     )
     for _ in range(LPA_ITERS):
+        # the label vector is NODE-domain-sized (tiny next to the edge
+        # list) — broadcast it so the per-iteration join never shuffles
+        # the edges; the (node, lbl) count then collapses map-side to
+        # at most |nodes| rows per partition before its exchange
         cnt = (
-            edges.join(labels, edges.src == labels.node)
+            edges.join(F.broadcast(labels), edges.src == labels.node)
             .groupBy(F.col("dst").alias("node"), "lbl")
             .agg(F.count("*").alias("c"))
         )
@@ -493,21 +497,24 @@ KCORE_ROUNDS = 3
 
 
 def _kcore_sql() -> str:
+    # every g{i} has two consumers (k{i} and g{i+1}) — without
+    # MATERIALIZED the re-inlining doubles the base-join work per round
+    # (the graph_bfs_levels oracle lesson)
     ctes = [
-        """e0g AS (
+        """e0g AS MATERIALIZED (
   SELECT DISTINCT o_custkey AS src, l_suppkey + 10000000 AS dst
   FROM lineitem JOIN orders ON l_orderkey = o_orderkey
 )""",
-        "g0 AS (SELECT src, dst FROM e0g"
+        "g0 AS MATERIALIZED (SELECT src, dst FROM e0g"
         " UNION ALL SELECT dst AS src, src AS dst FROM e0g)",
     ]
     for it in range(KCORE_ROUNDS):
         ctes.append(
-            f"k{it} AS (SELECT src FROM g{it} GROUP BY src"
+            f"k{it} AS MATERIALIZED (SELECT src FROM g{it} GROUP BY src"
             f" HAVING count(*) >= {KCORE_K})"
         )
         ctes.append(
-            f"""g{it + 1} AS (
+            f"""g{it + 1} AS MATERIALIZED (
   SELECT e.src, e.dst FROM g{it} e
   JOIN k{it} a ON e.src = a.src
   JOIN k{it} b ON e.dst = b.src
@@ -572,10 +579,13 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("src")
         )
         g = (
-            g.join(keep, "src")
-            .join(keep.select(F.col("src").alias("dst")), "dst")
+            # the keep-set is node-domain-sized — broadcast both
+            # endpoint semi-joins so the edge list never shuffles
+            g.join(F.broadcast(keep), "src")
+            .join(
+                F.broadcast(keep.select(F.col("src").alias("dst"))), "dst"
+            )
             .select("src", "dst")
-            .repartition("src")
             .localCheckpoint(eager=True)
         )
     return g.agg(

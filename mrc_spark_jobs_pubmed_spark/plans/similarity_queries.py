@@ -1530,3 +1530,129 @@ def emb_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_hits",
         (F.col("n_hits").cast("double") / TOP_K).alias("recall"),
     )
+
+
+# --- per-label centroid drift -----------------------------------------------
+
+DRIFT_DIM = 64
+
+
+@register(
+    "emb_label_centroid_drift",
+    oracle=f"""
+WITH elems AS (
+  SELECT label, vec_id % 2 AS half, t.i AS pos,
+         CAST(round(CAST(embedding[t.i] AS DOUBLE) * 1000000) AS BIGINT)
+           AS q
+  FROM embeddings CROSS JOIN range(1, {DRIFT_DIM + 1}) t(i)
+),
+sums AS (
+  SELECT label, half, pos,
+         CAST(sum(q) AS BIGINT) AS s, count(*) AS n
+  FROM elems GROUP BY 1, 2, 3
+),
+means AS (
+  SELECT label, half, pos,
+         CASE WHEN s < 0 THEN -((-s) // n) ELSE s // n END AS m
+  FROM sums
+),
+paired AS (
+  SELECT a.label, a.pos, a.m AS ma, b.m AS mb
+  FROM means a JOIN means b
+    ON a.label = b.label AND a.pos = b.pos AND a.half = 0 AND b.half = 1
+),
+mom AS (
+  SELECT label,
+         CAST(sum(ma * mb) AS BIGINT) AS sxy,
+         CAST(sum(ma * ma) AS BIGINT) AS sxx,
+         CAST(sum(mb * mb) AS BIGINT) AS syy
+  FROM paired GROUP BY label
+),
+counts AS (
+  SELECT label,
+         CAST(sum(CASE WHEN vec_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_a,
+         CAST(sum(CASE WHEN vec_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_b
+  FROM embeddings GROUP BY label
+)
+SELECT c.label, c.n_a, c.n_b,
+       m.sxy / sqrt(m.sxx * 1.0 * m.syy) AS centroid_cos
+FROM counts c JOIN mom m USING (label)
+WHERE m.sxx > 0 AND m.syy > 0
+""",
+    doc="Per-label embedding centroid drift: split each label's vectors "
+    "into two deterministic halves (vec_id parity — in production: "
+    "yesterday's batch vs today's), compute both centroids, and report "
+    "their cosine — the embedding-space drift monitor that catches "
+    "encoder version skew, pipeline corruption, or distribution shift "
+    "per class (cosine near 1 = stable; falling = the label's "
+    "population moved). Exactness: elements quantize to 1e-6-unit "
+    "BIGINTs per (label, half, dim) sum (order-independent), centroid "
+    "means are sign-aware truncating integer division, and the closing "
+    "cosine is three IEEE ops over exact integer moments, emitted "
+    "UNROUNDED — no engine-accumulated floats and no round()-of-"
+    "double contract edge; cosine is "
+    "scale-invariant so integer means lose nothing. Scale shape: ONE "
+    "(label, half, dim) hash-agg whose map-side partial bounds each "
+    "partition's contribution at |labels| x 2 x dim rows; everything "
+    "downstream runs on that bounded table.",
+)
+def emb_label_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, "embeddings", sf_dir)
+    elems = emb.select(
+        "label",
+        (F.col("vec_id") % 2).alias("half"),
+        F.posexplode("embedding").alias("pos0", "e"),
+    ).select(
+        "label",
+        "half",
+        (F.col("pos0") + 1).alias("pos"),
+        F.round(F.col("e") * 1e6).cast("long").alias("q"),
+    )
+    means = (
+        elems.groupBy("label", "half", "pos")
+        .agg(F.sum("q").cast("long").alias("s"), F.count("*").alias("n"))
+        .select("label", "half", "pos", F.expr("s div n").alias("m"))
+    )
+    a = means.where(F.col("half") == 0).select(
+        "label", "pos", F.col("m").alias("ma")
+    )
+    b = means.where(F.col("half") == 1).select(
+        "label", "pos", F.col("m").alias("mb")
+    )
+    mom = (
+        a.join(b, ["label", "pos"])
+        .groupBy("label")
+        .agg(
+            F.sum(F.col("ma") * F.col("mb")).cast("long").alias("sxy"),
+            F.sum(F.col("ma") * F.col("ma")).cast("long").alias("sxx"),
+            F.sum(F.col("mb") * F.col("mb")).cast("long").alias("syy"),
+        )
+    )
+    counts = emb.groupBy("label").agg(
+        F.sum(F.when(F.col("vec_id") % 2 == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_a"),
+        F.sum(F.when(F.col("vec_id") % 2 == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_b"),
+    )
+    return (
+        counts.join(mom, ["label"])
+        .where((F.col("sxx") > 0) & (F.col("syy") > 0))
+        .select(
+            "label",
+            "n_a",
+            "n_b",
+            # unrounded on purpose: the moments are exact integers and
+            # the close is three IEEE ops (×, sqrt, ÷) — bit-identical
+            # on both engines, while round()-at-6dp is NOT (Spark
+            # rounds the decimal string, DuckDB the binary double; a
+            # 1-ulp edge flips the 6th decimal — the r2/r3 bug class)
+            (
+                F.col("sxy")
+                / F.sqrt(F.col("sxx") * F.lit(1.0) * F.col("syy"))
+            ).alias("centroid_cos"),
+        )
+    )

@@ -380,83 +380,103 @@ CORR_BUCKET_SEC = 300  # 5-minute buckets, same grid as the gap-fill family
 WITH buckets AS (
   SELECT event_type,
          epoch_us(ts) // ({CORR_BUCKET_SEC} * 1000000) AS b,
-         CAST(sum(CAST(round(value * 10000) AS BIGINT)) AS BIGINT) AS v
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS s,
+         count(*) AS nb
   FROM events
   GROUP BY 1, 2
 ),
+avgs AS (SELECT event_type, b, s // nb AS v FROM buckets),
 paired AS (
   SELECT a.event_type AS type_a, bb.event_type AS type_b,
          a.v AS x, bb.v AS y
-  FROM buckets a JOIN buckets bb
+  FROM avgs a JOIN avgs bb
     ON a.b = bb.b AND a.event_type < bb.event_type
 ),
-moments AS (
+means AS (
   SELECT type_a, type_b,
          count(*) AS n,
-         CAST(sum(x) AS BIGINT) AS sx,
-         CAST(sum(y) AS BIGINT) AS sy,
-         CAST(sum(x * x) AS BIGINT) AS sxx,
-         CAST(sum(y * y) AS BIGINT) AS syy,
-         CAST(sum(x * y) AS BIGINT) AS sxy
+         CAST(sum(x) AS BIGINT) // count(*) AS mx,
+         CAST(sum(y) AS BIGINT) // count(*) AS my
   FROM paired GROUP BY type_a, type_b
+),
+moments AS (
+  SELECT p.type_a, p.type_b, any_value(m.n) AS n,
+         CAST(sum((p.x - m.mx) * (p.y - m.my)) AS BIGINT) AS sxy,
+         CAST(sum((p.x - m.mx) * (p.x - m.mx)) AS BIGINT) AS sxx,
+         CAST(sum((p.y - m.my) * (p.y - m.my)) AS BIGINT) AS syy
+  FROM paired p JOIN means m USING (type_a, type_b)
+  GROUP BY p.type_a, p.type_b
 )
 SELECT type_a, type_b, n,
-       round((n * sxy - sx * sy)
-             / sqrt((n * sxx - sx * sx) * 1.0 * (n * syy - sy * sy)), 6)
-         AS pearson_r
+       sxy / sqrt(sxx * 1.0 * syy) AS pearson_r
 FROM moments
-WHERE (n * sxx - sx * sx) > 0 AND (n * syy - sy * sy) > 0
+WHERE sxx > 0 AND syy > 0
 """,
     doc="Cross-series Pearson correlation: every pair of event types "
     "compared on the shared 5-min bucket grid (inner join on bucket — "
     "only co-observed buckets count), the 'do these two metrics move "
     "together' primitive behind alert correlation and metric-graph "
-    "discovery. Exactness: all five moment sums are exact BIGINTs over "
-    "1e-4-unit values (sum x*y <= 2.4e13 * buckets — decades of "
-    "headroom in int64), and the closing Pearson formula is a fixed "
-    "expression over those exact integers rounded once at 6dp — the "
-    "udf_grouped_zscore moment-identity discipline, no running float "
-    "accumulation anywhere. Scale shape: one (type, bucket) hash-agg "
-    "shrinks the stream to the bounded bucket domain; the pair join "
-    "and moment agg run entirely on that time-bounded table "
-    "(|types|^2 x |buckets|, constant in row volume).",
+    "discovery. Exactness AND overflow discipline: the correlate is "
+    "the bucket AVERAGE in exact cent units (bounded by the value "
+    "domain, ~5e4 — NOT the bucket sum, which grows with rows/bucket "
+    "and overflows second moments at scale), centered by exact-"
+    "integer pair means in a two-pass plan, so every moment is an "
+    "exact BIGINT with |dx·dy| <= 2.4e9/bucket — int64-safe past a "
+    "century of 5-min buckets — and the closing r is two IEEE ops "
+    "over exact integers, emitted unrounded (round()-at-6dp flips "
+    "1-ulp edges between engines; the r2/r3 bug class). Scale shape: "
+    "one (type, bucket) hash-agg shrinks the stream to the bounded "
+    "bucket domain; pair join, means, and centered moments all run on "
+    "that time-bounded table with the tiny means broadcast back.",
 )
 def rel_ts_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, "events", sf_dir)
-    buckets = ev.groupBy(
-        "event_type",
-        (F.unix_micros("ts") / F.lit(CORR_BUCKET_SEC * 1000000))
-        .cast("long")
-        .alias("b"),
-    ).agg(F.sum(F.round(F.col("value") * 10000).cast("long")).alias("v"))
-    a = buckets.select(
+    avgs = (
+        ev.groupBy(
+            "event_type",
+            (F.unix_micros("ts") / F.lit(CORR_BUCKET_SEC * 1000000))
+            .cast("long")
+            .alias("b"),
+        )
+        .agg(
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias("s"),
+            F.count("*").alias("nb"),
+        )
+        .select("event_type", "b", F.expr("s div nb").alias("v"))
+    )
+    a = avgs.select(
         F.col("event_type").alias("type_a"), "b", F.col("v").alias("x")
     )
-    bb = buckets.select(
+    bb = avgs.select(
         F.col("event_type").alias("type_b"), "b", F.col("v").alias("y")
     )
     paired = a.join(
         bb, (a.b == bb.b) & (F.col("type_a") < F.col("type_b"))
     )
-    moments = paired.groupBy("type_a", "type_b").agg(
+    means = paired.groupBy("type_a", "type_b").agg(
         F.count("*").alias("n"),
-        F.sum("x").cast("long").alias("sx"),
-        F.sum("y").cast("long").alias("sy"),
-        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
-        F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
-        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+        F.expr("CAST(sum(x) AS LONG) div count(*)").alias("mx"),
+        F.expr("CAST(sum(y) AS LONG) div count(*)").alias("my"),
     )
-    var_x = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
-    var_y = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
-    return moments.where((var_x > 0) & (var_y > 0)).select(
+    dx = F.col("x") - F.col("mx")
+    dy = F.col("y") - F.col("my")
+    moments = (
+        paired.join(F.broadcast(means), ["type_a", "type_b"])
+        .groupBy("type_a", "type_b")
+        .agg(
+            F.first("n").alias("n"),
+            F.sum(dx * dy).cast("long").alias("sxy"),
+            F.sum(dx * dx).cast("long").alias("sxx"),
+            F.sum(dy * dy).cast("long").alias("syy"),
+        )
+    )
+    return moments.where((F.col("sxx") > 0) & (F.col("syy") > 0)).select(
         "type_a",
         "type_b",
         "n",
-        F.round(
-            (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
-            / F.sqrt(var_x * F.lit(1.0) * var_y),
-            6,
-        ).alias("pearson_r"),
+        # unrounded: exact integer moments + two IEEE ops — bit-stable
+        (F.col("sxy") / F.sqrt(F.col("sxx") * F.lit(1.0) * F.col("syy")))
+        .alias("pearson_r"),
     )
 
 
