@@ -56,6 +56,11 @@ HEADLINE = (
     # fan-out-parallelized (PERF.md round-4 section)
     "text_pmi_collocations",
     "ta_winnow_fingerprint",
+    # round-4 continuation flagships: the scan-to-4KB dashboard
+    # downsample and the signature-level duplication profile (the
+    # aggregate-contract scale companions; PERF.md round-4b section)
+    "rel_ts_downsample_m4",
+    "dedup_simhash_stats",
 )
 
 

@@ -124,6 +124,7 @@ DRIVER_WINDOW: list[str] = [
     "graph_kcore",
     "ta_langid_confusion",
     "emb_label_centroid_drift",
+    "graph_link_prediction",
 ]
 
 set_priority(DRIVER_WINDOW)
