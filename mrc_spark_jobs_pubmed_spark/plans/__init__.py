@@ -125,6 +125,7 @@ DRIVER_WINDOW: list[str] = [
     "ta_langid_confusion",
     "emb_label_centroid_drift",
     "graph_link_prediction",
+    "rel_histogram_equidepth",
 ]
 
 set_priority(DRIVER_WINDOW)

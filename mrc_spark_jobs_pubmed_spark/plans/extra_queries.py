@@ -1455,3 +1455,56 @@ def rel_ts_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("deviation_mads"),
         )
     )
+
+
+# --- equi-depth histogram -----------------------------------------------------
+
+EDH_BUCKETS = 8
+
+
+@register(
+    "rel_histogram_equidepth",
+    oracle=f"""
+WITH ranked AS (
+  SELECT o_totalprice,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+         ntile({EDH_BUCKETS}) OVER (ORDER BY o_totalprice, o_orderkey)
+           AS bucket
+  FROM orders
+)
+SELECT CAST(bucket AS BIGINT) AS bucket,
+       count(*) AS n,
+       min(o_totalprice) AS lo,
+       max(o_totalprice) AS hi,
+       CAST(sum(cents) AS BIGINT) AS total_cents
+FROM ranked
+GROUP BY bucket
+""",
+    doc="Equi-depth histogram (the other optimizer-statistics "
+    "primitive): {b} buckets holding equal row counts, with per-bucket "
+    "bounds and exact integer-cents totals — equal-width bins hide "
+    "skew, equal-depth bins expose the quantile structure selectivity "
+    "estimation needs. Bucket assignment is ntile over a fully "
+    "deterministic (value, key) order. Scale shape: at fixture scale "
+    "one global sort; at 100 TB the bucket boundaries come from "
+    "approx_percentile cutpoints broadcast into a per-row bucket "
+    "expression (the corpus_curriculum_order idiom) — same output "
+    "contract, no total order.".format(b=EDH_BUCKETS),
+)
+def rel_histogram_equidepth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, "orders", sf_dir)
+    w = Window.orderBy("o_totalprice", "o_orderkey")
+    return (
+        orders.select(
+            "o_totalprice",
+            F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+            F.ntile(EDH_BUCKETS).over(w).alias("bucket"),
+        )
+        .groupBy(F.col("bucket").cast("long").alias("bucket"))
+        .agg(
+            F.count("*").alias("n"),
+            F.min("o_totalprice").alias("lo"),
+            F.max("o_totalprice").alias("hi"),
+            F.sum("cents").cast("long").alias("total_cents"),
+        )
+    )
