@@ -612,33 +612,36 @@ WITH e AS MATERIALIZED (
   SELECT DISTINCT o_custkey AS cust, l_suppkey AS supp
   FROM lineitem JOIN orders ON l_orderkey = o_orderkey
 ),
-deg AS MATERIALIZED (SELECT cust, count(*) AS d FROM e GROUP BY cust),
+deg AS MATERIALIZED (SELECT supp, count(*) AS d FROM e GROUP BY supp),
 common AS MATERIALIZED (
-  SELECT a.cust AS cust_a, b.cust AS cust_b, count(*) AS n_common
-  FROM e a JOIN e b ON a.supp = b.supp AND a.cust < b.cust
-  GROUP BY a.cust, b.cust
+  SELECT a.supp AS supp_a, b.supp AS supp_b, count(*) AS n_common
+  FROM e a JOIN e b ON a.cust = b.cust AND a.supp < b.supp
+  GROUP BY a.supp, b.supp
 )
-SELECT c.cust_a, c.cust_b,
+SELECT c.supp_a, c.supp_b,
        CAST(c.n_common AS BIGINT) AS n_common,
        CAST((c.n_common * 1000000)
             // (da.d + db.d - c.n_common) AS BIGINT) AS jaccard_u6
 FROM common c
-JOIN deg da ON da.cust = c.cust_a
-JOIN deg db ON db.cust = c.cust_b
-ORDER BY jaccard_u6 DESC, c.cust_a, c.cust_b
+JOIN deg da ON da.supp = c.supp_a
+JOIN deg db ON db.supp = c.supp_b
+ORDER BY jaccard_u6 DESC, c.supp_a, c.supp_b
 LIMIT {LINK_TOP}
 """,
     doc="Link prediction by common-neighbor Jaccard on the bipartite "
-    "trade graph: customer pairs scored by |shared suppliers| / "
-    "|supplier-set union| — the classic 'similar customers' / "
-    "recommend-a-link primitive (Liben-Nowell & Kleinberg). Scores are "
-    "exact 1e-6-unit integer divisions of exact counts; top-k is "
-    "TakeOrderedAndProject with a full deterministic tie order. Scale "
-    "shape: the supplier-keyed self-join IS candidate generation "
-    "(zero-overlap pairs never materialize — same shape as the shingle "
-    "Jaccard verifier), wedge volume is Σ deg(supp)² — bounded by "
-    "capping or down-sampling hub suppliers, the standard refinement; "
-    "degrees ride in as a broadcast-sized dim join.",
+    "trade graph: supplier pairs scored by |shared customers| / "
+    "|customer-set union| — the classic recommend-a-link primitive "
+    "(Liben-Nowell & Kleinberg). Scores are exact 1e-6-unit integer "
+    "divisions of exact counts; top-k is TakeOrderedAndProject with a "
+    "full deterministic tie order. Scale discipline: wedges are "
+    "generated through the LOW-degree side of the bipartite graph — "
+    "each customer trades with a bounded number of suppliers (~40, "
+    "set by their order count), so wedge volume is Sigma deg(cust)^2, "
+    "LINEAR in customer count; wedging through suppliers instead "
+    "would be Sigma deg(supp)^2 ~ 3.4e9 at sf1 (measured) because "
+    "supplier degree grows with the corpus — orienting the self-join "
+    "through the bounded-degree endpoint is the compact-forward rule "
+    "applied to link prediction. Degrees ride in as a broadcast dim.",
 )
 def graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, "lineitem", sf_dir)
@@ -649,28 +652,32 @@ def graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .localCheckpoint(eager=True)
     )
-    deg = e.groupBy("cust").agg(F.count("*").alias("d"))
-    a = e.select(F.col("cust").alias("cust_a"), "supp")
-    b = e.select(F.col("cust").alias("cust_b"), "supp")
+    deg = e.groupBy("supp").agg(F.count("*").alias("d"))
+    a = e.select("cust", F.col("supp").alias("supp_a"))
+    b = e.select("cust", F.col("supp").alias("supp_b"))
     common = (
-        a.join(b, "supp")
-        .where(F.col("cust_a") < F.col("cust_b"))
-        .groupBy("cust_a", "cust_b")
+        a.join(b, "cust")
+        .where(F.col("supp_a") < F.col("supp_b"))
+        .groupBy("supp_a", "supp_b")
         .agg(F.count("*").alias("n_common"))
     )
-    da = F.broadcast(deg.select(F.col("cust").alias("cust_a"), F.col("d").alias("da")))
-    db = F.broadcast(deg.select(F.col("cust").alias("cust_b"), F.col("d").alias("db")))
+    da = F.broadcast(
+        deg.select(F.col("supp").alias("supp_a"), F.col("d").alias("da"))
+    )
+    db = F.broadcast(
+        deg.select(F.col("supp").alias("supp_b"), F.col("d").alias("db"))
+    )
     return (
-        common.join(da, "cust_a")
-        .join(db, "cust_b")
+        common.join(da, "supp_a")
+        .join(db, "supp_b")
         .select(
-            "cust_a",
-            "cust_b",
+            "supp_a",
+            "supp_b",
             F.col("n_common").cast("long").alias("n_common"),
             F.expr(
                 "CAST((n_common * 1000000) div (da + db - n_common) AS LONG)"
             ).alias("jaccard_u6"),
         )
-        .orderBy(F.desc("jaccard_u6"), "cust_a", "cust_b")
+        .orderBy(F.desc("jaccard_u6"), "supp_a", "supp_b")
         .limit(LINK_TOP)
     )
