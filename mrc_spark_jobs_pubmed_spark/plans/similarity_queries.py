@@ -1577,7 +1577,8 @@ counts AS (
   FROM embeddings GROUP BY label
 )
 SELECT c.label, c.n_a, c.n_b,
-       m.sxy / sqrt(m.sxx * 1.0 * m.syy) AS centroid_cos
+       m.sxy / sqrt(CAST(m.sxx AS DOUBLE) * CAST(m.syy AS DOUBLE))
+         AS centroid_cos
 FROM counts c JOIN mom m USING (label)
 WHERE m.sxx > 0 AND m.syy > 0
 """,

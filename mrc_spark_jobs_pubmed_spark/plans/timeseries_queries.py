@@ -408,7 +408,12 @@ moments AS (
   GROUP BY p.type_a, p.type_b
 )
 SELECT type_a, type_b, n,
-       sxy / sqrt(sxx * 1.0 * syy) AS pearson_r
+       -- CAST, not "* 1.0": DuckDB types the 1.0 literal as DECIMAL,
+       -- so BIGINT * 1.0 * BIGINT runs exact decimal arithmetic and
+       -- sqrt() rounds ONCE from the exact product, while Spark's
+       -- double path rounds at the intermediate multiply — a 1-ulp
+       -- divergence (caught by the bone-stock exact repro)
+       sxy / sqrt(CAST(sxx AS DOUBLE) * CAST(syy AS DOUBLE)) AS pearson_r
 FROM moments
 WHERE sxx > 0 AND syy > 0
 """,

@@ -24,6 +24,12 @@ FOUR = [
     "rel_skew_salted_join",
     "graph_pagerank",
     "stream_chained_rollup",
+    # round-4b: the unrounded-double contract queries — their oracles
+    # must CAST to DOUBLE (a bare `* 1.0` types as DECIMAL in DuckDB,
+    # whose exact product + single sqrt rounding diverges from the
+    # double path by 1 ulp; caught by this harness)
+    "rel_ts_correlation",
+    "emb_label_centroid_drift",
 ]
 
 
