@@ -126,6 +126,8 @@ DRIVER_WINDOW: list[str] = [
     "emb_label_centroid_drift",
     "graph_link_prediction",
     "rel_histogram_equidepth",
+    "rel_heartbeat_gaps",
+    "ta_code_detection",
 ]
 
 set_priority(DRIVER_WINDOW)

@@ -595,3 +595,54 @@ def ta_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("labeled_lang", "predicted_lang")
         .agg(F.count("*").alias("n_docs"))
     )
+
+
+# --- code-vs-prose detection -------------------------------------------------
+
+
+@register(
+    "ta_code_detection",
+    oracle=f"""
+SELECT doc_id,
+       CAST(length(text) - length(regexp_replace(text, '[{{}};()=<>\\[\\]|&]', '', 'g'))
+            AS BIGINT) AS n_code_chars,
+       CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g'))
+            AS BIGINT) AS n_digits,
+       CAST(len({_TOKS_SQL}) AS BIGINT) AS n_tokens,
+       CAST(CASE WHEN length(text) > 0 THEN
+         ((length(text) - length(regexp_replace(text, '[{{}};()=<>\\[\\]|&]', '', 'g')))
+          * 1000000) // length(text) ELSE 0 END AS BIGINT) AS code_ratio_u6,
+       (length(text) > 0 AND
+        ((length(text) - length(regexp_replace(text, '[{{}};()=<>\\[\\]|&]', '', 'g')))
+         * 1000000) // length(text) >= 20000) AS looks_like_code
+FROM documents
+""",
+    doc="Code-vs-prose detection: per-doc density of code-symbol "
+    "characters (braces, semicolons, operators, brackets) and digits, "
+    "with a 2%-density flag — the cheap first-pass router that keeps "
+    "code out of prose training mixes (and vice versa) before an "
+    "expensive classifier runs; code/prose balance is a first-order "
+    "LLM data-mix decision. Ratios are exact 1e-6-unit integer "
+    "divisions of exact character counts — no floats. Pure per-row "
+    "regexp/length codegen, zero shuffle, output row-per-doc; at "
+    "100 TB this is a free rider on any existing corpus scan.",
+)
+def ta_code_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    n_chars = F.length("text")
+    code_chars = n_chars - F.length(
+        F.regexp_replace("text", r"[{};()=<>\[\]|&]", "")
+    )
+    digits = n_chars - F.length(F.regexp_replace("text", "[0-9]", ""))
+    ratio = F.when(n_chars > 0, F.expr(
+        "((length(text) - length(regexp_replace(text,"
+        " '[{};()=<>\\\\[\\\\]|&]', ''))) * 1000000) div length(text)"
+    )).otherwise(F.lit(0))
+    return docs.select(
+        "doc_id",
+        code_chars.cast("long").alias("n_code_chars"),
+        digits.cast("long").alias("n_digits"),
+        F.size(tokens_col(F.col("text"))).cast("long").alias("n_tokens"),
+        ratio.cast("long").alias("code_ratio_u6"),
+        ((n_chars > 0) & (ratio >= 20000)).alias("looks_like_code"),
+    )

@@ -619,3 +619,56 @@ def rel_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("m_q"),
     )
+
+
+# --- heartbeat gap detection -------------------------------------------------
+
+HB_GAP_S = 3600  # report silences longer than an hour
+
+
+@register(
+    "rel_heartbeat_gaps",
+    oracle=f"""
+WITH seq AS (
+  SELECT user_id, epoch_us(ts) AS t_us, event_id,
+         lag(epoch_us(ts)) OVER (
+           PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+         ) AS prev_us
+  FROM events
+)
+SELECT user_id,
+       prev_us AS gap_start_us,
+       t_us AS gap_end_us,
+       (t_us - prev_us) // 1000000 AS gap_s
+FROM seq
+WHERE prev_us IS NOT NULL AND t_us - prev_us > {HB_GAP_S * 1000000}
+""",
+    doc="Heartbeat-gap detection: every silence longer than an hour in "
+    "a user's event stream, with its bounds and duration — the "
+    "liveness/outage monitor (device offline, instrumentation dropped, "
+    "user churn-risk signal) that windowed counts blur and this "
+    "lag-based scan pinpoints. All integer microsecond arithmetic on a "
+    "deterministic (ts, event_id) order. Scale shape: ONE shuffle on "
+    "user_id (the lag window), then a pure filter — output is "
+    "gap-count-sized, not stream-sized. The streaming twin of this "
+    "contract is an applyInPandasWithState timeout (the "
+    "stateful_sessionize machinery firing on silence instead of "
+    "activity).",
+)
+def rel_heartbeat_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    w = Window.partitionBy("user_id").orderBy("t_us", "event_id")
+    seq = ev.select(
+        "user_id",
+        F.unix_micros("ts").alias("t_us"),
+        "event_id",
+    ).withColumn("prev_us", F.lag("t_us").over(w))
+    return seq.where(
+        F.col("prev_us").isNotNull()
+        & (F.col("t_us") - F.col("prev_us") > HB_GAP_S * 1000000)
+    ).select(
+        "user_id",
+        F.col("prev_us").alias("gap_start_us"),
+        F.col("t_us").alias("gap_end_us"),
+        F.expr("(t_us - prev_us) div 1000000").alias("gap_s"),
+    )
