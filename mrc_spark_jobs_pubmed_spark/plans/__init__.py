@@ -128,6 +128,7 @@ DRIVER_WINDOW: list[str] = [
     "rel_histogram_equidepth",
     "rel_heartbeat_gaps",
     "ta_code_detection",
+    "sim_ivf_nprobe_recall",
 ]
 
 set_priority(DRIVER_WINDOW)

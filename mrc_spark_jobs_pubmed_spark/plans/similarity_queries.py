@@ -1657,3 +1657,131 @@ def emb_label_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("centroid_cos"),
         )
     )
+
+
+# --- IVF nprobe recall curve -------------------------------------------------
+
+NPROBES = (1, 2, 4)
+
+
+def _nprobe_sql() -> str:
+    branches = []
+    for np_ in NPROBES:
+        branches.append(f"""
+SELECT {np_} AS nprobe,
+       (SELECT count(*) FROM fin f JOIN probes p ON f.m.cid = p.cid
+        WHERE p.pr <= {np_} AND f.vec_id <> {QUERY_VEC_ID}) AS n_candidates,
+       (SELECT count(*) FROM (
+          (SELECT c.vec_id FROM fin c
+           JOIN probes p ON c.m.cid = p.cid AND p.pr <= {np_}
+           JOIN e USING (vec_id) CROSS JOIN q
+           WHERE c.vec_id <> {QUERY_VEC_ID}
+           ORDER BY list_distance(e.v, q.v), c.vec_id LIMIT {TOP_K})
+          INTERSECT (SELECT vec_id FROM exact)
+        ) t) AS n_hit""")
+    return (
+        "WITH "
+        + _kmeans_assign_ctes()
+        + f""",
+q AS (SELECT v FROM e WHERE vec_id = {QUERY_VEC_ID}),
+cdist AS (
+  SELECT c{KMEANS_ITERS}.cid, list_distance(q.v, c{KMEANS_ITERS}.c) AS dq
+  FROM c{KMEANS_ITERS} CROSS JOIN q
+),
+probes AS (
+  SELECT cid, row_number() OVER (ORDER BY dq, cid) AS pr FROM cdist
+),
+exact AS MATERIALIZED (
+  SELECT e.vec_id FROM e CROSS JOIN q
+  WHERE e.vec_id <> {QUERY_VEC_ID}
+  ORDER BY list_distance(e.v, q.v), e.vec_id LIMIT {TOP_K}
+)
+SELECT nprobe, CAST(n_candidates AS BIGINT) AS n_candidates,
+       CAST(n_hit AS BIGINT) AS n_hit,
+       CAST(n_hit AS DOUBLE) / {TOP_K} AS recall
+FROM ({" UNION ALL ".join(branches)})
+"""
+    )
+
+
+@register(
+    "sim_ivf_nprobe_recall",
+    oracle=_nprobe_sql(),
+    doc="IVF recall-vs-nprobe curve: the query routed to its 1, 2, and "
+    "4 nearest coarse cells, exact L2 ranking within the probed "
+    "candidates, recall@{k} against the global exact top-{k} — the "
+    "tuning curve behind every production ANN deployment's "
+    "latency/recall knob (FAISS nprobe). This measures what widening "
+    "the probe BUYS, where sim_ivfpq_recall measures one operating "
+    "point; together with the candidate counts it gives recall per "
+    "scanned row, the quantity capacity planning actually needs. "
+    "Deterministic: lowest-id k-means init, struct-min assignment, "
+    "(distance, id) tie orders everywhere. Scale shape: the coarse "
+    "assignment is computed once (the index build) and each probe "
+    "level is a cell-key semi-join — probing nprobe/k of the corpus — "
+    "followed by a TakeOrdered within candidates; the centroid "
+    "distance table is k rows, broadcast.".format(k=TOP_K),
+)
+def sim_ivf_nprobe_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+    from mrc_spark_jobs_pubmed_spark.operators.similarity import (
+        _dvec,
+        l2dist,
+    )
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    cents = S.kmeans_centroids(
+        emb, k=KMEANS_K, iters=KMEANS_ITERS, dim=64,
+        train_mod=KMEANS_TRAIN_MOD,
+    )
+    assigned = (
+        S.assign_to_centroids(emb, cents, dim=64)
+        .select("vec_id", "cid")
+        .localCheckpoint(eager=True)
+    )
+    e = emb.select("vec_id", _dvec(F.col("embedding")).alias("v"))
+    qv = e.filter(F.col("vec_id") == QUERY_VEC_ID).select(
+        F.col("v").alias("qv")
+    )
+    probes = (
+        cents.crossJoin(F.broadcast(qv))
+        .select("cid", l2dist(F.col("c"), F.col("qv"), 64).alias("dq"))
+        .select(
+            "cid",
+            F.row_number()
+            .over(Window.orderBy("dq", "cid"))
+            .alias("pr"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    dists = (
+        e.crossJoin(F.broadcast(qv))
+        .filter(F.col("vec_id") != QUERY_VEC_ID)
+        .select("vec_id", l2dist(F.col("v"), F.col("qv"), 64).alias("d"))
+        .localCheckpoint(eager=True)
+    )
+    exact = dists.orderBy("d", "vec_id").limit(TOP_K).select("vec_id")
+    rows = None
+    for np_ in NPROBES:
+        cand = assigned.join(
+            F.broadcast(probes.where(F.col("pr") <= np_)), "cid"
+        ).filter(F.col("vec_id") != QUERY_VEC_ID)
+        topk = (
+            dists.join(cand.select("vec_id"), "vec_id")
+            .orderBy("d", "vec_id")
+            .limit(TOP_K)
+            .select("vec_id")
+        )
+        n_cand = cand.agg(F.count("*").alias("n_candidates"))
+        n_hit = topk.join(exact, "vec_id").agg(F.count("*").alias("n_hit"))
+        row = (
+            n_cand.crossJoin(n_hit)
+            .select(
+                F.lit(np_).cast("integer").alias("nprobe"),
+                F.col("n_candidates").cast("long"),
+                F.col("n_hit").cast("long"),
+                (F.col("n_hit").cast("double") / TOP_K).alias("recall"),
+            )
+        )
+        rows = row if rows is None else rows.unionByName(row)
+    return rows
