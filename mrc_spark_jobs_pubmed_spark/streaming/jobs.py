@@ -664,3 +664,66 @@ def run_cdc_apply_to_files(
         .option("checkpointLocation", checkpoint)
         .start()
     )
+
+
+# --- streaming heartbeat-gap detection --------------------------------------
+
+HEARTBEAT_GAP_S = 3600  # mirror of plans.timeseries_queries.HB_GAP_S
+_HB_GAP_US = HEARTBEAT_GAP_S * 1_000_000
+
+
+def stateful_heartbeat_gaps(events: DataFrame) -> DataFrame:
+    """Streaming twin of rel_heartbeat_gaps: per-user silence detection
+    as an arbitrary-state operator (applyInPandasWithState).
+
+    State is ONE long per user — the last event time seen. Each
+    micro-batch folds its (sorted) events against that carry and emits
+    every closed gap (> 1 h between consecutive events); the new last
+    time goes back to state. Closed-gap semantics need no timers, so
+    the operator runs with NoTimeout and its state is key-domain
+    bounded (8 bytes per ever-seen user, the same bound as the CDC
+    apply); a production deployment adds a TTL reap and accepts losing
+    gaps longer than the TTL, or an EventTimeTimeout variant that also
+    emits still-open silences as alerts. Emitted rows are final
+    (update mode): a gap is closed by the event that ends it, in the
+    batch where that event arrives.
+    """
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    out_schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("gap_start_us", T.LongType()),
+            T.StructField("gap_end_us", T.LongType()),
+            T.StructField("gap_s", T.LongType()),
+        ]
+    )
+    state_schema = T.StructType([T.StructField("last_us", T.LongType())])
+
+    def update(key, pdfs, state):
+        uid = key[0]
+        rows = pd.concat(list(pdfs), ignore_index=True)
+        if not len(rows):
+            return
+        ts_us = sorted((rows["ts"].astype("int64") // 1000).tolist())
+        prior = state.get[0] if state.exists else None
+        seq = ([prior] if prior is not None else []) + ts_us
+        gaps = [
+            (uid, a, b, (b - a) // 1_000_000)
+            for a, b in zip(seq, seq[1:])
+            if b - a > _HB_GAP_US
+        ]
+        # max-robust carry: a late (out-of-order) batch must never move
+        # the high-water mark backwards
+        state.update((int(max(seq)),))
+        if gaps:
+            yield pd.DataFrame(
+                gaps,
+                columns=["user_id", "gap_start_us", "gap_end_us", "gap_s"],
+            )
+
+    src = events.withWatermark("ts", WATERMARK)
+    return src.groupBy("user_id").applyInPandasWithState(
+        update, out_schema, state_schema, "update", "NoTimeout"
+    )

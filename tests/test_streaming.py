@@ -342,3 +342,58 @@ def test_cdc_apply_stream_equals_batch(spark, tmp_path):
         for r in J.cdc_apply_batch(_batch_events(spark)).collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_heartbeat_gaps_stream_equals_batch(spark, tmp_path):
+    """Streaming heartbeat-gap detection (applyInPandasWithState,
+    one-long-per-user state) must emit exactly the closed gaps the
+    batch query (rel_heartbeat_gaps, oracle-checked) reports, when the
+    fixture replays as time-ordered micro-batches (range-split files —
+    a heartbeat monitor's arrival order)."""
+    from mrc_spark_jobs_pubmed_spark.plans.timeseries_queries import (
+        rel_heartbeat_gaps,
+    )
+
+    import os
+    import time
+
+    src = str(tmp_path / "hb_src")
+    os.makedirs(src)
+    ev = _batch_events(spark)
+    lo, hi = ev.agg(F.min("ts"), F.max("ts")).collect()[0]
+    cuts = [lo, lo + (hi - lo) / 3, lo + 2 * (hi - lo) / 3, hi]
+    # write the three time-tertiles as separate single files, in order
+    # (ascending path AND mtime), so the file source replays them as
+    # time-ordered micro-batches — a heartbeat monitor's arrival order
+    for i in range(3):
+        cond = (F.col("ts") >= F.lit(cuts[i])) & (
+            F.col("ts") <= F.lit(cuts[i + 1])
+            if i == 2
+            else F.col("ts") < F.lit(cuts[i + 1])
+        )
+        ev.where(cond).coalesce(1).write.parquet(f"{src}/t{i}")
+        time.sleep(1.1)
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("recursiveFileLookup", "true")
+        .parquet(src)
+    )
+    q = (
+        J.stateful_heartbeat_gaps(stream)
+        .writeStream.format("memory")
+        .queryName("t_hb")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "hb_ckpt"))
+        .start()
+    )
+    _drain(q)
+    got = {
+        (r.user_id, r.gap_start_us, r.gap_end_us, r.gap_s)
+        for r in spark.sql("SELECT * FROM t_hb").collect()
+    }
+    want = {
+        (r.user_id, r.gap_start_us, r.gap_end_us, r.gap_s)
+        for r in rel_heartbeat_gaps(spark, SF).collect()
+    }
+    assert got == want and len(got) > 0
