@@ -650,10 +650,11 @@ WHERE prev_us IS NOT NULL AND t_us - prev_us > {HB_GAP_S * 1000000}
     "lag-based scan pinpoints. All integer microsecond arithmetic on a "
     "deterministic (ts, event_id) order. Scale shape: ONE shuffle on "
     "user_id (the lag window), then a pure filter — output is "
-    "gap-count-sized, not stream-sized. The streaming twin of this "
-    "contract is an applyInPandasWithState timeout (the "
-    "stateful_sessionize machinery firing on silence instead of "
-    "activity).",
+    "gap-count-sized, not stream-sized. The STREAMING twin is "
+    "implemented: streaming/jobs.py stateful_heartbeat_gaps "
+    "(applyInPandasWithState, one long of state per user, max-robust "
+    "against late batches), replay-tested equal to this batch form in "
+    "tests/test_streaming.py.",
 )
 def rel_heartbeat_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, "events", sf_dir)
