@@ -129,6 +129,7 @@ DRIVER_WINDOW: list[str] = [
     "rel_heartbeat_gaps",
     "ta_code_detection",
     "sim_ivf_nprobe_recall",
+    "dedup_sorted_neighborhood",
 ]
 
 set_priority(DRIVER_WINDOW)
