@@ -130,6 +130,7 @@ DRIVER_WINDOW: list[str] = [
     "ta_code_detection",
     "sim_ivf_nprobe_recall",
     "dedup_sorted_neighborhood",
+    "mm_binary_dedup",
 ]
 
 set_priority(DRIVER_WINDOW)

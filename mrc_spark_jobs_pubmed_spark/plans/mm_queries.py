@@ -209,3 +209,55 @@ def mm_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("doc_id").alias("last_doc"),
         )
     )
+
+
+@register(
+    "mm_binary_dedup",
+    oracle="""
+WITH media AS (
+  SELECT doc_id AS media_id, 'image' AS kind,
+         md5(text) AS content_hash,
+         octet_length(encode(text)) AS n_bytes
+  FROM documents
+)
+SELECT kind, content_hash,
+       count(*) AS n_copies,
+       min(media_id) AS canonical_id,
+       CAST(min(n_bytes) AS BIGINT) AS bytes_each,
+       CAST((count(*) - 1) * min(n_bytes) AS BIGINT) AS bytes_saved
+FROM media
+GROUP BY kind, content_hash
+HAVING count(*) >= 2
+""",
+    doc="Exact media dedup over the opaque BINARY column: md5 of the "
+    "raw bytes (computed on the binary itself, never a decode) groups "
+    "identical blobs per modality, reporting copy count, canonical "
+    "(min) id, and the bytes a dedup pass reclaims — the first storage "
+    "question a 100 TB media lake asks, and the multimodal face of "
+    "dedup_exact. The hash runs JVM-side on the columnar BINARY value "
+    "(no Python crossing, no decode); one hash-agg shuffle carrying "
+    "(hash, 16 bytes of stats) per group — blob bytes never move. "
+    "Near-dup composition: the stub decode features "
+    "(mm_decode_features) band into the same LSH machinery the text "
+    "side uses, a real pHash swapping in behind the identical plan.",
+)
+def mm_binary_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = _media(spark, sf_dir)
+    return (
+        media.select(
+            "kind",
+            F.md5("content").alias("content_hash"),
+            F.octet_length("content").alias("n_bytes"),
+            "media_id",
+        )
+        .groupBy("kind", "content_hash")
+        .agg(
+            F.count("*").alias("n_copies"),
+            F.min("media_id").alias("canonical_id"),
+            F.min("n_bytes").cast("long").alias("bytes_each"),
+            ((F.count("*") - 1) * F.min("n_bytes"))
+            .cast("long")
+            .alias("bytes_saved"),
+        )
+        .where(F.col("n_copies") >= 2)
+    )
