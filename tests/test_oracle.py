@@ -95,4 +95,4 @@ def test_driver_window_is_consistent():
     and be duplicate-free; entries beyond the driver's 50-row cap are
     the documented next-in-line set."""
     assert len(set(plans.DRIVER_WINDOW)) == len(plans.DRIVER_WINDOW)
-    assert len(plans.DRIVER_WINDOW) <= 80
+    assert len(plans.DRIVER_WINDOW) <= 110
