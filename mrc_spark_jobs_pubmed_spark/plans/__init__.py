@@ -131,6 +131,7 @@ DRIVER_WINDOW: list[str] = [
     "sim_ivf_nprobe_recall",
     "dedup_sorted_neighborhood",
     "mm_binary_dedup",
+    "rel_out_of_order_metrics",
 ]
 
 set_priority(DRIVER_WINDOW)

@@ -673,3 +673,71 @@ def rel_heartbeat_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("t_us").alias("gap_end_us"),
         F.expr("(t_us - prev_us) div 1000000").alias("gap_s"),
     )
+
+
+# --- event-time disorder / late-data metrics --------------------------------
+
+LATE_WATERMARK_US = 10 * 60 * 1_000_000  # mirror of streaming WATERMARK
+
+
+@register(
+    "rel_out_of_order_metrics",
+    oracle=f"""
+WITH seq AS (
+  SELECT event_type,
+         epoch_us(ts) AS t_us,
+         max(epoch_us(ts)) OVER (
+           PARTITION BY event_type ORDER BY event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ) AS prev_max_us
+  FROM events
+)
+SELECT event_type,
+       count(*) AS n_events,
+       CAST(sum(CASE WHEN t_us < prev_max_us THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_out_of_order,
+       CAST(sum(CASE WHEN t_us < prev_max_us - {LATE_WATERMARK_US}
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_late,
+       CAST(max(CASE WHEN t_us < prev_max_us THEN prev_max_us - t_us
+                     ELSE 0 END) AS BIGINT) AS max_disorder_us
+FROM seq
+GROUP BY event_type
+""",
+    doc="Event-time disorder audit: per type, how many events arrive "
+    "behind the high-water mark of event time (arrival order = the "
+    "event_id log sequence), how many arrive LATER than the streaming "
+    "watermark (10 min — the rows the streaming jobs would drop), and "
+    "the worst disorder seen. This is the measurement that VALIDATES a "
+    "watermark choice instead of guessing it: n_late is exactly the "
+    "data-loss budget the streaming family's `withWatermark` accepts, "
+    "and max_disorder_us says what watermark would make it zero. All "
+    "integer; the running max is a cumulative frame (O(n), the "
+    "gap-fill lesson — never a FOLLOWING frame). One shuffle on "
+    "event_type shared by window and agg; output is |types| rows.",
+)
+def rel_out_of_order_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    seq = ev.select(
+        "event_type",
+        F.unix_micros("ts").alias("t_us"),
+        "event_id",
+    ).withColumn("prev_max_us", F.max("t_us").over(w))
+    late = F.col("t_us") < F.col("prev_max_us") - F.lit(LATE_WATERMARK_US)
+    ooo = F.col("t_us") < F.col("prev_max_us")
+    return seq.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.sum(F.when(ooo, 1).otherwise(0)).cast("long").alias("n_out_of_order"),
+        F.sum(F.when(late, 1).otherwise(0)).cast("long").alias("n_late"),
+        F.max(
+            F.when(ooo, F.col("prev_max_us") - F.col("t_us")).otherwise(
+                F.lit(0)
+            )
+        )
+        .cast("long")
+        .alias("max_disorder_us"),
+    )
