@@ -132,6 +132,7 @@ DRIVER_WINDOW: list[str] = [
     "dedup_sorted_neighborhood",
     "mm_binary_dedup",
     "rel_out_of_order_metrics",
+    "rel_scd2_point_in_time",
 ]
 
 set_priority(DRIVER_WINDOW)

@@ -1508,3 +1508,103 @@ def rel_histogram_equidepth(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("cents").cast("long").alias("total_cents"),
         )
     )
+
+
+@register(
+    "rel_scd2_point_in_time",
+    oracle="""
+WITH ordered AS (
+  SELECT user_id, event_type, ts, event_id,
+         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS prev_type
+  FROM events
+),
+changes AS (
+  SELECT user_id, event_type, ts AS valid_from, event_id
+  FROM ordered
+  WHERE prev_type IS DISTINCT FROM event_type
+),
+versioned AS (
+  SELECT user_id, event_type AS state, valid_from,
+         lead(valid_from) OVER (PARTITION BY user_id
+                                ORDER BY valid_from, event_id) AS valid_to
+  FROM changes
+),
+purchases AS (
+  SELECT user_id, ts, CAST(round(value * 10000) AS BIGINT) AS v_u4
+  FROM events WHERE event_type = 'purchase'
+)
+SELECT coalesce(v.state, 'none') AS state,
+       count(*) AS n_purchases,
+       CAST(count(DISTINCT p.user_id) AS BIGINT) AS n_users,
+       CAST(sum(p.v_u4) AS BIGINT) AS value_u4
+FROM purchases p LEFT JOIN versioned v
+  ON p.user_id = v.user_id
+ AND v.valid_from < p.ts
+ AND (v.valid_to IS NULL OR v.valid_to >= p.ts)
+GROUP BY coalesce(v.state, 'none')
+""",
+    doc="Point-in-time (temporal) join against the SCD2 history — the "
+    "consumption pattern rel_scd2_history exists for: every purchase "
+    "joined to the state version valid IMMEDIATELY BEFORE its "
+    "timestamp (valid_from < ts <= valid_to, open interval NULL-safe "
+    "— at-instant semantics would degenerately match the purchase's "
+    "own transition), rolled up to purchases/users/exact-1e-4-unit "
+    "value per state; first-event purchases carry state 'none' via "
+    "the left join. This is the "
+    "'what was the customer's segment when they bought' query that "
+    "naive latest-value joins answer WRONG (they leak future state "
+    "into past facts — lookahead bias). Versions per user are "
+    "change-count-sized, so the temporal predicate is a residual "
+    "filter on a user_id equi-join — no range-join blowup; the rollup "
+    "output is |states| rows with map-side partials. Fully "
+    "deterministic: interval bounds come from the deterministic SCD2 "
+    "build and the join predicate is half-open, so every fact matches "
+    "EXACTLY one version.",
+)
+def rel_scd2_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, "events", sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    changes = (
+        events.select(
+            "user_id",
+            "event_type",
+            "ts",
+            "event_id",
+            F.lag("event_type").over(w).alias("prev_type"),
+        )
+        .where(
+            ~F.col("prev_type").eqNullSafe(F.col("event_type"))
+        )
+        .select("user_id", F.col("event_type").alias("state"),
+                F.col("ts").alias("valid_from"), "event_id")
+    )
+    w2 = Window.partitionBy("user_id").orderBy("valid_from", "event_id")
+    versioned = changes.select(
+        F.col("user_id").alias("v_user"),
+        "state",
+        "valid_from",
+        F.lead("valid_from").over(w2).alias("valid_to"),
+    )
+    purchases = events.where(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts",
+        F.round(F.col("value") * 10000).cast("long").alias("v_u4"),
+    )
+    joined = purchases.join(
+        versioned,
+        (F.col("user_id") == F.col("v_user"))
+        & (F.col("valid_from") < F.col("ts"))
+        & (
+            F.col("valid_to").isNull()
+            | (F.col("valid_to") >= F.col("ts"))
+        ),
+        "left",
+    )
+    return joined.groupBy(
+        F.coalesce(F.col("state"), F.lit("none")).alias("state")
+    ).agg(
+        F.count("*").alias("n_purchases"),
+        F.countDistinct("user_id").cast("long").alias("n_users"),
+        F.sum("v_u4").cast("long").alias("value_u4"),
+    )
