@@ -133,6 +133,7 @@ DRIVER_WINDOW: list[str] = [
     "mm_binary_dedup",
     "rel_out_of_order_metrics",
     "rel_scd2_point_in_time",
+    "rel_funnel_latency",
 ]
 
 set_priority(DRIVER_WINDOW)

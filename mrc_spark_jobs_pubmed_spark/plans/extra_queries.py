@@ -1611,3 +1611,89 @@ def rel_scd2_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("user_id").cast("long").alias("n_users"),
         F.sum("v_u4").cast("long").alias("value_u4"),
     )
+
+
+@register(
+    "rel_funnel_latency",
+    oracle="""
+WITH v AS (
+  SELECT user_id, min(epoch_us(ts)) AS t1 FROM events
+  WHERE event_type = 'view' GROUP BY user_id
+),
+c AS (
+  SELECT e.user_id, min(epoch_us(e.ts)) AS t2
+  FROM events e JOIN v ON e.user_id = v.user_id AND epoch_us(e.ts) >= v.t1
+  WHERE e.event_type = 'click'
+  GROUP BY e.user_id
+),
+p AS (
+  SELECT e.user_id, min(epoch_us(e.ts)) AS t3
+  FROM events e JOIN c ON e.user_id = c.user_id AND epoch_us(e.ts) >= c.t2
+  WHERE e.event_type = 'purchase'
+  GROUP BY e.user_id
+),
+lat AS (
+  SELECT p.user_id,
+         (c.t2 - v.t1) // 1000 AS d1_ms,
+         (p.t3 - c.t2) // 1000 AS d2_ms
+  FROM p JOIN c USING (user_id) JOIN v USING (user_id)
+)
+SELECT CAST(count(*) AS BIGINT) AS n_converted,
+       quantile_cont(d1_ms, 0.5) AS view_click_p50_ms,
+       quantile_cont(d1_ms, 0.9) AS view_click_p90_ms,
+       quantile_cont(d2_ms, 0.5) AS click_purchase_p50_ms,
+       quantile_cont(d2_ms, 0.9) AS click_purchase_p90_ms
+FROM lat
+""",
+    doc="Funnel time-to-convert: for users completing the ordered "
+    "view -> click -> purchase funnel (first qualifying occurrence of "
+    "each step, the rel_funnel_steps sequence), the p50/p90 latency "
+    "between steps — conversion RATE says whether the funnel works, "
+    "latency says where it drags; this is the other half of funnel "
+    "analysis. Exactness: step timestamps are exact min-aggregates, "
+    "deltas are floor-millisecond integers, and the percentiles "
+    "interpolate on the integer (half-integer) grid — exactly-"
+    "representable doubles, the rel_ts_anomaly_mad discipline, no "
+    "rounding anywhere. Scale shape: three min-aggs on user_id whose "
+    "exchanges all reuse one partitioning, step ordering enforced by "
+    "residual time predicates on same-key joins, and the percentile "
+    "close runs on the converted-user domain.",
+)
+def rel_funnel_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir).select(
+        "user_id", "event_type", F.unix_micros("ts").alias("t_us")
+    )
+    v = (
+        ev.where(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("t_us").alias("t1"))
+    )
+    c = (
+        ev.where(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .where(F.col("t_us") >= F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("t_us").alias("t2"), F.first("t1").alias("t1"))
+    )
+    p = (
+        ev.where(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .where(F.col("t_us") >= F.col("t2"))
+        .groupBy("user_id")
+        .agg(
+            F.min("t_us").alias("t3"),
+            F.first("t1").alias("t1"),
+            F.first("t2").alias("t2"),
+        )
+    )
+    lat = p.select(
+        F.expr("(t2 - t1) div 1000").alias("d1_ms"),
+        F.expr("(t3 - t2) div 1000").alias("d2_ms"),
+    )
+    return lat.agg(
+        F.count("*").alias("n_converted"),
+        F.expr("percentile(d1_ms, 0.5)").alias("view_click_p50_ms"),
+        F.expr("percentile(d1_ms, 0.9)").alias("view_click_p90_ms"),
+        F.expr("percentile(d2_ms, 0.5)").alias("click_purchase_p50_ms"),
+        F.expr("percentile(d2_ms, 0.9)").alias("click_purchase_p90_ms"),
+    )
