@@ -134,6 +134,7 @@ DRIVER_WINDOW: list[str] = [
     "rel_out_of_order_metrics",
     "rel_scd2_point_in_time",
     "rel_funnel_latency",
+    "emb_cluster_purity",
 ]
 
 set_priority(DRIVER_WINDOW)

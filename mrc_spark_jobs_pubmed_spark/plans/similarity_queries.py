@@ -1785,3 +1785,72 @@ def sim_ivf_nprobe_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         rows = row if rows is None else rows.unionByName(row)
     return rows
+
+
+# --- clustering quality: purity against labels -------------------------------
+
+
+@register(
+    "emb_cluster_purity",
+    oracle=f"""
+WITH {_kmeans_assign_ctes()},
+joined AS (
+  SELECT f.m.cid AS cid, e2.label
+  FROM fin f JOIN embeddings e2 ON e2.vec_id = f.vec_id
+),
+cl AS (
+  SELECT cid, label, count(*) AS n FROM joined GROUP BY cid, label
+),
+maj AS (
+  SELECT cid, CAST(sum(n) AS BIGINT) AS n_vecs,
+         max(struct_pack(n := n, neg_label := -label)).n AS n_majority,
+         -max(struct_pack(n := n, neg_label := -label)).neg_label
+           AS majority_label
+  FROM cl GROUP BY cid
+)
+SELECT cid AS cluster_id, n_vecs,
+       CAST(majority_label AS BIGINT) AS majority_label,
+       CAST(n_majority AS BIGINT) AS n_majority,
+       CAST((n_majority * 1000000) // n_vecs AS BIGINT) AS purity_u6
+FROM maj
+""",
+    doc="Clustering quality — per-cluster purity against the labeled "
+    "classes: each k-means cluster's majority label (ties to the "
+    "LOWEST label via an associative struct-max — deterministic), its "
+    "share in exact 1e-6 units, and the cluster size. The standard "
+    "external clustering-evaluation measure, and the go/no-go check "
+    "before a quantizer's cells are trusted as ANN partitions or "
+    "curriculum strata. Scale shape: the assignment reuses the "
+    "sample-trained coarse quantizer (broadcast codebook, data never "
+    "shuffles for assignment); the label join is vec_id-keyed; the "
+    "(cluster, label) contingency agg collapses map-side to "
+    "k x |labels| rows — the purity close runs on that bounded table.",
+)
+def emb_cluster_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, "embeddings", sf_dir)
+    assigned = S.kmeans_assign(
+        emb, k=KMEANS_K, iters=KMEANS_ITERS, dim=64,
+        train_mod=KMEANS_TRAIN_MOD,
+    ).select("vec_id", "cid")
+    cl = (
+        assigned.join(emb.select("vec_id", "label"), "vec_id")
+        .groupBy("cid", "label")
+        .agg(F.count("*").alias("n"))
+    )
+    maj = cl.groupBy("cid").agg(
+        F.sum("n").cast("long").alias("n_vecs"),
+        F.max(
+            F.struct(
+                F.col("n").alias("n"), (-F.col("label")).alias("neg_label")
+            )
+        ).alias("m"),
+    )
+    return maj.select(
+        F.col("cid").alias("cluster_id"),
+        "n_vecs",
+        (-F.col("m.neg_label")).cast("long").alias("majority_label"),
+        F.col("m.n").cast("long").alias("n_majority"),
+        F.expr("CAST((m.n * 1000000) div n_vecs AS LONG)").alias(
+            "purity_u6"
+        ),
+    )
