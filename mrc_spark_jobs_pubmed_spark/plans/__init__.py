@@ -135,6 +135,8 @@ DRIVER_WINDOW: list[str] = [
     "rel_scd2_point_in_time",
     "rel_funnel_latency",
     "emb_cluster_purity",
+    "dedup_cluster_stats",
+    "corpus_vocab_coverage",
 ]
 
 set_priority(DRIVER_WINDOW)

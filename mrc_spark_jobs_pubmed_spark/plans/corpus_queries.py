@@ -1251,3 +1251,69 @@ def corpus_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("n_docs") < KANON_K)
     )
+
+
+# --- tokenizer vocabulary coverage ------------------------------------------
+
+VOCAB_SIZES = (100, 500, 2000)
+
+
+@register(
+    "corpus_vocab_coverage",
+    oracle=f"""
+WITH toks AS (
+  SELECT d.lang, t.tok AS tok
+  FROM (SELECT lang, {tokens_sql('text')} AS toklist FROM documents) d,
+       unnest(d.toklist) AS t(tok)
+),
+freq AS (SELECT tok, count(*) AS n FROM toks GROUP BY tok),
+ranked AS (
+  SELECT tok, row_number() OVER (ORDER BY n DESC, tok) AS rnk FROM freq
+),
+marked AS (
+  SELECT t.lang, r.rnk FROM toks t JOIN ranked r USING (tok)
+)
+SELECT lang,
+       count(*) AS n_tokens,
+       {", ".join(
+           f"CAST((sum(CASE WHEN rnk <= {v} THEN 1 ELSE 0 END) * 1000000)"
+           f" // count(*) AS BIGINT) AS cov{v}_u6"
+           for v in VOCAB_SIZES
+       )}
+FROM marked
+GROUP BY lang
+""",
+    doc="Tokenizer vocabulary coverage per language: the fraction of "
+    "corpus tokens covered by the global top-100/500/2000 token "
+    "vocabulary, in exact 1e-6 integer units — the sizing curve that "
+    "decides a vocab budget and EXPOSES which languages a shared "
+    "vocabulary starves (low coverage = heavy OOV/byte-fallback tax; "
+    "the fairness companion to ta_tokenizer_fertility). Scale shape: "
+    "one vocab hash-agg, a rank over the vocab domain, one "
+    "token->rank join (broadcast at real vocab sizes), and a "
+    "|langs|-row rollup with map-side partials. The multi-threshold "
+    "sweep rides in ONE pass as conditional sums.",
+)
+def corpus_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, "documents", sf_dir)
+    toks = docs.select(
+        "lang", F.explode(tokens_col(F.col("text"))).alias("tok")
+    )
+    freq = toks.groupBy("tok").agg(F.count("*").alias("n"))
+    ranked = freq.select(
+        "tok",
+        F.row_number().over(Window.orderBy(F.desc("n"), F.asc("tok"))).alias(
+            "rnk"
+        ),
+    )
+    marked = toks.join(F.broadcast(ranked), "tok")
+    aggs = [F.count("*").alias("n_tokens")] + [
+        F.expr(
+            f"CAST((sum(CASE WHEN rnk <= {v} THEN 1 ELSE 0 END) * 1000000)"
+            f" div count(*) AS LONG)"
+        ).alias(f"cov{v}_u6")
+        for v in VOCAB_SIZES
+    ]
+    return marked.groupBy("lang").agg(*aggs)

@@ -793,3 +793,54 @@ def dedup_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
             shared.cast("long").alias("shared_prefix"),
         )
     )
+
+
+@register(
+    "dedup_cluster_stats",
+    oracle=f"""
+WITH RECURSIVE {D.minhash_ctes_sql()},
+pairs AS (
+  SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
+  FROM bands a JOIN bands b
+    ON a.band_id = b.band_id AND a.band_key = b.band_key
+   AND a.doc_id < b.doc_id
+),
+edges AS (SELECT a, b FROM pairs UNION SELECT b, a FROM pairs),
+cc AS (
+  SELECT doc_id AS node, doc_id AS label FROM documents
+  UNION
+  SELECT e.b AS node, cc.label AS label
+  FROM cc JOIN edges e ON e.a = cc.node
+  WHERE cc.label < e.b
+),
+comp AS (SELECT node, min(label) AS component FROM cc GROUP BY node),
+sizes AS (SELECT component, count(*) AS sz FROM comp GROUP BY component)
+SELECT CAST(sz AS BIGINT) AS cluster_size,
+       count(*) AS n_clusters,
+       CAST(sum(sz) AS BIGINT) AS n_docs,
+       CAST(sum(sz - 1) AS BIGINT) AS n_removable
+FROM sizes
+GROUP BY sz
+""",
+    doc="Duplicate-cluster SIZE HISTOGRAM — the aggregate contract for "
+    "dedup_cluster_components (same reasoning as dedup_simhash_stats): "
+    "per cluster size, how many clusters, how many documents they "
+    "hold, and how many a keep-one-per-cluster pass removes. The "
+    "per-doc component labeling is corpus-sized output; this profile "
+    "is what a dedup run actually reports — bounded by the largest "
+    "cluster size at any corpus volume, and n_removable IS the dedup "
+    "savings estimate. Adds one tiny two-level agg over the existing "
+    "min-label propagation; all counts exact.",
+)
+def dedup_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    pairs = D.lsh_candidate_pairs(
+        D.minhash_band_keys(D.shingle_rows(docs, distinct=False))
+    ).select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
+    comp = D.connected_components(docs, pairs)
+    sizes = comp.groupBy("component").agg(F.count("*").alias("sz"))
+    return sizes.groupBy(F.col("sz").cast("long").alias("cluster_size")).agg(
+        F.count("*").alias("n_clusters"),
+        F.sum("sz").cast("long").alias("n_docs"),
+        F.sum(F.col("sz") - 1).cast("long").alias("n_removable"),
+    )
