@@ -137,6 +137,7 @@ DRIVER_WINDOW: list[str] = [
     "emb_cluster_purity",
     "dedup_cluster_stats",
     "corpus_vocab_coverage",
+    "emb_knn_label_eval",
 ]
 
 set_priority(DRIVER_WINDOW)

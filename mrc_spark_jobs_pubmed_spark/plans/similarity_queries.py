@@ -1854,3 +1854,96 @@ def emb_cluster_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
             "purity_u6"
         ),
     )
+
+
+# --- leave-one-out kNN classification eval ----------------------------------
+
+
+@register(
+    "emb_knn_label_eval",
+    oracle=f"""
+WITH b AS MATERIALIZED (
+  SELECT vec_id, embedding, label, {S.bucket_id_sql('embedding')} AS bucket
+  FROM embeddings
+),
+cand AS (
+  SELECT a.vec_id AS vec_id, c.vec_id AS neighbor_id, c.label AS nlabel,
+         round({S.cosine_sql('a.embedding', 'c.embedding')}, 6) AS cosine
+  FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id <> c.vec_id
+),
+ranked AS (
+  SELECT vec_id, nlabel,
+         row_number() OVER (PARTITION BY vec_id
+                            ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM cand
+),
+votes AS (
+  SELECT vec_id, nlabel, count(*) AS c
+  FROM ranked WHERE rank <= {KNN_K}
+  GROUP BY vec_id, nlabel
+),
+pred AS (
+  SELECT vec_id,
+         -max(struct_pack(c := c, neg := -nlabel)).neg AS pred_label
+  FROM votes GROUP BY vec_id
+)
+SELECT e.label AS true_label,
+       count(*) AS n_vecs,
+       CAST(sum(CASE WHEN p.pred_label = e.label THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_correct,
+       CAST((sum(CASE WHEN p.pred_label = e.label THEN 1 ELSE 0 END)
+             * 1000000) // count(*) AS BIGINT) AS accuracy_u6
+FROM pred p JOIN b e USING (vec_id)
+GROUP BY e.label
+""",
+    doc="Leave-one-out kNN classification accuracy per label: every "
+    "vector classified by majority vote of its 5 bucketed nearest "
+    "neighbors (tie -> lowest label via associative struct-max, the "
+    "LPA idiom), scored against its own label — the standard "
+    "'are these embeddings any good' probe (kNN eval tracks "
+    "linear-probe quality without training anything) and the "
+    "class-level confusion signal behind it. Accuracy in exact 1e-6 "
+    "integer units. Scale shape: rides the sim_knn_join candidate "
+    "machinery (sign-bit-bucketed, Σ bucket² candidates, never n²); "
+    "the vote and rollup aggregations run on (vec, label) and "
+    "|labels| domains with map-side partials.",
+)
+def emb_knn_label_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, "embeddings", sf_dir)
+    nn = S.knn_join_bucketed(emb, k=KNN_K).select("vec_id", "neighbor_id")
+    labels = emb.select("vec_id", "label")
+    votes = (
+        nn.join(
+            labels.select(
+                F.col("vec_id").alias("neighbor_id"),
+                F.col("label").alias("nlabel"),
+            ),
+            "neighbor_id",
+        )
+        .groupBy("vec_id", "nlabel")
+        .agg(F.count("*").alias("c"))
+    )
+    pred = (
+        votes.groupBy("vec_id")
+        .agg(
+            F.max(
+                F.struct(F.col("c").alias("c"), (-F.col("nlabel")).alias("neg"))
+            ).alias("m")
+        )
+        .select("vec_id", (-F.col("m.neg")).alias("pred_label"))
+    )
+    correct = F.sum(
+        F.when(F.col("pred_label") == F.col("label"), 1).otherwise(0)
+    )
+    return (
+        pred.join(labels, "vec_id")
+        .groupBy(F.col("label").alias("true_label"))
+        .agg(
+            F.count("*").alias("n_vecs"),
+            correct.cast("long").alias("n_correct"),
+            F.expr(
+                "CAST((sum(CASE WHEN pred_label = label THEN 1 ELSE 0 END)"
+                " * 1000000) div count(*) AS LONG)"
+            ).alias("accuracy_u6"),
+        )
+    )
