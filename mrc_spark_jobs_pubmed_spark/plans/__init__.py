@@ -138,6 +138,8 @@ DRIVER_WINDOW: list[str] = [
     "dedup_cluster_stats",
     "corpus_vocab_coverage",
     "emb_knn_label_eval",
+    "rel_active_users_rolling",
+    "rel_revenue_pareto",
 ]
 
 set_priority(DRIVER_WINDOW)

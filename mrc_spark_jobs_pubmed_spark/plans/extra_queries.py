@@ -1697,3 +1697,91 @@ def rel_funnel_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("percentile(d2_ms, 0.5)").alias("click_purchase_p50_ms"),
         F.expr("percentile(d2_ms, 0.9)").alias("click_purchase_p90_ms"),
     )
+
+
+@register(
+    "rel_revenue_pareto",
+    oracle="""
+WITH spend AS (
+  SELECT o_custkey AS cust,
+         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS cents
+  FROM orders GROUP BY o_custkey
+),
+ranked AS (
+  SELECT cust, cents,
+         ntile(10) OVER (ORDER BY cents DESC, cust) AS decile
+  FROM spend
+),
+tot AS (SELECT CAST(sum(cents) AS BIGINT) AS t FROM spend)
+SELECT CAST(decile AS BIGINT) AS decile,
+       count(*) AS n_customers,
+       CAST(sum(cents) AS BIGINT) AS cents,
+       -- two-step integer share: cents // (t // 1e6) — cents * 1e6
+       -- overflows int64 once total revenue passes ~9e12 cents (sf1
+       -- already does); dividing by the pre-scaled total is exact
+       -- int arithmetic at any corpus size on both engines
+       CAST(sum(cents) // nullif((SELECT t FROM tot) // 1000000, 0)
+            AS BIGINT) AS revenue_share_u6,
+       CAST(sum(sum(cents)) OVER (
+              ORDER BY decile
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+            ) // nullif((SELECT t FROM tot) // 1000000, 0) AS BIGINT)
+         AS cum_share_u6
+FROM ranked
+GROUP BY decile
+""",
+    doc="Revenue concentration (Pareto/Lorenz deciles): customers "
+    "ranked by exact-cents lifetime spend into deciles, each decile's "
+    "revenue share and the cumulative share in exact 1e-6 integer "
+    "units — the 80/20 question ('what fraction of revenue do the top "
+    "10% carry') behind account-tiering and risk-concentration "
+    "analysis. Deterministic ntile tie-break on (spend, custkey); all "
+    "arithmetic exact integers. Scale shape: one custkey hash-agg "
+    "over orders, a customer-domain ntile (approx_percentile "
+    "cutpoints at 100 TB — the established idiom), and a 10-row "
+    "decile rollup with a trivial cumulative window.",
+)
+def rel_revenue_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, "orders", sf_dir)
+    spend = orders.groupBy(F.col("o_custkey").alias("cust")).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+        .cast("long")
+        .alias("cents")
+    )
+    ranked = spend.select(
+        "cents",
+        F.ntile(10)
+        .over(Window.orderBy(F.desc("cents"), F.asc("cust")))
+        .alias("decile"),
+    )
+    tot = spend.agg(F.sum("cents").cast("long").alias("t"))
+    per_decile = (
+        ranked.groupBy(F.col("decile").cast("long").alias("decile"))
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.sum("cents").cast("long").alias("cents"),
+        )
+        .crossJoin(F.broadcast(tot))
+    )
+    w = Window.orderBy("decile").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        per_decile.withColumn("cum_cents", F.sum("cents").over(w))
+        .select(
+            "decile",
+            "n_customers",
+            "cents",
+            # two-step integer share (cents div (t div 1e6)): the
+            # cents*1e6 product overflows int64 at sf1 revenue totals,
+            # and a double divide + cast truncates a rounded float
+            # (the r2/r3 class) — this form is exact int at any scale
+            F.expr(
+                "CAST(cents div nullif(t div 1000000, 0) AS LONG)"
+            ).alias("revenue_share_u6"),
+            F.expr(
+                "CAST(cum_cents div nullif(t div 1000000, 0) AS LONG)"
+            ).alias("cum_share_u6"),
+        )
+    )
