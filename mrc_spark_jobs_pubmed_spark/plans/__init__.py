@@ -140,6 +140,9 @@ DRIVER_WINDOW: list[str] = [
     "emb_knn_label_eval",
     "rel_active_users_rolling",
     "rel_revenue_pareto",
+    "rel_basket_lift",
+    "graph_degree_distribution",
+    "dedup_jaccard_histogram",
 ]
 
 set_priority(DRIVER_WINDOW)

@@ -844,3 +844,50 @@ def dedup_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("sz").cast("long").alias("n_docs"),
         F.sum(F.col("sz") - 1).cast("long").alias("n_removable"),
     )
+
+
+@register(
+    "dedup_jaccard_histogram",
+    oracle=f"""
+WITH pairs AS ({D.JACCARD_PAIRS_SQL}),
+binned AS (
+  SELECT CAST(floor(jaccard * 10) AS BIGINT) AS bin, jaccard
+  FROM pairs
+)
+SELECT CASE WHEN bin >= 10 THEN 9 ELSE bin END AS jaccard_bin,
+       count(*) AS n_pairs
+FROM binned
+GROUP BY CASE WHEN bin >= 10 THEN 9 ELSE bin END
+""",
+    doc="Jaccard similarity HISTOGRAM over the exact candidate pairs "
+    "(0.1-wide bins, jaccard=1.0 folded into the top bin) — the "
+    "threshold-tuning curve for every near-dup pass: where the mass "
+    "sits decides tau for dedup_lsh_join / keep-best, and the "
+    "bin shape separates boilerplate-heavy corpora (mass near 1.0) "
+    "from naturally-similar ones (mass near 0.2). The aggregate "
+    "contract over dedup_jaccard_top_pairs' machinery: the shingle "
+    "equi-join generates only overlapping pairs, and the close is a "
+    "<= 10-row histogram — bounded output at any corpus size. "
+    "Binning is floor of jaccard*10 where jaccard is an exact "
+    "small-integer ratio — the bin index is engine-exact except on "
+    "the measure-zero set where n_inter*10 is an exact multiple of "
+    "n_union (both engines then compute the same binary double and "
+    "floor it identically, since the ratio is a single IEEE division "
+    "of exact integers).",
+)
+def dedup_jaccard_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    pairs = D.jaccard_pairs(D.shingle_rows(docs))
+    binned = pairs.select(
+        F.floor(F.col("jaccard") * 10).cast("long").alias("bin")
+    )
+    return (
+        binned.select(
+            F.when(F.col("bin") >= 10, F.lit(9))
+            .otherwise(F.col("bin"))
+            .cast("long")
+            .alias("jaccard_bin")
+        )
+        .groupBy("jaccard_bin")
+        .agg(F.count("*").alias("n_pairs"))
+    )

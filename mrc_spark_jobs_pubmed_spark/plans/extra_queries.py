@@ -1785,3 +1785,89 @@ def rel_revenue_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("cum_share_u6"),
         )
     )
+
+
+BASKET_TOP = 50
+
+
+@register(
+    "rel_basket_lift",
+    oracle=f"""
+WITH items AS (
+  SELECT DISTINCT l_orderkey AS ord, l_partkey AS part FROM lineitem
+),
+n_orders AS (SELECT count(DISTINCT ord) AS n FROM items),
+part_n AS (SELECT part, count(*) AS n FROM items GROUP BY part),
+pairs AS (
+  SELECT a.part AS part_a, b.part AS part_b, count(*) AS n_both
+  FROM items a JOIN items b ON a.ord = b.ord AND a.part < b.part
+  GROUP BY a.part, b.part
+)
+SELECT p.part_a, p.part_b,
+       CAST(p.n_both AS BIGINT) AS n_both,
+       CAST(na.n AS BIGINT) AS n_a,
+       CAST(nb.n AS BIGINT) AS n_b,
+       CAST((p.n_both * 1000000) // na.n AS BIGINT) AS confidence_u6,
+       CAST((p.n_both * (SELECT n FROM n_orders) * 1000000)
+            // (na.n * nb.n) AS BIGINT) AS lift_u6
+FROM pairs p
+JOIN part_n na ON na.part = p.part_a
+JOIN part_n nb ON nb.part = p.part_b
+ORDER BY lift_u6 DESC, p.part_a, p.part_b
+LIMIT {BASKET_TOP}
+""",
+    doc="Market-basket association (support/confidence/lift): part "
+    "pairs co-ordered in the same order, scored by confidence "
+    "P(b|a) and lift P(a,b)/(P(a)P(b)) in exact 1e-6 integer units — "
+    "the classic association-rule primitive behind 'frequently bought "
+    "together'. Top-k by (lift, pair) with full deterministic ties. "
+    "Scale shape: the self-join fans out within ORDERS, whose item "
+    "count is bounded (TPC-H <= 7 lines), so pair volume is "
+    "C(items/order, 2) * orders — LINEAR in order count, the same "
+    "bounded-fan-out argument as the triangle count's vocab cap; "
+    "part marginals join back as dimension-sized broadcasts and the "
+    "lift product n_both * n_orders * 1e6 stays under int64 through "
+    "petabyte order volumes (n_both <= n_orders, both < 3e9 at 100 "
+    "TB; the two-step div guard applies beyond that).",
+)
+def rel_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, "lineitem", sf_dir)
+    items = li.select(
+        F.col("l_orderkey").alias("ord"), F.col("l_partkey").alias("part")
+    ).distinct()
+    n_orders = items.agg(F.countDistinct("ord").alias("n_ord"))
+    part_n = items.groupBy("part").agg(F.count("*").alias("n"))
+    a = items.select("ord", F.col("part").alias("part_a"))
+    b = items.select("ord", F.col("part").alias("part_b"))
+    pairs = (
+        a.join(b, "ord")
+        .where(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count("*").alias("n_both"))
+    )
+    na = F.broadcast(
+        part_n.select(F.col("part").alias("part_a"), F.col("n").alias("n_a"))
+    )
+    nb = F.broadcast(
+        part_n.select(F.col("part").alias("part_b"), F.col("n").alias("n_b"))
+    )
+    return (
+        pairs.join(na, "part_a")
+        .join(nb, "part_b")
+        .crossJoin(F.broadcast(n_orders))
+        .select(
+            "part_a",
+            "part_b",
+            F.col("n_both").cast("long").alias("n_both"),
+            F.col("n_a").cast("long").alias("n_a"),
+            F.col("n_b").cast("long").alias("n_b"),
+            F.expr("CAST((n_both * 1000000) div n_a AS LONG)").alias(
+                "confidence_u6"
+            ),
+            F.expr(
+                "CAST((n_both * n_ord * 1000000) div (n_a * n_b) AS LONG)"
+            ).alias("lift_u6"),
+        )
+        .orderBy(F.desc("lift_u6"), "part_a", "part_b")
+        .limit(BASKET_TOP)
+    )

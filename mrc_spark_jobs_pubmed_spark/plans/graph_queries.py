@@ -681,3 +681,60 @@ def graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("jaccard_u6"), "supp_a", "supp_b")
         .limit(LINK_TOP)
     )
+
+
+# --- degree distribution -----------------------------------------------------
+
+
+@register(
+    "graph_degree_distribution",
+    oracle=f"""
+WITH e0d AS (
+  SELECT DISTINCT o_custkey AS src, l_suppkey + 10000000 AS dst
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+),
+edges AS (SELECT src, dst FROM e0d
+          UNION ALL SELECT dst AS src, src AS dst FROM e0d),
+deg AS (SELECT src, count(*) AS d FROM edges GROUP BY src)
+SELECT CAST(d AS BIGINT) AS degree,
+       count(*) AS n_nodes,
+       CAST(sum(CASE WHEN src < {_SUPP_OFFSET} THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_customers,
+       CAST(sum(CASE WHEN src >= {_SUPP_OFFSET} THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_suppliers
+FROM deg
+GROUP BY d
+""",
+    doc="Degree distribution of the trade graph, split by node type — "
+    "the aggregate profile every graph analysis starts with (it is "
+    "what DECIDES the wedge orientation in graph_link_prediction and "
+    "the hub-capping thresholds: this query showed supplier degrees "
+    "grow with corpus volume while customer degrees stay bounded). "
+    "Two hash-aggs: per-node degree (map-side partials over the edge "
+    "list) then the degree histogram on the bounded degree domain. "
+    "Output is max-degree-sized at any corpus volume.",
+)
+def graph_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, "lineitem", sf_dir)
+    orders = load_table(spark, "orders", sf_dir)
+    e0 = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .select(
+            F.col("o_custkey").alias("src"),
+            (F.col("l_suppkey") + _SUPP_OFFSET).alias("dst"),
+        )
+        .distinct()
+    )
+    edges = e0.unionByName(
+        e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    deg = edges.groupBy("src").agg(F.count("*").alias("d"))
+    return deg.groupBy(F.col("d").cast("long").alias("degree")).agg(
+        F.count("*").alias("n_nodes"),
+        F.sum(F.when(F.col("src") < _SUPP_OFFSET, 1).otherwise(0))
+        .cast("long")
+        .alias("n_customers"),
+        F.sum(F.when(F.col("src") >= _SUPP_OFFSET, 1).otherwise(0))
+        .cast("long")
+        .alias("n_suppliers"),
+    )
