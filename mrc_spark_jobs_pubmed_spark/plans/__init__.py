@@ -143,6 +143,9 @@ DRIVER_WINDOW: list[str] = [
     "rel_basket_lift",
     "graph_degree_distribution",
     "dedup_jaccard_histogram",
+    "rel_ab_test_eval",
+    "rel_ts_seasonal_profile",
+    "corpus_datacard_by_source",
 ]
 
 set_priority(DRIVER_WINDOW)

@@ -1317,3 +1317,88 @@ def corpus_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         for v in VOCAB_SIZES
     ]
     return marked.groupBy("lang").agg(*aggs)
+
+
+# --- per-source data card ----------------------------------------------------
+
+
+@register(
+    "corpus_datacard_by_source",
+    oracle=f"""
+WITH base AS (
+  SELECT source, lang, doc_id, n_chars,
+         len({tokens_sql('text')}) AS n_tok,
+         md5(text) AS h
+  FROM documents
+),
+lang_mix AS (
+  SELECT source, lang, count(*) AS n FROM base GROUP BY source, lang
+),
+top_lang AS (
+  SELECT source,
+         max(struct_pack(n := n, neg_lang := lang)).neg_lang AS top_lang
+  FROM (SELECT source, lang, n FROM lang_mix) GROUP BY source
+)
+SELECT b.source,
+       count(*) AS n_docs,
+       CAST(count(DISTINCT b.lang) AS BIGINT) AS n_langs,
+       any_value(t.top_lang) AS top_lang,
+       CAST(sum(b.n_chars) AS BIGINT) AS total_chars,
+       CAST(sum(b.n_tok) AS BIGINT) AS total_tokens,
+       CAST(sum(b.n_tok) // count(*) AS BIGINT) AS avg_tokens,
+       CAST(((count(*) - count(DISTINCT b.h)) * 1000000) // count(*)
+            AS BIGINT) AS dup_rate_u6
+FROM base b JOIN top_lang t USING (source)
+GROUP BY b.source
+""",
+    doc="Per-source data card: the one-row-per-source summary a corpus "
+    "release ships — document and language counts, dominant language "
+    "(frequency-max, ties by max lang string — deterministic), size "
+    "totals, average length, and the exact-duplicate rate in 1e-6 "
+    "units (1 - distinct md5 / docs). The composite face of the "
+    "quality/dedup/mixing families: one scan computes every "
+    "ingredient, and the output is |sources|-sized at any corpus "
+    "volume. All integer arithmetic; the only 'model' is counting. "
+    "At 100 TB this is the nightly corpus-health report — per-source "
+    "rows diff bit-for-bit across runs, so a drifting source shows "
+    "as a changed row, not a vibe.",
+)
+def corpus_datacard_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mrc_spark_jobs_pubmed_spark.operators.dedup import tokens_col
+
+    docs = load_table(spark, "documents", sf_dir)
+    base = docs.select(
+        "source",
+        "lang",
+        "n_chars",
+        F.size(tokens_col(F.col("text"))).alias("n_tok"),
+        F.md5("text").alias("h"),
+    )
+    lang_mix = base.groupBy("source", "lang").agg(F.count("*").alias("n"))
+    top_lang = (
+        lang_mix.groupBy("source")
+        .agg(
+            F.max(
+                F.struct(F.col("n").alias("n"), F.col("lang").alias("neg_lang"))
+            ).alias("m")
+        )
+        .select("source", F.col("m.neg_lang").alias("top_lang"))
+    )
+    return (
+        base.join(F.broadcast(top_lang), "source")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.countDistinct("lang").cast("long").alias("n_langs"),
+            F.first("top_lang").alias("top_lang"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+            F.sum("n_tok").cast("long").alias("total_tokens"),
+            F.expr("CAST(sum(n_tok) div count(*) AS LONG)").alias(
+                "avg_tokens"
+            ),
+            F.expr(
+                "CAST(((count(*) - count(DISTINCT h)) * 1000000)"
+                " div count(*) AS LONG)"
+            ).alias("dup_rate_u6"),
+        )
+    )

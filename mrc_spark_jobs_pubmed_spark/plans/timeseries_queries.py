@@ -815,3 +815,122 @@ def rel_active_users_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
             "stickiness_u6"
         ),
     )
+
+
+# --- A/B experiment evaluation ----------------------------------------------
+
+
+@register(
+    "rel_ab_test_eval",
+    oracle="""
+WITH assigned AS (
+  SELECT user_id, user_id % 2 AS arm FROM (
+    SELECT DISTINCT user_id FROM events
+  )
+),
+conv AS (
+  SELECT a.arm,
+         a.user_id,
+         count(e.event_id) AS n_purch,
+         CAST(coalesce(sum(CAST(round(e.value * 10000) AS BIGINT)), 0)
+              AS BIGINT) AS v_u4
+  FROM assigned a LEFT JOIN events e
+    ON e.user_id = a.user_id AND e.event_type = 'purchase'
+  GROUP BY a.arm, a.user_id
+)
+SELECT CAST(arm AS BIGINT) AS arm,
+       count(*) AS n_users,
+       CAST(sum(CASE WHEN n_purch > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_converted,
+       CAST((sum(CASE WHEN n_purch > 0 THEN 1 ELSE 0 END) * 1000000)
+            // count(*) AS BIGINT) AS conversion_u6,
+       CAST(sum(v_u4) AS BIGINT) AS value_u4,
+       CAST(sum(v_u4) // count(*) AS BIGINT) AS value_per_user_u4
+FROM conv
+GROUP BY arm
+""",
+    doc="A/B experiment readout: deterministic 50/50 arm assignment "
+    "(user id parity — in production, the hash-bucket assignment of "
+    "corpus_sample_hash), per arm the user count, converted-user "
+    "count, conversion rate, total and per-user purchase value — all "
+    "exact integers (1e-6 rates, 1e-4 money, integer divisions), so "
+    "two runs of the readout can be diffed bit-for-bit while the "
+    "z-test runs downstream on the exact counts. Users without "
+    "purchases stay in the denominator via the LEFT join — dropping "
+    "them is the classic conversion-rate bug. Scale shape: one "
+    "distinct on user, one user-keyed left join with map-side "
+    "partials, a 2-row rollup.",
+)
+def rel_ab_test_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    assigned = ev.select("user_id").distinct().select(
+        "user_id", (F.col("user_id") % 2).alias("arm")
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "user_id",
+        "event_id",
+        F.round(F.col("value") * 10000).cast("long").alias("v_u4"),
+    )
+    conv = (
+        assigned.join(purchases, "user_id", "left")
+        .groupBy("arm", "user_id")
+        .agg(
+            F.count("event_id").alias("n_purch"),
+            F.coalesce(F.sum("v_u4"), F.lit(0)).cast("long").alias("v_u4"),
+        )
+    )
+    return conv.groupBy(F.col("arm").cast("long").alias("arm")).agg(
+        F.count("*").alias("n_users"),
+        F.sum(F.when(F.col("n_purch") > 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_converted"),
+        F.expr(
+            "CAST((sum(CASE WHEN n_purch > 0 THEN 1 ELSE 0 END) * 1000000)"
+            " div count(*) AS LONG)"
+        ).alias("conversion_u6"),
+        F.sum("v_u4").cast("long").alias("value_u4"),
+        F.expr("CAST(sum(v_u4) div count(*) AS LONG)").alias(
+            "value_per_user_u4"
+        ),
+    )
+
+
+# --- seasonal profile --------------------------------------------------------
+
+
+@register(
+    "rel_ts_seasonal_profile",
+    oracle=f"""
+SELECT CAST(((epoch_us(ts) // {DAY_US}) + 4) % 7 AS BIGINT) AS dow,
+       CAST((epoch_us(ts) // 3600000000) % 24 AS BIGINT) AS hour,
+       count(*) AS n_events,
+       CAST(sum(CAST(round(value * 10000) AS BIGINT)) AS BIGINT) AS v_u4
+FROM events
+GROUP BY 1, 2
+""",
+    doc="Seasonality profile: event counts and exact 1e-4-unit value "
+    "by (UTC day-of-week, hour-of-day) — the base heat-map behind "
+    "capacity planning, anomaly baselining (rel_ts_anomaly_mad per "
+    "cell at scale), and send-time optimization. Timezone discipline: "
+    "the cells derive from PURE EPOCH ARITHMETIC (dow = epoch-day + 4 "
+    "mod 7, Sunday = 0; hour = epoch-hour mod 24), NOT calendar "
+    "extract() — Spark applies the session timezone inside hour()/"
+    "dayofweek(), so a non-UTC driver host would shift every cell "
+    "against the oracle (the r2 events-timestamp bug family); epoch "
+    "math is engine- and session-tz-independent by construction. One "
+    "hash-agg with map-side partials onto the fixed 7x24 cell domain "
+    "— constant output at any volume.",
+)
+def rel_ts_seasonal_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    return ev.groupBy(
+        F.expr(f"CAST(((unix_micros(ts) div {DAY_US}) + 4) % 7 AS LONG)")
+        .alias("dow"),
+        F.expr("CAST((unix_micros(ts) div 3600000000) % 24 AS LONG)")
+        .alias("hour"),
+    ).agg(
+        F.count("*").alias("n_events"),
+        F.sum(F.round(F.col("value") * 10000).cast("long"))
+        .cast("long")
+        .alias("v_u4"),
+    )
