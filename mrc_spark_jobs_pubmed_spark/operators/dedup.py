@@ -160,6 +160,28 @@ def _hex2long(h_expr: str, start: int) -> str:
     return f"({terms})"
 
 
+def minhash_signatures(
+    shingle_df: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Raw MinHash signature table (doc_id, m0..m15) — the banding-
+    scheme-independent core of `minhash_band_keys`, exposed so callers
+    can band the SAME signatures multiple ways (the (b, r) tradeoff
+    sweep) without recomputing the shingle hash pass."""
+    hashed = (
+        shingle_df.select(id_col, F.md5(F.col("shingle")).alias("h"))
+        .select(
+            id_col,
+            F.expr("CAST(conv(substr(h, 1, 8), 16, 10) AS BIGINT)").alias("h1"),
+            F.expr("CAST(conv(substr(h, 9, 8), 16, 10) AS BIGINT)").alias("h2"),
+        )
+    )
+    aggs = [
+        F.min((F.col("h1") + F.lit(i) * F.col("h2")) % F.lit(_MERSENNE)).alias(f"m{i}")
+        for i in range(N_MINHASHES)
+    ]
+    return hashed.groupBy(id_col).agg(*aggs)
+
+
 def minhash_band_keys(shingle_df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """(doc_id, band_id, band_key): banded MinHash signature.
 
@@ -174,19 +196,7 @@ def minhash_band_keys(shingle_df: DataFrame, id_col: str = "doc_id") -> DataFram
     # Spark side decodes hex via conv() — one call per half vs the 8
     # substr+instr ops of _hex2long (kept for the DuckDB dialect, which
     # has no conv). Same values, measured ~35% faster on the hash stage.
-    hashed = (
-        shingle_df.select(id_col, F.md5(F.col("shingle")).alias("h"))
-        .select(
-            id_col,
-            F.expr("CAST(conv(substr(h, 1, 8), 16, 10) AS BIGINT)").alias("h1"),
-            F.expr("CAST(conv(substr(h, 9, 8), 16, 10) AS BIGINT)").alias("h2"),
-        )
-    )
-    aggs = [
-        F.min((F.col("h1") + F.lit(i) * F.col("h2")) % F.lit(_MERSENNE)).alias(f"m{i}")
-        for i in range(N_MINHASHES)
-    ]
-    sig = hashed.groupBy(id_col).agg(*aggs)
+    sig = minhash_signatures(shingle_df, id_col=id_col)
     # stack() emits the N_BANDS rows from ONE aggregation pass (a union of
     # per-band selects would re-run the whole upstream plan per band).
     stack_args = ", ".join(

@@ -146,6 +146,8 @@ DRIVER_WINDOW: list[str] = [
     "rel_ab_test_eval",
     "rel_ts_seasonal_profile",
     "corpus_datacard_by_source",
+    "rel_cohort_ltv",
+    "dedup_banding_tradeoff",
 ]
 
 set_priority(DRIVER_WINDOW)

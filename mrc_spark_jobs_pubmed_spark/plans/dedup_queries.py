@@ -891,3 +891,88 @@ def dedup_jaccard_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("jaccard_bin")
         .agg(F.count("*").alias("n_pairs"))
     )
+
+
+# --- banding tradeoff sweep --------------------------------------------------
+
+BANDING_SCHEMES = ((2, 8), (4, 4), (8, 2))  # (bands, rows) with b*r = 16
+
+
+def _banding_sql() -> str:
+    branches = []
+    for b_n, r_n in BANDING_SCHEMES:
+        band_selects = []
+        for b in range(b_n):
+            cols = " || '|' || ".join(
+                f"CAST(m{b * r_n + r} AS VARCHAR)" for r in range(r_n)
+            )
+            band_selects.append(
+                f"SELECT doc_id, {b} AS band_id, {cols} AS band_key FROM sig"
+            )
+        branches.append(f"""
+SELECT {b_n} AS n_bands, {r_n} AS rows_per_band,
+       (SELECT count(*) FROM (
+          SELECT DISTINCT a.doc_id, b.doc_id
+          FROM ({' UNION ALL '.join(band_selects)}) a
+          JOIN ({' UNION ALL '.join(band_selects)}) b
+            ON a.band_id = b.band_id AND a.band_key = b.band_key
+           AND a.doc_id < b.doc_id
+        ) t) AS n_candidate_pairs""")
+    return (
+        f"WITH {D.SHINGLE_ROWS_SQL.strip()}, "
+        f"sig AS MATERIALIZED ({D._minhash_sig_sql()})\n"
+        + " UNION ALL ".join(branches)
+    )
+
+
+@register(
+    "dedup_banding_tradeoff",
+    oracle=_banding_sql(),
+    doc="MinHash banding tradeoff sweep: the SAME 16-hash signatures "
+    "banded three ways — (2 bands x 8 rows), (4x4), (8x2) — with the "
+    "candidate-pair count each scheme generates. The (b, r) choice "
+    "sets the LSH S-curve threshold (~(1/b)^(1/r): strict ~0.77, the "
+    "production 4x4 ~0.5, permissive ~0.35), and this sweep turns "
+    "that theory into the measured recall-vs-cost curve the "
+    "dedup_minhash_recall contract prices — candidates scale the "
+    "verify-join cost, so this IS the dedup pass's capacity dial. "
+    "Signatures compute ONCE (the expensive shingle-hash pass) and "
+    "each scheme re-bands the cached table; candidate counting is the "
+    "usual band-key equi-join closed to one integer per scheme — "
+    "3-row output at any corpus size.",
+)
+def dedup_banding_tradeoff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    sig = D.minhash_signatures(
+        D.shingle_rows(docs, distinct=False)
+    ).localCheckpoint(eager=True)
+    out = None
+    for b_n, r_n in BANDING_SCHEMES:
+        stack_args = ", ".join(
+            f"{b}, concat_ws('|', {', '.join(f'm{b * r_n + r}' for r in range(r_n))})"
+            for b in range(b_n)
+        )
+        bands = sig.select(
+            "doc_id",
+            F.expr(f"stack({b_n}, {stack_args}) AS (band_id, band_key)"),
+        )
+        a = bands.select(
+            F.col("doc_id").alias("doc_a"), "band_id", "band_key"
+        )
+        b = bands.select(
+            F.col("doc_id").alias("doc_b"), "band_id", "band_key"
+        )
+        n_pairs = (
+            a.join(b, ["band_id", "band_key"])
+            .where(F.col("doc_a") < F.col("doc_b"))
+            .select("doc_a", "doc_b")
+            .distinct()
+            .agg(F.count("*").alias("n_candidate_pairs"))
+            .select(
+                F.lit(b_n).cast("integer").alias("n_bands"),
+                F.lit(r_n).cast("integer").alias("rows_per_band"),
+                "n_candidate_pairs",
+            )
+        )
+        out = n_pairs if out is None else out.unionByName(n_pairs)
+    return out

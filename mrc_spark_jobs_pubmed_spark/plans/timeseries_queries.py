@@ -934,3 +934,100 @@ def rel_ts_seasonal_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("v_u4"),
     )
+
+
+# --- cohort LTV curve --------------------------------------------------------
+
+WEEK_US = 7 * DAY_US
+
+
+@register(
+    "rel_cohort_ltv",
+    oracle=f"""
+WITH first_seen AS (
+  SELECT user_id, min(epoch_us(ts)) // {WEEK_US} AS cohort_week
+  FROM events GROUP BY user_id
+),
+purchases AS (
+  SELECT user_id, epoch_us(ts) // {WEEK_US} AS week,
+         CAST(round(value * 10000) AS BIGINT) AS v_u4
+  FROM events WHERE event_type = 'purchase'
+),
+cells AS (
+  SELECT f.cohort_week,
+         p.week - f.cohort_week AS weeks_since,
+         CAST(sum(p.v_u4) AS BIGINT) AS v_u4,
+         count(*) AS n_purchases
+  FROM purchases p JOIN first_seen f USING (user_id)
+  GROUP BY 1, 2
+),
+sizes AS (
+  SELECT cohort_week, count(*) AS cohort_users FROM first_seen
+  GROUP BY cohort_week
+)
+SELECT CAST(c.cohort_week AS BIGINT) AS cohort_week,
+       CAST(c.weeks_since AS BIGINT) AS weeks_since,
+       CAST(s.cohort_users AS BIGINT) AS cohort_users,
+       CAST(c.n_purchases AS BIGINT) AS n_purchases,
+       c.v_u4,
+       CAST(sum(c.v_u4) OVER (
+              PARTITION BY c.cohort_week ORDER BY c.weeks_since
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+            ) // s.cohort_users AS BIGINT) AS cum_ltv_per_user_u4
+FROM cells c JOIN sizes s USING (cohort_week)
+""",
+    doc="Cohort LTV curve: per signup-week cohort and weeks-since-"
+    "signup, purchase value and the CUMULATIVE lifetime value per "
+    "cohort user in exact 1e-4 units — the revenue companion to "
+    "rel_cohort_retention, and the payback-period curve growth "
+    "finance actually plans against. All integer: week bucketing is "
+    "epoch arithmetic (tz-independent), the cum sum runs over exact "
+    "BIGINTs, and the per-user close is integer division. Scale "
+    "shape: one first-seen agg on user_id whose partitioning the "
+    "purchases join reuses, a (cohort, week) cell agg on the bounded "
+    "time-grid domain, and the cumulative window runs on that "
+    "grid — constant in event volume.",
+)
+def rel_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    first_seen = ev.groupBy("user_id").agg(
+        F.expr(f"min(unix_micros(ts)) div {WEEK_US}").alias("cohort_week")
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.expr(f"unix_micros(ts) div {WEEK_US}").alias("week"),
+        F.round(F.col("value") * 10000).cast("long").alias("v_u4"),
+    )
+    cells = (
+        purchases.join(first_seen, "user_id")
+        .groupBy(
+            "cohort_week",
+            (F.col("week") - F.col("cohort_week")).alias("weeks_since"),
+        )
+        .agg(
+            F.sum("v_u4").cast("long").alias("v_u4"),
+            F.count("*").alias("n_purchases"),
+        )
+    )
+    sizes = first_seen.groupBy("cohort_week").agg(
+        F.count("*").alias("cohort_users")
+    )
+    w = (
+        Window.partitionBy("cohort_week")
+        .orderBy("weeks_since")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        cells.join(F.broadcast(sizes), "cohort_week")
+        .withColumn("cum_v", F.sum("v_u4").over(w))
+        .select(
+            F.col("cohort_week").cast("long").alias("cohort_week"),
+            F.col("weeks_since").cast("long").alias("weeks_since"),
+            F.col("cohort_users").cast("long").alias("cohort_users"),
+            F.col("n_purchases").cast("long").alias("n_purchases"),
+            "v_u4",
+            F.expr("CAST(cum_v div cohort_users AS LONG)").alias(
+                "cum_ltv_per_user_u4"
+            ),
+        )
+    )
