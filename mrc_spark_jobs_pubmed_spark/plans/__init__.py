@@ -148,6 +148,7 @@ DRIVER_WINDOW: list[str] = [
     "corpus_datacard_by_source",
     "rel_cohort_ltv",
     "dedup_banding_tradeoff",
+    "graph_hierarchy_depth",
 ]
 
 set_priority(DRIVER_WINDOW)

@@ -738,3 +738,102 @@ def graph_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_suppliers"),
     )
+
+
+# --- hierarchy traversal (transitive closure by doubling) --------------------
+
+HIER_DOUBLINGS = 4  # covers depths up to 2^4 = 16 levels
+
+
+def _hierarchy_sql() -> str:
+    ctes = [
+        """p0 AS MATERIALIZED (
+  SELECT p_partkey AS node, p_partkey // 4 AS anc,
+         CAST(round(p_retailprice * 100) AS BIGINT) AS cents
+  FROM part WHERE p_partkey >= 4
+)""",
+        "c0 AS MATERIALIZED (SELECT node, anc FROM p0)",
+    ]
+    for k in range(HIER_DOUBLINGS):
+        ctes.append(
+            f"""c{k + 1} AS MATERIALIZED (
+  SELECT node, anc FROM c{k}
+  UNION
+  SELECT a.node, b.anc FROM c{k} a JOIN c{k} b ON a.anc = b.node
+)"""
+        )
+    last = f"c{HIER_DOUBLINGS}"
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f""",
+depths AS (
+  SELECT p.p_partkey AS node,
+         CAST(round(p.p_retailprice * 100) AS BIGINT) AS cents,
+         coalesce(d.n_anc, 0) + 1 AS depth
+  FROM part p LEFT JOIN (
+    SELECT node, count(*) AS n_anc FROM {last} GROUP BY node
+  ) d ON d.node = p.p_partkey
+)
+SELECT CAST(depth AS BIGINT) AS depth,
+       count(*) AS n_nodes,
+       CAST(sum(cents) AS BIGINT) AS cents_at_depth
+FROM depths
+GROUP BY depth
+"""
+    )
+
+
+@register(
+    "graph_hierarchy_depth",
+    oracle=_hierarchy_sql(),
+    doc="Hierarchy traversal — transitive closure by DOUBLING over a "
+    "deterministic part tree (parent = id div 4): per-depth node "
+    "counts and exact-cents value, i.e. the WITH RECURSIVE workload "
+    "(org charts, bill-of-materials explosions, category trees) that "
+    "Spark has no recursive CTE for, expressed as {k} unrolled "
+    "doubling joins — R_next = R UNION R compose R — so {k} rounds "
+    "cover 2^{k} levels where naive one-step expansion needs one join "
+    "PER LEVEL (the doubling trick is what makes deep hierarchies "
+    "tractable: depth-1000 chains in 10 rounds). Closure size is "
+    "nodes x depth (linear in practice), every row an integer pair; "
+    "lineage cut per round. The DuckDB oracle runs the identical "
+    "doubling (MATERIALIZED — the multi-consumer CTE lesson) rather "
+    "than WITH RECURSIVE, so both engines compute the same fixpoint "
+    "the same way.".format(k=HIER_DOUBLINGS),
+)
+def graph_hierarchy_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, "part", sf_dir)
+    base = part.select(
+        F.col("p_partkey").alias("node"),
+        F.round(F.col("p_retailprice") * 100).cast("long").alias("cents"),
+    )
+    closure = (
+        part.where(F.col("p_partkey") >= 4)
+        .select(
+            F.col("p_partkey").alias("node"),
+            F.expr("p_partkey div 4").alias("anc"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(HIER_DOUBLINGS):
+        hop = (
+            closure.alias("a")
+            .join(
+                closure.alias("b"),
+                F.col("a.anc") == F.col("b.node"),
+            )
+            .select(F.col("a.node").alias("node"), F.col("b.anc").alias("anc"))
+        )
+        closure = (
+            closure.unionByName(hop).distinct().localCheckpoint(eager=True)
+        )
+    n_anc = closure.groupBy("node").agg(F.count("*").alias("n_anc"))
+    depths = base.join(n_anc, "node", "left").select(
+        "cents",
+        (F.coalesce("n_anc", F.lit(0)) + 1).cast("long").alias("depth"),
+    )
+    return depths.groupBy("depth").agg(
+        F.count("*").alias("n_nodes"),
+        F.sum("cents").cast("long").alias("cents_at_depth"),
+    )
