@@ -397,3 +397,48 @@ def test_heartbeat_gaps_stream_equals_batch(spark, tmp_path):
         for r in rel_heartbeat_gaps(spark, SF).collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_cdc_apply_resumes_from_checkpoint(spark, tmp_path):
+    """Kill-and-restart recovery: the CDC apply must resume from its
+    checkpoint — files that arrive after a stop are merged on restart
+    (same checkpoint, same state path) and the final serving table
+    equals the batch full-replay. This is the A5 skip-if-exists resume
+    contract, upgraded to exactly-once by the streaming checkpoint."""
+    import os
+
+    src = str(tmp_path / "cdcr_src")
+    os.makedirs(src)
+    ev = _batch_events(spark)
+    half = ev.agg(F.expr("percentile(event_id, 0.5)")).collect()[0][0]
+    ev.where(F.col("event_id") <= half).coalesce(1).write.parquet(
+        f"{src}/part0"
+    )
+    out = str(tmp_path / "cdcr_serving")
+    ckpt = str(tmp_path / "cdcr_ckpt")
+
+    def _start():
+        stream = (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", "1")
+            .option("recursiveFileLookup", "true")
+            .parquet(src)
+        )
+        return J.run_cdc_apply_to_files(stream, out, ckpt)
+
+    q = _start()
+    _drain(q)  # first half processed, query STOPPED
+    ev.where(F.col("event_id") > half).coalesce(1).write.parquet(
+        f"{src}/part1"
+    )
+    q2 = _start()  # restart against the same checkpoint
+    _drain(q2)
+    got = {
+        (r.user_id): (r.t_us, r.event_id, r.last_type, r.v_u4)
+        for r in spark.read.parquet(out).collect()
+    }
+    want = {
+        (r.user_id): (r.t_us, r.event_id, r.last_type, r.v_u4)
+        for r in J.cdc_apply_batch(ev).collect()
+    }
+    assert got == want and len(got) > 0
