@@ -340,7 +340,7 @@ def kmeans_centroids(
     cents = (
         e.orderBy("vec_id")
         .limit(k)
-        .select(F.col("vec_id").cast("int").alias("cid"), F.col("v").alias("c"))
+        .select(F.col("vec_id").cast("long").alias("cid"), F.col("v").alias("c"))
     )
     for _ in range(iters):
         assigned = (

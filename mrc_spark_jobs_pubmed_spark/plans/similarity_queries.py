@@ -321,7 +321,7 @@ def _kmeans_assign_ctes() -> str:
     ctes = [
         "e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)",
         f"et AS (SELECT * FROM e WHERE vec_id % {KMEANS_TRAIN_MOD} = 0)",
-        f"c0 AS (SELECT CAST(vec_id AS INT) AS cid, v AS c FROM et ORDER BY vec_id LIMIT {KMEANS_K})",
+        f"c0 AS (SELECT CAST(vec_id AS BIGINT) AS cid, v AS c FROM et ORDER BY vec_id LIMIT {KMEANS_K})",
     ]
     for it in range(KMEANS_ITERS):
         ctes.append(
@@ -416,7 +416,7 @@ def _pq_subspace_ctes(m: int) -> tuple[list[str], str]:
         f"e{s} AS (SELECT vec_id, (CAST(embedding AS DOUBLE[]))[{lo}:{hi}] AS v"
         " FROM embeddings)",
         f"et{s} AS (SELECT * FROM e{s} WHERE vec_id % {PQ_TRAIN_MOD} = 0)",
-        f"c0{s} AS (SELECT CAST(vec_id AS INT) AS cid, v AS c FROM et{s}"
+        f"c0{s} AS (SELECT CAST(vec_id AS BIGINT) AS cid, v AS c FROM et{s}"
         f" ORDER BY vec_id LIMIT {PQ_K})",
     ]
     for it in range(PQ_ITERS):
@@ -580,7 +580,7 @@ def _adc_scores(emb: DataFrame):
         subs_t.select("vec_id").distinct().orderBy("vec_id").limit(PQ_K)
     )
     cents = subs_t.join(F.broadcast(init_ids), "vec_id").select(
-        "m", F.col("vec_id").cast("int").alias("cid"), F.col("sv").alias("c")
+        "m", F.col("vec_id").cast("long").alias("cid"), F.col("sv").alias("c")
     )
     for _ in range(PQ_ITERS):
         assigned = (
@@ -1001,7 +1001,7 @@ def _coarse_ctes() -> list[str]:
     ctes = [
         "e_g AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)",
         f"et_g AS (SELECT * FROM e_g WHERE vec_id % {KMEANS_TRAIN_MOD} = 0)",
-        f"c0_g AS (SELECT CAST(vec_id AS INT) AS cid, v AS c FROM et_g"
+        f"c0_g AS (SELECT CAST(vec_id AS BIGINT) AS cid, v AS c FROM et_g"
         f" ORDER BY vec_id LIMIT {KMEANS_K})",
     ]
     for it in range(KMEANS_ITERS):
