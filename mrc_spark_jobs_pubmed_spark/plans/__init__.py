@@ -149,6 +149,17 @@ DRIVER_WINDOW: list[str] = [
     "rel_cohort_ltv",
     "dedup_banding_tradeoff",
     "graph_hierarchy_depth",
+    # round-4c additions (same next-in-line policy)
+    "rel_ewma_smoothing",
+    "rel_bitmap_distinct",
+    "rel_item_item_cf",
+    "rel_budget_allocation",
+    "graph_weighted_sssp",
+    "graph_modularity",
+    "text_textrank_keywords",
+    "mm_phash_neardup",
+    "emb_dim_variance",
+    "corpus_prefix_dup",
 ]
 
 set_priority(DRIVER_WINDOW)

@@ -1402,3 +1402,66 @@ def corpus_datacard_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("dup_rate_u6"),
         )
     )
+
+
+# --- duplicated-prefix detection --------------------------------------------
+
+PREFIX_W = 10  # tokens in the prefix key
+
+
+@register(
+    "corpus_prefix_dup",
+    oracle=f"""
+WITH pref AS (
+  SELECT doc_id, n_chars,
+         md5(coalesce(array_to_string(
+           list_filter(string_split_regex(trim(text), '\\s+'),
+                       t -> length(t) > 0)[1:{PREFIX_W}], ' '), ''))
+           AS prefix_hash
+  FROM documents
+)
+SELECT prefix_hash,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       min(doc_id) AS canonical_id,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars
+FROM pref
+GROUP BY prefix_hash
+HAVING count(*) >= 2
+""",
+    doc=f"Duplicated-prefix detection: docs grouped by the md5 of their "
+    f"first {PREFIX_W} whitespace tokens — the crawl-artifact signature "
+    "(boilerplate headers, template openings, truncated re-crawls of "
+    "the same page) that exact dedup misses when tails differ and "
+    "MinHash under-weights because the overlap is positional, not "
+    "global. Reports each prefix clone group with its canonical "
+    "(min-id) member and the bytes at stake; composition: feed "
+    "canonical_id to the keep-best apply exactly as dedup_exact "
+    "groups. Scale shape: a zero-shuffle prefix-key projection (the "
+    "prefix needs only the first ~100 bytes of each doc — a columnar "
+    "scan reads just that) + ONE hash-agg shuffling 16-byte keys "
+    "with map-side partials; the HAVING filter makes output "
+    "clone-groups only.",
+)
+def corpus_prefix_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    pref = docs.select(
+        "doc_id",
+        "n_chars",
+        F.md5(
+            F.coalesce(
+                F.array_join(
+                    F.slice(tokens_col(F.col("text")), 1, PREFIX_W), " "
+                ),
+                F.lit(""),
+            )
+        ).alias("prefix_hash"),
+    )
+    return (
+        pref.groupBy("prefix_hash")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.min("doc_id").alias("canonical_id"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+        )
+        .where(F.col("n_docs") >= 2)
+    )

@@ -1871,3 +1871,261 @@ def rel_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("lift_u6"), "part_a", "part_b")
         .limit(BASKET_TOP)
     )
+
+
+# --- bitmap-index distinct counting -----------------------------------------
+
+DAY_US = 86_400_000_000
+
+
+@register(
+    "rel_bitmap_distinct",
+    oracle=f"""
+WITH bits AS (
+  SELECT epoch_us(ts) // {DAY_US} AS day,
+         user_id // 64 AS word_id,
+         -- UBIGINT: DuckDB's signed << faults on bit 63; Spark's
+         -- shiftleft wraps to the sign bit instead. Only popcounts are
+         -- output, so the representations need not match bit-for-bit.
+         bit_or(CAST(1 AS UBIGINT) << CAST(user_id % 64 AS INTEGER)) AS bm
+  FROM events
+  GROUP BY 1, 2
+)
+SELECT CAST(day AS BIGINT) AS day,
+       CAST(count(*) AS BIGINT) AS n_words,
+       CAST(sum(bit_count(bm)) AS BIGINT) AS n_users_bitmap
+FROM bits
+GROUP BY day
+""",
+    doc="EXACT distinct-user counts per day via bitmap aggregation (the "
+    "roaring/ClickHouse groupBitmap idiom): user ids bucket into 64-bit "
+    "words (word = id div 64), each word OR-accumulates 1<<(id mod 64), "
+    "and the distinct count is the popcount sum — an exact distinct "
+    "that, unlike COUNT(DISTINCT), is RE-AGGREGABLE: daily bitmaps OR "
+    "into weekly/monthly rollups without rescanning events, which is "
+    "how a 100 TB events store serves distinct-count dashboards. Both "
+    "the OR and the popcount are bitwise (order-independent, no float "
+    "anywhere). Scale shape: one partial-aggregating shuffle on "
+    "(day, word) — map-side OR collapses each partition to at most "
+    "|active id-range|/64 words before the exchange — then a narrow "
+    "day rollup; 8 bytes per 64 users versus the full id list a "
+    "COUNT(DISTINCT) repartition ships.",
+)
+def rel_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # one shared sketch-build with the streaming maintainer
+    # (streaming/jobs.py run_bitmap_distinct_to_files), so the replay
+    # test proves stream == batch on the identical code path
+    from mrc_spark_jobs_pubmed_spark.streaming.jobs import (
+        bitmap_distinct_rollup,
+        bitmap_words,
+    )
+
+    ev = load_table(spark, "events", sf_dir)
+    return bitmap_distinct_rollup(bitmap_words(ev))
+
+
+# --- item-item collaborative filtering --------------------------------------
+
+CF_TOP_NEIGHBORS = 3
+
+
+@register(
+    "rel_item_item_cf",
+    oracle=f"""
+WITH items AS (
+  SELECT DISTINCT l_orderkey AS ord, l_partkey AS part FROM lineitem
+),
+part_n AS (SELECT part, count(*) AS n FROM items GROUP BY part),
+pairs AS (
+  SELECT a.part AS part_a, b.part AS part_b, count(*) AS n_both
+  FROM items a JOIN items b ON a.ord = b.ord AND a.part < b.part
+  GROUP BY a.part, b.part
+),
+sym AS (
+  SELECT part_a AS part, part_b AS neighbor, n_both FROM pairs
+  UNION ALL
+  SELECT part_b AS part, part_a AS neighbor, n_both FROM pairs
+),
+scored AS (
+  SELECT s.part, s.neighbor,
+         CAST(s.n_both AS BIGINT) AS n_both,
+         CAST((s.n_both * s.n_both * 1000000) // (np.n * nn.n) AS BIGINT)
+           AS cos2_u6
+  FROM sym s
+  JOIN part_n np ON np.part = s.part
+  JOIN part_n nn ON nn.part = s.neighbor
+)
+SELECT part, neighbor, n_both, cos2_u6, CAST(rnk AS BIGINT) AS rnk
+FROM (
+  SELECT *, row_number() OVER (
+           PARTITION BY part
+           ORDER BY cos2_u6 DESC, n_both DESC, neighbor
+         ) AS rnk
+  FROM scored
+) WHERE rnk <= {CF_TOP_NEIGHBORS}
+""",
+    doc="Item-item collaborative filtering (the 'customers also bought' "
+    "serving table): binary item co-occurrence over orders scored by "
+    "SQUARED cosine n_both^2/(n_a*n_b) in exact 1e-6 integer units — "
+    "squaring keeps the Ochiai/cosine ORDERING while avoiding a "
+    "float sqrt, so the per-item top-" f"{CF_TOP_NEIGHBORS} "
+    "neighbor list is bit-reproducible (ties close by support then "
+    "neighbor id). Differs from rel_basket_lift in output contract: "
+    "this is the dense per-item serving table a recommender reads at "
+    "request time, not a global rule list. Scale shape: pair fan-out "
+    "is C(items-per-order, 2) x orders — linear in orders with "
+    "TPC-H's bounded basket size; marginals broadcast; the per-item "
+    "rank partitions by item. Overflow: n_both^2*1e6 needs n_both < "
+    "3e6 (co-order count of ONE pair), far above any real "
+    "co-purchase density; beyond that the two-step div idiom "
+    "(rel_revenue_pareto) applies.",
+)
+def rel_item_item_cf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, "lineitem", sf_dir)
+    items = li.select(
+        F.col("l_orderkey").alias("ord"), F.col("l_partkey").alias("part")
+    ).distinct()
+    part_n = items.groupBy("part").agg(F.count("*").alias("n"))
+    a = items.select("ord", F.col("part").alias("part_a"))
+    b = items.select("ord", F.col("part").alias("part_b"))
+    pairs = (
+        a.join(b, "ord")
+        .where(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count("*").alias("n_both"))
+    )
+    sym = pairs.select(
+        F.col("part_a").alias("part"),
+        F.col("part_b").alias("neighbor"),
+        "n_both",
+    ).unionByName(
+        pairs.select(
+            F.col("part_b").alias("part"),
+            F.col("part_a").alias("neighbor"),
+            "n_both",
+        )
+    )
+    np_ = F.broadcast(
+        part_n.select(F.col("part"), F.col("n").alias("n_p"))
+    )
+    nn_ = F.broadcast(
+        part_n.select(F.col("part").alias("neighbor"), F.col("n").alias("n_n"))
+    )
+    scored = (
+        sym.join(np_, "part")
+        .join(nn_, "neighbor")
+        .select(
+            "part",
+            "neighbor",
+            F.col("n_both").cast("long").alias("n_both"),
+            F.expr(
+                "CAST((n_both * n_both * 1000000) div (n_p * n_n) AS LONG)"
+            ).alias("cos2_u6"),
+        )
+    )
+    w = Window.partitionBy("part").orderBy(
+        F.desc("cos2_u6"), F.desc("n_both"), "neighbor"
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .where(F.col("rnk") <= CF_TOP_NEIGHBORS)
+    )
+
+
+# --- largest-remainder proportional allocation ------------------------------
+
+ALLOC_BUDGET = 10_000  # basis points to distribute
+
+
+@register(
+    "rel_budget_allocation",
+    oracle=f"""
+WITH w AS (
+  SELECT c.c_nationkey AS nationkey,
+         CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS cents
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+  GROUP BY c.c_nationkey
+),
+tot AS (SELECT CAST(sum(cents) AS BIGINT) AS total FROM w),
+base AS (
+  SELECT nationkey, cents,
+         ({ALLOC_BUDGET} * cents) // total AS base_alloc,
+         ({ALLOC_BUDGET} * cents) % total AS rem
+  FROM w CROSS JOIN tot
+),
+leftover AS (
+  SELECT {ALLOC_BUDGET} - sum(base_alloc) AS k FROM base
+)
+SELECT n.n_name AS nation, b.cents,
+       CAST(b.base_alloc AS BIGINT) AS base_alloc,
+       CAST(CASE WHEN row_number() OVER (ORDER BY b.rem DESC, b.nationkey)
+                 <= (SELECT k FROM leftover) THEN 1 ELSE 0 END AS BIGINT)
+         AS extra,
+       CAST(b.base_alloc
+            + CASE WHEN row_number() OVER (ORDER BY b.rem DESC, b.nationkey)
+                   <= (SELECT k FROM leftover) THEN 1 ELSE 0 END AS BIGINT)
+         AS alloc_bp
+FROM base b JOIN nation n ON n.n_nationkey = b.nationkey
+""",
+    doc="Proportional budget allocation by the largest-remainder "
+    "(Hamilton) method: " f"{ALLOC_BUDGET} " "basis points split across "
+    "nations by exact-cents revenue weight — floor shares first, then "
+    "the undistributed units go to the largest remainders (ties by "
+    "key), so the allocations RECONCILE EXACTLY to the budget, the "
+    "property every finance allocation (cost attribution, quota "
+    "split, index weighting) must have and naive rounding does not. "
+    "Same exact-integer split-with-remainder contract as "
+    "rel_multitouch_attribution, promoted to a standalone operator. "
+    "Scale shape: one orders-sized agg keyed by nation (map-side "
+    "partials), then all remainder logic runs on the nation-domain "
+    "table with a 1-row broadcast total; the budget*weight product "
+    "stays in int64 up to ~1e14 revenue cents — beyond that the "
+    "two-step div idiom applies.",
+)
+def rel_budget_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, "orders", sf_dir)
+    cust = load_table(spark, "customer", sf_dir)
+    nation = load_table(spark, "nation", sf_dir)
+    w = (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .groupBy(F.col("c_nationkey").alias("nationkey"))
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+            .cast("long")
+            .alias("cents")
+        )
+    )
+    tot = w.agg(F.sum("cents").cast("long").alias("total"))
+    base = w.crossJoin(F.broadcast(tot)).select(
+        "nationkey",
+        "cents",
+        F.expr(f"({ALLOC_BUDGET} * cents) div total").alias("base_alloc"),
+        F.expr(f"({ALLOC_BUDGET} * cents) % total").alias("rem"),
+    )
+    leftover = base.agg(
+        (F.lit(ALLOC_BUDGET) - F.sum("base_alloc")).alias("k")
+    )
+    ranked = base.crossJoin(F.broadcast(leftover)).withColumn(
+        "rn", F.row_number().over(Window.orderBy(F.desc("rem"), "nationkey"))
+    )
+    return (
+        ranked.join(
+            F.broadcast(nation), ranked.nationkey == nation.n_nationkey
+        )
+        .select(
+            F.col("n_name").alias("nation"),
+            "cents",
+            F.col("base_alloc").cast("long").alias("base_alloc"),
+            F.when(F.col("rn") <= F.col("k"), 1)
+            .otherwise(0)
+            .cast("long")
+            .alias("extra"),
+            (
+                F.col("base_alloc")
+                + F.when(F.col("rn") <= F.col("k"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("alloc_bp"),
+        )
+    )

@@ -366,13 +366,15 @@ def graph_bfs_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
 LPA_ITERS = 3
 
 
-def _lpa_sql() -> str:
+def _lpa_sql_ctes() -> list[str]:
+    """The shared LPA unroll (edge build + LPA_ITERS label rounds) —
+    composed by both the community histogram and the modularity oracle."""
     ctes = [
-        """e0 AS (
+        """e0 AS MATERIALIZED (
   SELECT DISTINCT o_custkey AS src, l_suppkey + 10000000 AS dst
   FROM lineitem JOIN orders ON l_orderkey = o_orderkey
 )""",
-        "edges AS (SELECT src, dst FROM e0"
+        "edges AS MATERIALIZED (SELECT src, dst FROM e0"
         " UNION ALL SELECT dst AS src, src AS dst FROM e0)",
         "nodes AS (SELECT DISTINCT src AS node FROM edges)",
         "l0 AS (SELECT node, node AS lbl FROM nodes)",
@@ -386,7 +388,7 @@ def _lpa_sql() -> str:
 )"""
         )
         ctes.append(
-            f"""l{it + 1} AS (
+            f"""l{it + 1} AS MATERIALIZED (
   SELECT node, lbl FROM (
     SELECT node, lbl,
            row_number() OVER (PARTITION BY node ORDER BY c DESC, lbl) AS rn
@@ -394,9 +396,13 @@ def _lpa_sql() -> str:
   ) WHERE rn = 1
 )"""
         )
+    return ctes
+
+
+def _lpa_sql() -> str:
     return (
         "WITH "
-        + ",\n".join(ctes)
+        + ",\n".join(_lpa_sql_ctes())
         + f"""
 SELECT lbl AS community,
        count(*) AS n_members,
@@ -431,6 +437,22 @@ GROUP BY lbl
     "round (the Pregel idiom, as in graph_pagerank).",
 )
 def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _, labels = _lpa_labels(spark, sf_dir)
+    return labels.groupBy(F.col("lbl").alias("community")).agg(
+        F.count("*").alias("n_members"),
+        F.sum(F.when(F.col("node") < _SUPP_OFFSET, 1).otherwise(0))
+        .cast("long")
+        .alias("n_customers"),
+        F.sum(F.when(F.col("node") >= _SUPP_OFFSET, 1).otherwise(0))
+        .cast("long")
+        .alias("n_suppliers"),
+    )
+
+
+def _lpa_labels(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    """(edges, labels) after LPA_ITERS synchronous rounds — shared by
+    graph_label_propagation (community histogram) and
+    graph_modularity (partition-quality score)."""
     li = load_table(spark, "lineitem", sf_dir)
     orders = load_table(spark, "orders", sf_dir)
     e0 = (
@@ -479,15 +501,7 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("node", F.col("m.lbl").alias("lbl"))
             .localCheckpoint(eager=True)
         )
-    return labels.groupBy(F.col("lbl").alias("community")).agg(
-        F.count("*").alias("n_members"),
-        F.sum(F.when(F.col("node") < _SUPP_OFFSET, 1).otherwise(0))
-        .cast("long")
-        .alias("n_customers"),
-        F.sum(F.when(F.col("node") >= _SUPP_OFFSET, 1).otherwise(0))
-        .cast("long")
-        .alias("n_suppliers"),
-    )
+    return edges, labels
 
 
 # --- k-core decomposition (fixed-round peeling) -----------------------------
@@ -836,4 +850,216 @@ def graph_hierarchy_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
     return depths.groupBy("depth").agg(
         F.count("*").alias("n_nodes"),
         F.sum("cents").cast("long").alias("cents_at_depth"),
+    )
+
+
+# --- weighted single-source shortest paths (Bellman-Ford rounds) ------------
+
+SSSP_ROUNDS = 3
+SSSP_TOP = 30
+
+
+def _sssp_sql() -> str:
+    ctes = [
+        """we AS MATERIALIZED (
+  SELECT o_custkey AS src, l_suppkey + 10000000 AS dst,
+         CAST(min(l_quantity) AS BIGINT) AS w
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  GROUP BY 1, 2
+)""",
+        "edges AS MATERIALIZED (SELECT src, dst, w FROM we"
+        " UNION ALL SELECT dst AS src, src AS dst, w FROM we)",
+        "s0 AS (SELECT min(src) AS root FROM edges)",
+        "d0 AS (SELECT root AS node, CAST(0 AS BIGINT) AS dist FROM s0)",
+    ]
+    for it in range(SSSP_ROUNDS):
+        ctes.append(
+            f"""d{it + 1} AS MATERIALIZED (
+  SELECT node, min(dist) AS dist FROM (
+    SELECT node, dist FROM d{it}
+    UNION ALL
+    SELECT e.dst AS node, d.dist + e.w AS dist
+    FROM d{it} d JOIN edges e ON e.src = d.node
+  ) GROUP BY node
+)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+SELECT node,
+       CASE WHEN node >= {_SUPP_OFFSET} THEN 'supplier' ELSE 'customer' END
+         AS node_type,
+       dist AS dist_qty
+FROM d{SSSP_ROUNDS}
+ORDER BY dist_qty, node
+LIMIT {SSSP_TOP}
+"""
+    )
+
+
+@register(
+    "graph_weighted_sssp",
+    oracle=_sssp_sql(),
+    doc=f"Weighted single-source shortest paths ({SSSP_ROUNDS} "
+    "Bellman-Ford relaxation rounds) from the minimum-id customer over "
+    "the undirected trade graph, edge weight = min line quantity on "
+    "the customer-supplier relation — all-integer distances, and min() "
+    "is order-independent, so every round is bit-reproducible on any "
+    "engine or partitioning (the graph_pagerank argument, with min "
+    "instead of fixed-point sums). The frontier table stays SPARSE: "
+    "only reached nodes carry rows, so round k shuffles "
+    "|reached_k| + |edges touched|, not |V| — on a 100 TB graph the "
+    "early rounds are near-free and cost tracks the expanding "
+    "frontier, the standard iterative-SSSP shape (Pregel/GraphX "
+    "ShortestPaths) done as joins. Edge list is hash-partitioned on "
+    "src and reused across rounds with lineage cut per round; top-k "
+    "close is TakeOrderedAndProject.",
+)
+def graph_weighted_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, "lineitem", sf_dir)
+    orders = load_table(spark, "orders", sf_dir)
+    we = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy(
+            F.col("o_custkey").alias("src"),
+            (F.col("l_suppkey") + _SUPP_OFFSET).alias("dst"),
+        )
+        .agg(F.min("l_quantity").cast("long").alias("w"))
+    )
+    edges = (
+        we.unionByName(
+            we.select(
+                F.col("dst").alias("src"), F.col("src").alias("dst"), "w"
+            )
+        )
+        .repartition("src")
+        .localCheckpoint(eager=True)
+    )
+    dist = (
+        edges.agg(F.min("src").alias("node"))
+        .select("node", F.lit(0).cast("long").alias("dist"))
+    )
+    for _ in range(SSSP_ROUNDS):
+        relaxed = (
+            dist.join(edges, dist.node == edges.src)
+            .select(F.col("dst").alias("node"), (F.col("dist") + F.col("w")).alias("dist"))
+        )
+        dist = (
+            dist.unionByName(relaxed)
+            .groupBy("node")
+            .agg(F.min("dist").alias("dist"))
+            .localCheckpoint(eager=True)
+        )
+    return (
+        dist.select(
+            "node",
+            F.when(F.col("node") >= _SUPP_OFFSET, "supplier")
+            .otherwise("customer")
+            .alias("node_type"),
+            F.col("dist").alias("dist_qty"),
+        )
+        .orderBy("dist_qty", "node")
+        .limit(SSSP_TOP)
+    )
+
+
+# --- modularity of the LPA partition ----------------------------------------
+
+MOD_TOP = 20
+
+
+def _modularity_sql() -> str:
+    ctes = _lpa_sql_ctes() + [
+        f"lab AS MATERIALIZED (SELECT node, lbl FROM l{LPA_ITERS})",
+        "m AS (SELECT count(*) AS m_edges FROM e0)",
+        "deg AS (SELECT src, count(*) AS d FROM edges GROUP BY src)",
+        """comm AS (
+  SELECT l.lbl AS community, count(*) AS n_members,
+         CAST(sum(d.d) AS BIGINT) AS deg_sum
+  FROM lab l JOIN deg d ON d.src = l.node
+  GROUP BY l.lbl
+)""",
+        """internal AS (
+  SELECT la.lbl AS community, count(*) // 2 AS e_in
+  FROM edges e
+  JOIN lab la ON la.node = e.src
+  JOIN lab lb ON lb.node = e.dst AND lb.lbl = la.lbl
+  GROUP BY la.lbl
+)""",
+    ]
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+SELECT c.community,
+       CAST(c.n_members AS BIGINT) AS n_members,
+       CAST(coalesce(i.e_in, 0) AS BIGINT) AS e_in,
+       c.deg_sum,
+       CAST((coalesce(i.e_in, 0) * 1000000000) // m.m_edges
+            - ((c.deg_sum * 1000000 // (2 * m.m_edges))
+               * (c.deg_sum * 1000 // (2 * m.m_edges))) AS BIGINT)
+         AS q_contrib_u9
+FROM comm c LEFT JOIN internal i USING (community) CROSS JOIN m
+ORDER BY n_members DESC, community
+LIMIT {MOD_TOP}
+"""
+    )
+
+
+@register(
+    "graph_modularity",
+    oracle=_modularity_sql(),
+    doc="Newman modularity of the LPA community partition, per community "
+    "in exact 1e-9 integer units: Q_c = e_in/m - (d_c/2m)^2, with the "
+    "square computed as the PRODUCT OF TWO INTEGER-DIVIDED FRACTIONS "
+    "(d_c*1e6 div 2m) * (d_c*1e3 div 2m) — both factors bounded by "
+    "1e6/1e3 so the product never leaves int64 at ANY graph size "
+    "(d_c^2 alone overflows at ~3e9 edges), and every step is "
+    "engine- and partitioning-independent integer arithmetic. The "
+    "quality contract for graph_label_propagation — the same "
+    "measured-not-assumed discipline as sim_ann_recall / "
+    "emb_cluster_purity, applied to graph clustering. Scale shape: "
+    "reuses the LPA rounds, then degree and membership aggs on "
+    "node-domain tables, internal-edge count via two broadcast label "
+    "joins over the edge list (one edge-sized pass), community "
+    "rollup on the community domain.",
+)
+def graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    edges, labels = _lpa_labels(spark, sf_dir)
+    m = edges.agg(F.expr("count(*) div 2").alias("m_edges"))
+    deg = edges.groupBy("src").agg(F.count("*").alias("d"))
+    comm = (
+        labels.join(deg, labels.node == deg.src)
+        .groupBy(F.col("lbl").alias("community"))
+        .agg(
+            F.count("*").alias("n_members"),
+            F.sum("d").cast("long").alias("deg_sum"),
+        )
+    )
+    la = labels.select(F.col("node").alias("src"), F.col("lbl").alias("l_a"))
+    lb = labels.select(F.col("node").alias("dst"), F.col("lbl").alias("l_b"))
+    internal = (
+        edges.join(F.broadcast(la), "src")
+        .join(F.broadcast(lb), "dst")
+        .where(F.col("l_a") == F.col("l_b"))
+        .groupBy(F.col("l_a").alias("community"))
+        .agg(F.expr("count(*) div 2").alias("e_in"))
+    )
+    return (
+        comm.join(internal, "community", "left")
+        .crossJoin(F.broadcast(m))
+        .select(
+            "community",
+            F.col("n_members").cast("long").alias("n_members"),
+            F.coalesce("e_in", F.lit(0)).cast("long").alias("e_in"),
+            "deg_sum",
+            F.expr(
+                "CAST((coalesce(e_in, 0) * 1000000000) div m_edges"
+                " - ((deg_sum * 1000000 div (2 * m_edges))"
+                "    * (deg_sum * 1000 div (2 * m_edges))) AS LONG)"
+            ).alias("q_contrib_u9"),
+        )
+        .orderBy(F.desc("n_members"), "community")
+        .limit(MOD_TOP)
     )

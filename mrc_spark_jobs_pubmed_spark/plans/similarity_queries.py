@@ -1947,3 +1947,91 @@ def emb_knn_label_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("accuracy_u6"),
         )
     )
+
+
+# --- per-dimension embedding statistics profile ------------------------------
+
+
+@register(
+    "emb_dim_variance",
+    oracle="""
+WITH elems AS (
+  SELECT t.i AS dim,
+         CAST(round(CAST(embedding[t.i] AS DOUBLE) * 1000000) AS BIGINT)
+           AS q6,
+         CAST(round(CAST(embedding[t.i] AS DOUBLE) * 1000) AS BIGINT) AS q3
+  FROM embeddings CROSS JOIN range(1, 65) t(i)
+),
+means AS (
+  SELECT dim, count(*) AS n,
+         CAST(sum(q6) AS BIGINT) AS s6,
+         CAST(sum(q3) AS BIGINT) AS s3
+  FROM elems GROUP BY dim
+),
+m AS (
+  SELECT dim, n, s6, s3,
+         CASE WHEN s6 < 0 THEN -((-s6) // n) ELSE s6 // n END AS m6,
+         CASE WHEN s3 < 0 THEN -((-s3) // n) ELSE s3 // n END AS m3
+  FROM means
+),
+centered AS (
+  SELECT e.dim, CAST(sum((e.q3 - m.m3) * (e.q3 - m.m3)) AS BIGINT) AS ss
+  FROM elems e JOIN m ON m.dim = e.dim
+  GROUP BY e.dim
+)
+SELECT m.dim AS dim,
+       CAST(m.n AS BIGINT) AS n_vecs,
+       m.m6 AS mean_u6,
+       CAST(c.ss // m.n AS BIGINT) AS var_u6
+FROM m JOIN centered c USING (dim)
+""",
+    doc="Per-dimension embedding mean and variance in exact integer "
+    "units — the encoder-health profile (dead dimensions, scale "
+    "drift, variance collapse) run before trusting an embedding "
+    "column for dedup or retrieval. Variance is computed from "
+    "CENTERED 1e-3-unit moments — subtract the exact integer mean, "
+    "then square — because uncentered second moments of 1e-6-unit "
+    "sums overflow int64 at corpus scale (the rel_ts_correlation "
+    "lesson); centered sums stay ~1e14 at 100x this volume, and "
+    "variance lands in (1e-3)^2 = 1e-6 units via one nonnegative "
+    "integer division. Scale shape: one posexplode + a 64-row "
+    "mean table broadcast back into the centered pass — two scans "
+    "of the embedding column, zero non-agg shuffles, 64 rows out "
+    "at any corpus size.",
+)
+def emb_dim_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, "embeddings", sf_dir)
+    elems = emb.select(F.posexplode("embedding").alias("pos0", "e")).select(
+        (F.col("pos0") + 1).alias("dim"),
+        F.round(F.col("e") * 1e6).cast("long").alias("q6"),
+        F.round(F.col("e") * 1e3).cast("long").alias("q3"),
+    )
+    means = elems.groupBy("dim").agg(
+        F.count("*").alias("n"),
+        F.sum("q6").cast("long").alias("s6"),
+        F.sum("q3").cast("long").alias("s3"),
+    )
+    m = means.select(
+        "dim",
+        "n",
+        F.expr("s6 div n").alias("m6"),
+        F.expr("s3 div n").alias("m3"),
+    )
+    centered = (
+        elems.join(F.broadcast(m), "dim")
+        .groupBy("dim")
+        .agg(
+            F.sum((F.col("q3") - F.col("m3")) * (F.col("q3") - F.col("m3")))
+            .cast("long")
+            .alias("ss")
+        )
+    )
+    return (
+        m.join(centered, "dim")
+        .select(
+            F.col("dim").cast("long").alias("dim"),
+            F.col("n").cast("long").alias("n_vecs"),
+            F.col("m6").alias("mean_u6"),
+            F.expr("ss div n").alias("var_u6"),
+        )
+    )

@@ -1139,3 +1139,140 @@ def text_hashing_vectorizer(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id", "bucket")
         .agg(F.count("*").alias("n"))
     )
+
+
+# --- TextRank keyword extraction --------------------------------------------
+
+TEXTRANK_ITERS = 3
+TEXTRANK_TOP = 20
+TEXTRANK_MIN_LEN = 4  # content-word gate; composition point for stopwords
+
+
+def _textrank_sql() -> str:
+    ctes = [
+        f"""toks AS (
+  SELECT doc_id, {_dedup_tokens_sql('text')} AS toks FROM documents
+)""",
+        f"""pairs AS (
+  SELECT least(a, b) AS u, greatest(a, b) AS v FROM (
+    SELECT string_split(gram, ' ')[1] AS a, string_split(gram, ' ')[2] AS b
+    FROM (
+      SELECT unnest(list_filter(list_transform(toks,
+               (x, i) -> CASE WHEN i + 1 <= len(toks)
+                              THEN x || ' ' || toks[i + 1] END),
+               s -> s IS NOT NULL)) AS gram
+      FROM toks
+    )
+  )
+  WHERE length(a) >= {TEXTRANK_MIN_LEN} AND length(b) >= {TEXTRANK_MIN_LEN}
+        AND a <> b
+)""",
+        "e0 AS MATERIALIZED (SELECT DISTINCT u, v FROM pairs)",
+        "edges AS MATERIALIZED (SELECT u AS src, v AS dst FROM e0"
+        " UNION ALL SELECT v AS src, u AS dst FROM e0)",
+        "deg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY src)",
+        "n AS (SELECT count(*) AS n_nodes FROM deg)",
+        "r0 AS (SELECT src AS node, 1000000000000 // n_nodes AS r"
+        " FROM deg CROSS JOIN n)",
+        "base AS (SELECT 150000000000 // n_nodes AS b FROM n)",
+    ]
+    for it in range(TEXTRANK_ITERS):
+        ctes.append(
+            f"""r{it + 1} AS (
+  SELECT e.dst AS node,
+         (SELECT b FROM base) + (85 * sum(r.r // d.outdeg)) // 100 AS r
+  FROM edges e
+  JOIN r{it} r ON e.src = r.node
+  JOIN deg d ON d.src = e.src
+  GROUP BY e.dst
+)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+SELECT node AS word, CAST(r AS BIGINT) AS rank_p12
+FROM r{TEXTRANK_ITERS}
+ORDER BY rank_p12 DESC, word
+LIMIT {TEXTRANK_TOP}
+"""
+    )
+
+
+@register(
+    "text_textrank_keywords",
+    oracle=_textrank_sql(),
+    doc="TextRank keyword extraction (Mihalcea & Tarau): adjacent-token "
+    "co-occurrence builds an undirected word graph over content words "
+    f"(length >= {TEXTRANK_MIN_LEN}; the stopword operator composes "
+    "upstream for a curated gate), and PageRank over that graph ranks "
+    "words by centrality rather than raw frequency — the standard "
+    "unsupervised keyworder that catches connective vocabulary TF-IDF "
+    "misses. Reuses graph_pagerank's fixed-point contract verbatim: "
+    "1e-12-unit integer ranks, rank DIV degree contributions, "
+    "(85*sum) DIV 100 damping — bit-reproducible on any engine or "
+    "partitioning. Scale shape: the corpus collapses to its distinct "
+    "co-occurrence EDGE SET before any iteration (vocab^2-bounded, "
+    "tiny next to the corpus), so the per-iteration join + agg runs "
+    "on vocabulary-sized tables; one corpus-sized explode total.",
+)
+def text_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mrc_spark_jobs_pubmed_spark.operators.dedup import tokens_col
+
+    docs = load_table(spark, "documents", sf_dir)
+    grams = (
+        docs.select(tokens_col(F.col("text")).alias("toks"))
+        .select(
+            F.explode(
+                F.expr(
+                    "filter(zip_with(toks, slice(toks, 2, "
+                    "greatest(size(toks) - 1, 0)), "
+                    "(a, b) -> concat(a, ' ', b)), s -> s IS NOT NULL)"
+                )
+            ).alias("gram")
+        )
+        .select(
+            F.split("gram", " ")[0].alias("a"),
+            F.split("gram", " ")[1].alias("b"),
+        )
+        .where(
+            (F.length("a") >= TEXTRANK_MIN_LEN)
+            & (F.length("b") >= TEXTRANK_MIN_LEN)
+            & (F.col("a") != F.col("b"))
+        )
+    )
+    e0 = grams.select(
+        F.least("a", "b").alias("u"), F.greatest("a", "b").alias("v")
+    ).distinct()
+    edges = (
+        e0.select(F.col("u").alias("src"), F.col("v").alias("dst"))
+        .unionByName(e0.select(F.col("v").alias("src"), F.col("u").alias("dst")))
+        .repartition("src")
+        .localCheckpoint(eager=True)
+    )
+    deg = edges.groupBy("src").agg(F.count("*").alias("outdeg")).localCheckpoint()
+    # node count and damping base stay DataFrames (1-row broadcasts, the
+    # graph_pagerank idiom) — no driver-side action in the plan build
+    n = deg.agg(F.count("*").alias("n_nodes"))
+    ranks = deg.crossJoin(F.broadcast(n)).select(
+        F.col("src").alias("node"),
+        F.expr("1000000000000 div n_nodes").alias("r"),
+    )
+    base = n.select(F.expr("150000000000 div n_nodes").alias("b"))
+    for _ in range(TEXTRANK_ITERS):
+        ranks = (
+            edges.join(ranks, edges.src == ranks.node)
+            .join(deg, "src")
+            .select("dst", F.expr("r div outdeg").alias("contrib"))
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum("contrib").alias("s"))
+            .crossJoin(F.broadcast(base))
+            .select(
+                "node", (F.col("b") + F.expr("(85 * s) div 100")).alias("r")
+            )
+        )
+    return (
+        ranks.select(F.col("node").alias("word"), F.col("r").cast("long").alias("rank_p12"))
+        .orderBy(F.desc("rank_p12"), "word")
+        .limit(TEXTRANK_TOP)
+    )

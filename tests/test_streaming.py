@@ -442,3 +442,65 @@ def test_cdc_apply_resumes_from_checkpoint(spark, tmp_path):
         for r in J.cdc_apply_batch(ev).collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_bitmap_distinct_stream_equals_batch(spark, tmp_path):
+    """Streaming exact-distinct maintenance (foreachBatch bitmap
+    OR-merge) must serve exactly the batch rollup rel_bitmap_distinct
+    computes, for ANY micro-batch split — OR is associative and
+    commutative. Replays the fixture as three hash-split files, so
+    every day's users arrive scattered across batches."""
+    src = str(tmp_path / "bm_src")
+    _batch_events(spark).repartition(3, "event_id").write.parquet(src)
+    stream = (
+        spark.readStream.schema(_batch_events(spark).schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    out = str(tmp_path / "bm_serving")
+    q = J.run_bitmap_distinct_to_files(
+        stream, out, str(tmp_path / "bm_ckpt")
+    )
+    _drain(q)
+    got = {
+        r.day: (r.n_words, r.n_users_bitmap)
+        for r in spark.read.parquet(out).collect()
+    }
+    want = {
+        r.day: (r.n_words, r.n_users_bitmap)
+        for r in J.bitmap_distinct_rollup(
+            J.bitmap_words(_batch_events(spark))
+        ).collect()
+    }
+    assert got == want and len(got) > 0
+
+
+def test_bitmap_distinct_merge_is_idempotent(spark, tmp_path):
+    """Replaying the SAME data twice (at-least-once delivery) must not
+    change the bitmap state: OR is idempotent, so duplicate deliveries
+    are absorbed — the property that distinguishes this sketch from a
+    count-based rollup (which double-counts without an LSN merge)."""
+    src = str(tmp_path / "bmi_src")
+    ev = _batch_events(spark)
+    # the same rows written twice = two overlapping micro-batches
+    ev.write.parquet(src)
+    ev.write.mode("append").parquet(src)
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    out = str(tmp_path / "bmi_serving")
+    q = J.run_bitmap_distinct_to_files(
+        stream, out, str(tmp_path / "bmi_ckpt")
+    )
+    _drain(q)
+    got = {
+        r.day: (r.n_words, r.n_users_bitmap)
+        for r in spark.read.parquet(out).collect()
+    }
+    want = {
+        r.day: (r.n_words, r.n_users_bitmap)
+        for r in J.bitmap_distinct_rollup(J.bitmap_words(ev)).collect()
+    }
+    assert got == want and len(got) > 0
