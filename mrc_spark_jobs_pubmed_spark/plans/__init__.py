@@ -160,6 +160,13 @@ DRIVER_WINDOW: list[str] = [
     "mm_phash_neardup",
     "emb_dim_variance",
     "corpus_prefix_dup",
+    "rel_gaps_islands",
+    "graph_assortativity",
+    "dedup_minhash_estimate",
+    "sim_range_search",
+    "rel_join_skew_profile",
+    "corpus_snapshot_diff",
+    "rel_path_analysis",
 ]
 
 set_priority(DRIVER_WINDOW)

@@ -1465,3 +1465,103 @@ def corpus_prefix_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("n_docs") >= 2)
     )
+
+
+# --- corpus snapshot diff ---------------------------------------------------
+
+_NIB = "(instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), {p}, 1)) - 1)"
+
+
+@register(
+    "corpus_snapshot_diff",
+    oracle=f"""
+WITH gates AS (
+  SELECT doc_id, source, n_chars, text,
+         {_NIB.format(p=1)} <> 0 AS in_a,
+         {_NIB.format(p=2)} <> 0 AS in_b,
+         {_NIB.format(p=3)} < 4 AS rev_gate
+  FROM documents
+),
+a AS (
+  SELECT doc_id, source, n_chars, md5(text) AS h FROM gates WHERE in_a
+),
+b AS (
+  SELECT doc_id, source, n_chars,
+         CASE WHEN rev_gate THEN md5(text || ' [rev2]') ELSE md5(text) END
+           AS h
+  FROM gates WHERE in_b
+),
+diff AS (
+  SELECT coalesce(a.source, b.source) AS source,
+         CASE WHEN a.doc_id IS NULL THEN 'added'
+              WHEN b.doc_id IS NULL THEN 'removed'
+              WHEN a.h <> b.h THEN 'changed'
+              ELSE 'unchanged' END AS status,
+         coalesce(b.n_chars, a.n_chars) AS n_chars
+  FROM a FULL OUTER JOIN b USING (doc_id)
+)
+SELECT source, status,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars
+FROM diff
+GROUP BY source, status
+""",
+    doc="Corpus snapshot diff: the added / removed / changed / unchanged "
+    "breakdown (per source, with byte volume) between two corpus "
+    "versions — the audit an incremental training-data refresh runs "
+    "before deciding what to re-tokenize, re-dedup, and re-shard "
+    "instead of rebuilding the corpus (the batch analogue of the CDC "
+    "changelog, keyed on CONTENT hash so metadata-only rewrites don't "
+    "count as changes). The two snapshots are carved from the fixture "
+    "by independent deterministic md5-nibble gates (~94% membership "
+    "each, 25% of the intersection revised) — the corpus_sample_hash "
+    "idiom, so both engines and any partitioning see identical "
+    "snapshots. Scale shape: content hashes are computed in the scan "
+    "projection (no shuffle), the FULL OUTER join keys on doc_id — "
+    "both sides arrive hash-partitioned from the same source — and "
+    "the rollup is a (source x 4)-domain agg with map-side partials.",
+)
+def corpus_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    nib = (
+        "(instr('0123456789abcdef', "
+        "substr(md5(CAST(doc_id AS STRING)), {p}, 1)) - 1)"
+    )
+    gates = docs.select(
+        "doc_id",
+        "source",
+        "n_chars",
+        "text",
+        F.expr(nib.format(p=1) + " <> 0").alias("in_a"),
+        F.expr(nib.format(p=2) + " <> 0").alias("in_b"),
+        F.expr(nib.format(p=3) + " < 4").alias("rev_gate"),
+    )
+    a = gates.where("in_a").select(
+        "doc_id",
+        F.col("source").alias("src_a"),
+        F.col("n_chars").alias("nc_a"),
+        F.md5("text").alias("h_a"),
+    )
+    b = gates.where("in_b").select(
+        "doc_id",
+        F.col("source").alias("src_b"),
+        F.col("n_chars").alias("nc_b"),
+        F.when(
+            F.col("rev_gate"), F.md5(F.concat(F.col("text"), F.lit(" [rev2]")))
+        )
+        .otherwise(F.md5("text"))
+        .alias("h_b"),
+    )
+    diff = a.join(b, "doc_id", "full_outer").select(
+        F.coalesce("src_a", "src_b").alias("source"),
+        F.when(F.col("h_a").isNull(), "added")
+        .when(F.col("h_b").isNull(), "removed")
+        .when(F.col("h_a") != F.col("h_b"), "changed")
+        .otherwise("unchanged")
+        .alias("status"),
+        F.coalesce("nc_b", "nc_a").alias("n_chars"),
+    )
+    return diff.groupBy("source", "status").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+    )

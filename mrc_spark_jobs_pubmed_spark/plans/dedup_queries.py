@@ -976,3 +976,109 @@ def dedup_banding_tradeoff(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = n_pairs if out is None else out.unionByName(n_pairs)
     return out
+
+
+# --- MinHash Jaccard-estimator calibration ----------------------------------
+
+_EST_MATCH_TERMS_SQL = " + ".join(
+    f"(CASE WHEN sa.m{i} = sb.m{i} THEN 1 ELSE 0 END)" for i in range(16)
+)
+
+
+@register(
+    "dedup_minhash_estimate",
+    oracle=f"""
+WITH {D.minhash_ctes_sql()},
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band_id = b.band_id AND a.band_key = b.band_key
+   AND a.doc_id < b.doc_id
+),
+matched AS (
+  SELECT c.doc_a, c.doc_b, {_EST_MATCH_TERMS_SQL} AS n_match
+  FROM cand c
+  JOIN sig sa ON sa.doc_id = c.doc_a
+  JOIN sig sb ON sb.doc_id = c.doc_b
+),
+exact AS (
+  SELECT doc_a, doc_b,
+         CAST(round(jaccard * 1000000) AS BIGINT) AS j_u6
+  FROM ({D.JACCARD_PAIRS_SQL})
+),
+scored AS (
+  SELECT m.n_match, coalesce(e.j_u6, 0) AS j_u6
+  FROM matched m LEFT JOIN exact e USING (doc_a, doc_b)
+)
+SELECT CAST(n_match AS BIGINT) AS n_match,
+       CAST((n_match * 1000000) // 16 AS BIGINT) AS est_u6,
+       CAST(count(*) AS BIGINT) AS n_pairs,
+       CAST((2 * sum(j_u6) + count(*)) // (2 * count(*)) AS BIGINT)
+         AS mean_exact_u6,
+       CAST(min(j_u6) AS BIGINT) AS min_exact_u6,
+       CAST(max(j_u6) AS BIGINT) AS max_exact_u6
+FROM scored
+GROUP BY n_match
+""",
+    doc="MinHash Jaccard-ESTIMATOR calibration: for every LSH candidate "
+    "pair, the estimate (matching signature components / 16) against "
+    "the exact shingle-set Jaccard, rolled up per match count — the "
+    "curve that tells you what a 16-hash signature's +-1/sqrt(16) "
+    "error actually does on THIS corpus, and the third leg of the "
+    "measured-dedup-contract triad (recall: dedup_minhash_recall; "
+    "cost: dedup_banding_tradeoff; accuracy: this). Pairs banded "
+    "together by hash collision but sharing zero shingles coalesce to "
+    "exact 0 — the estimator's false-positive bucket, visible as "
+    "n_match rows with mean_exact near 0. Means are exact-integer "
+    "half-up over 1e-6-unit values (order-independent); the estimate "
+    "itself is integer. Scale shape: signatures join the candidate "
+    "set by doc id (16 longs/doc), exact Jaccard only on candidate "
+    "pairs (never all pairs), 17 rows out.",
+)
+def dedup_minhash_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    sh = D.shingle_rows(docs, distinct=False)
+    sigs = D.minhash_signatures(sh).localCheckpoint(eager=True)
+    cand = D.lsh_candidate_pairs(
+        D.minhash_band_keys(sh)
+    ).localCheckpoint(eager=True)
+    sa = sigs.select(
+        F.col("doc_id").alias("doc_a"),
+        *[F.col(f"m{i}").alias(f"a{i}") for i in range(16)],
+    )
+    sb = sigs.select(
+        F.col("doc_id").alias("doc_b"),
+        *[F.col(f"m{i}").alias(f"b{i}") for i in range(16)],
+    )
+    match_expr = " + ".join(
+        f"(CASE WHEN a{i} = b{i} THEN 1 ELSE 0 END)" for i in range(16)
+    )
+    matched = (
+        cand.join(F.broadcast(sa), "doc_a")
+        .join(F.broadcast(sb), "doc_b")
+        .select("doc_a", "doc_b", F.expr(match_expr).alias("n_match"))
+    )
+    exact = D.jaccard_pairs(D.shingle_rows(docs)).select(
+        "doc_a",
+        "doc_b",
+        F.round(F.col("jaccard") * 1e6).cast("long").alias("j_u6"),
+    )
+    scored = matched.join(exact, ["doc_a", "doc_b"], "left").select(
+        "n_match", F.coalesce("j_u6", F.lit(0)).alias("j_u6")
+    )
+    return scored.groupBy("n_match").agg(
+        F.expr("CAST((n_match * 1000000) div 16 AS LONG)").alias("est_u6"),
+        F.count("*").cast("long").alias("n_pairs"),
+        F.expr(
+            "CAST((2 * sum(j_u6) + count(*)) div (2 * count(*)) AS LONG)"
+        ).alias("mean_exact_u6"),
+        F.min("j_u6").cast("long").alias("min_exact_u6"),
+        F.max("j_u6").cast("long").alias("max_exact_u6"),
+    ).select(
+        F.col("n_match").cast("long").alias("n_match"),
+        "est_u6",
+        "n_pairs",
+        "mean_exact_u6",
+        "min_exact_u6",
+        "max_exact_u6",
+    )

@@ -2129,3 +2129,365 @@ def rel_budget_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("alloc_bp"),
         )
     )
+
+
+# --- gaps & islands over an id sequence -------------------------------------
+
+ISLANDS_TOP = 20
+
+
+@register(
+    "rel_gaps_islands",
+    oracle=f"""
+WITH p AS (
+  SELECT event_id,
+         event_id - row_number() OVER (ORDER BY event_id) AS grp
+  FROM events WHERE event_type = 'purchase'
+),
+isl AS (
+  SELECT min(event_id) AS island_start,
+         max(event_id) AS island_end,
+         count(*) AS island_len
+  FROM p GROUP BY grp
+)
+SELECT island_start, island_end,
+       CAST(island_len AS BIGINT) AS island_len
+FROM isl
+ORDER BY island_len DESC, island_start
+LIMIT {ISLANDS_TOP}
+""",
+    doc="Gaps-and-islands: maximal runs of consecutive event_ids within "
+    "the purchase stream, via the classic id - row_number() constant-"
+    "difference trick — one window pass turns every run into a group "
+    "key, one agg closes the intervals. The sequence-integrity "
+    "primitive behind missing-data audits (dropped LSNs, lost "
+    "messages, broken id ranges): the gaps are the complement of the "
+    "reported islands. Top-k longest runs with deterministic ties. "
+    "Scale note: the global ORDER BY window is a single total order — "
+    "at 100 TB the same trick runs per partition key (user, shard, "
+    "day) exactly as written, and Spark's range-partitioned window "
+    "sort is the standard physical shape either way; everything "
+    "downstream is integer aggs on the run domain.",
+)
+def rel_gaps_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    p = ev.where(F.col("event_type") == "purchase").select(
+        "event_id",
+        (
+            F.col("event_id")
+            - F.row_number().over(Window.orderBy("event_id"))
+        ).alias("grp"),
+    )
+    return (
+        p.groupBy("grp")
+        .agg(
+            F.min("event_id").alias("island_start"),
+            F.max("event_id").alias("island_end"),
+            F.count("*").cast("long").alias("island_len"),
+        )
+        .select("island_start", "island_end", "island_len")
+        .orderBy(F.desc("island_len"), "island_start")
+        .limit(ISLANDS_TOP)
+    )
+
+
+# --- join-skew profile (salting decision table) -----------------------------
+
+SKEW_PROFILE_TOP = 20
+
+
+@register(
+    "rel_join_skew_profile",
+    oracle=f"""
+WITH k AS (
+  SELECT l_partkey AS key, count(*) AS n_rows FROM lineitem GROUP BY 1
+),
+tot AS (
+  SELECT CAST(sum(n_rows * n_rows) AS BIGINT) AS pair_total FROM k
+),
+ranked AS (
+  SELECT key, CAST(n_rows AS BIGINT) AS n_rows,
+         CAST(n_rows * n_rows AS BIGINT) AS pair_rows
+  FROM k ORDER BY n_rows * n_rows DESC, key LIMIT {SKEW_PROFILE_TOP}
+)
+SELECT r.key, r.n_rows, r.pair_rows,
+       CAST((sum(r.pair_rows) OVER (ORDER BY r.pair_rows DESC, r.key)
+             * 1000000) // t.pair_total AS BIGINT) AS cum_share_u6
+FROM ranked r CROSS JOIN tot t
+""",
+    doc="Join-skew profile: for a planned self-equi-join on l_partkey "
+    "(the item co-occurrence shape behind rel_item_item_cf / "
+    "rel_basket_lift), the per-key pair volume n_k^2 for the top "
+    f"{SKEW_PROFILE_TOP} heaviest keys plus each key's CUMULATIVE "
+    "share of total join output in exact 1e-6 units — the table that "
+    "DECIDES whether to salt: a top key owning >> 1/partitions of "
+    "the pair volume will straggle one reducer, and this profile "
+    "prices that before the join runs (the explicit lever of "
+    "rel_skew_salted_join, with graph_degree_distribution as the "
+    "graph-side sibling). One key-count agg with map-side partials, "
+    "a 1-row pair-volume total, TakeOrdered top-k, and the running "
+    "share on the k-row result — profiling cost is one scan "
+    "regardless of join size.",
+)
+def rel_join_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, "lineitem", sf_dir)
+    k = li.groupBy(F.col("l_partkey").alias("key")).agg(
+        F.count("*").alias("n_rows")
+    )
+    tot = k.agg(
+        F.sum(F.col("n_rows") * F.col("n_rows"))
+        .cast("long")
+        .alias("pair_total")
+    )
+    ranked = (
+        k.select(
+            "key",
+            F.col("n_rows").cast("long").alias("n_rows"),
+            (F.col("n_rows") * F.col("n_rows")).cast("long").alias("pair_rows"),
+        )
+        .orderBy(F.desc("pair_rows"), "key")
+        .limit(SKEW_PROFILE_TOP)
+    )
+    w = Window.orderBy(F.desc("pair_rows"), "key").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return ranked.crossJoin(F.broadcast(tot)).select(
+        "key",
+        "n_rows",
+        "pair_rows",
+        F.expr(
+            "CAST((sum(pair_rows) OVER (ORDER BY pair_rows DESC, key"
+            " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
+            " * 1000000) div pair_total AS LONG)"
+        ).alias("cum_share_u6"),
+    )
+
+
+# --- session path analysis ---------------------------------------------------
+
+PATH_GAP_US = 1_800_000_000  # 30 min session gap
+PATH_LEN = 4
+PATH_TOP = 20
+
+
+@register(
+    "rel_path_analysis",
+    oracle=f"""
+WITH seq AS (
+  SELECT user_id, event_type, epoch_us(ts) AS t_us, event_id,
+         CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w > {PATH_GAP_US}
+                OR lag(epoch_us(ts)) OVER w IS NULL
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+),
+sess AS (
+  SELECT user_id, event_type, t_us, event_id,
+         sum(new_s) OVER (PARTITION BY user_id
+                          ORDER BY t_us, event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS sid
+  FROM seq
+),
+ranked AS (
+  SELECT user_id, sid, event_type,
+         row_number() OVER (PARTITION BY user_id, sid
+                            ORDER BY t_us, event_id) AS rn
+  FROM sess
+),
+paths AS (
+  SELECT user_id, sid,
+         string_agg(event_type, '>' ORDER BY rn) AS path
+  FROM ranked WHERE rn <= {PATH_LEN}
+  GROUP BY user_id, sid
+)
+SELECT path,
+       CAST(count(*) AS BIGINT) AS n_sessions,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+FROM paths
+GROUP BY path
+ORDER BY n_sessions DESC, path
+LIMIT {PATH_TOP}
+""",
+    doc="Session path analysis: sessionize each user's event stream on "
+    "a 30-minute inactivity gap (the lag-flag + running-sum idiom of "
+    "rel_scd2_history), take each session's first "
+    f"{PATH_LEN} event types as its navigation path, and rank the "
+    "most common paths with session and user counts — the "
+    "product-analytics 'top user journeys' view that funnels (fixed "
+    "step order) cannot express, since paths are DISCOVERED, not "
+    "declared. Deterministic throughout: (t_us, event_id) total "
+    "order, bounded path length. Scale shape: ONE shuffle on user_id "
+    "feeds the gap window, the session numbering, and the per-"
+    "session ranking (same partition spec, Catalyst shares the "
+    "exchange); path assembly aggregates <= " f"{PATH_LEN} rows per "
+    "session; the final path count is a hash-agg on the observed "
+    "path domain with TakeOrdered top-k.",
+)
+def rel_path_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    wo = Window.partitionBy("user_id").orderBy("t_us", "event_id")
+    seq = ev.select(
+        "user_id",
+        "event_type",
+        F.expr("unix_micros(ts)").alias("t_us"),
+        "event_id",
+    ).withColumn(
+        "new_s",
+        F.when(
+            (F.col("t_us") - F.lag("t_us").over(wo) > PATH_GAP_US)
+            | F.lag("t_us").over(wo).isNull(),
+            1,
+        ).otherwise(0),
+    )
+    sess = seq.withColumn(
+        "sid",
+        F.sum("new_s").over(
+            wo.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    ranked = sess.withColumn(
+        "rn",
+        F.row_number().over(
+            Window.partitionBy("user_id", "sid").orderBy("t_us", "event_id")
+        ),
+    ).where(F.col("rn") <= PATH_LEN)
+    paths = ranked.groupBy("user_id", "sid").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("rn", "event_type"))),
+                lambda s: s["event_type"],
+            ),
+            ">",
+        ).alias("path")
+    )
+    return (
+        paths.groupBy("path")
+        .agg(
+            F.count("*").cast("long").alias("n_sessions"),
+            F.countDistinct("user_id").cast("long").alias("n_users"),
+        )
+        .orderBy(F.desc("n_sessions"), "path")
+        .limit(PATH_TOP)
+    )
+
+
+# --- revenue bridge (waterfall decomposition) -------------------------------
+
+BRIDGE_OLD = ("1994-01-01", "1995-01-01")
+BRIDGE_NEW = ("1995-01-01", "1996-01-01")
+
+
+@register(
+    "rel_waterfall_bridge",
+    oracle=f"""
+WITH seg AS (
+  SELECT c.c_mktsegment AS segment,
+         CASE WHEN o.o_orderdate >= DATE '{BRIDGE_OLD[0]}'
+               AND o.o_orderdate < DATE '{BRIDGE_OLD[1]}' THEN 'old'
+              ELSE 'new' END AS period,
+         CAST(round(o.o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+  WHERE o.o_orderdate >= DATE '{BRIDGE_OLD[0]}'
+    AND o.o_orderdate < DATE '{BRIDGE_NEW[1]}'
+),
+agg AS (
+  SELECT segment, period, count(*) AS n, CAST(sum(cents) AS BIGINT) AS cents
+  FROM seg GROUP BY 1, 2
+),
+wide AS (
+  SELECT segment,
+         CAST(coalesce(max(CASE WHEN period = 'old' THEN n END), 0)
+              AS BIGINT) AS n_old,
+         CAST(coalesce(max(CASE WHEN period = 'new' THEN n END), 0)
+              AS BIGINT) AS n_new,
+         CAST(coalesce(max(CASE WHEN period = 'old' THEN cents END), 0)
+              AS BIGINT) AS cents_old,
+         CAST(coalesce(max(CASE WHEN period = 'new' THEN cents END), 0)
+              AS BIGINT) AS cents_new
+  FROM agg GROUP BY segment
+)
+SELECT segment, n_old, n_new, cents_old, cents_new,
+       cents_new - cents_old AS delta_cents,
+       (n_new - n_old) * (CASE WHEN n_old = 0 THEN 0
+                               ELSE cents_old // n_old END)
+         AS volume_effect_cents,
+       (cents_new - cents_old)
+         - (n_new - n_old) * (CASE WHEN n_old = 0 THEN 0
+                                   ELSE cents_old // n_old END)
+         AS price_effect_cents
+FROM wide
+""",
+    doc="Revenue bridge (waterfall): year-over-year revenue change per "
+    "market segment decomposed into a VOLUME effect (order-count "
+    "change x prior-year average ticket) and a PRICE/MIX effect — "
+    "computed as the RESIDUAL, so volume + price == delta EXACTLY by "
+    "construction (the reconciliation property finance requires; a "
+    "both-sides-formula decomposition leaks rounding). All exact "
+    "cents; the only division is the prior-average (integer, "
+    "zero-guarded). Scale shape: one orders-sized scan with the date "
+    "filter PUSHED to parquet, a (segment x 2)-domain agg with "
+    "map-side partials, and the pivot/decompose on the 5-row segment "
+    "domain. The pivot is conditional max-aggregation (the rel_pivot "
+    "primitive), not a join.",
+)
+def rel_waterfall_bridge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, "orders", sf_dir)
+    cust = load_table(spark, "customer", sf_dir)
+    seg = (
+        orders.where(
+            (F.col("o_orderdate") >= F.lit(BRIDGE_OLD[0]).cast("date"))
+            & (F.col("o_orderdate") < F.lit(BRIDGE_NEW[1]).cast("date"))
+        )
+        .join(F.broadcast(cust.select("c_custkey", "c_mktsegment")),
+              orders.o_custkey == F.col("c_custkey"))
+        .select(
+            F.col("c_mktsegment").alias("segment"),
+            F.when(
+                F.col("o_orderdate") < F.lit(BRIDGE_NEW[0]).cast("date"),
+                "old",
+            )
+            .otherwise("new")
+            .alias("period"),
+            F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        )
+    )
+    agg = seg.groupBy("segment", "period").agg(
+        F.count("*").alias("n"), F.sum("cents").cast("long").alias("cents")
+    )
+    wide = agg.groupBy("segment").agg(
+        F.coalesce(F.max(F.when(F.col("period") == "old", F.col("n"))), F.lit(0))
+        .cast("long")
+        .alias("n_old"),
+        F.coalesce(F.max(F.when(F.col("period") == "new", F.col("n"))), F.lit(0))
+        .cast("long")
+        .alias("n_new"),
+        F.coalesce(
+            F.max(F.when(F.col("period") == "old", F.col("cents"))), F.lit(0)
+        )
+        .cast("long")
+        .alias("cents_old"),
+        F.coalesce(
+            F.max(F.when(F.col("period") == "new", F.col("cents"))), F.lit(0)
+        )
+        .cast("long")
+        .alias("cents_new"),
+    )
+    avg_old = F.expr(
+        "CASE WHEN n_old = 0 THEN 0 ELSE cents_old div n_old END"
+    )
+    return wide.select(
+        "segment",
+        "n_old",
+        "n_new",
+        "cents_old",
+        "cents_new",
+        (F.col("cents_new") - F.col("cents_old")).alias("delta_cents"),
+        ((F.col("n_new") - F.col("n_old")) * avg_old).alias(
+            "volume_effect_cents"
+        ),
+        (
+            (F.col("cents_new") - F.col("cents_old"))
+            - (F.col("n_new") - F.col("n_old")) * avg_old
+        ).alias("price_effect_cents"),
+    )

@@ -1063,3 +1063,204 @@ def graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_members"), "community")
         .limit(MOD_TOP)
     )
+
+
+# --- degree assortativity ----------------------------------------------------
+
+
+@register(
+    "graph_assortativity",
+    oracle="""
+WITH e0 AS MATERIALIZED (
+  SELECT DISTINCT o_custkey AS src, l_suppkey + 10000000 AS dst
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+),
+edges AS MATERIALIZED (SELECT src, dst FROM e0
+ UNION ALL SELECT dst AS src, src AS dst FROM e0),
+deg AS (SELECT src, count(*) AS d FROM edges GROUP BY src),
+pairs AS MATERIALIZED (
+  SELECT da.d AS dx, db.d AS dy
+  FROM edges e
+  JOIN deg da ON da.src = e.src
+  JOIN deg db ON db.src = e.dst
+),
+m AS (
+  SELECT count(*) AS n,
+         sum(dx) // count(*) AS mx,
+         sum(dy) // count(*) AS my
+  FROM pairs
+),
+cent AS (
+  SELECT CAST(sum((dx - mx) * (dy - my)) AS BIGINT) AS sxy,
+         CAST(sum((dx - mx) * (dx - mx)) AS BIGINT) AS sxx,
+         CAST(sum((dy - my) * (dy - my)) AS BIGINT) AS syy
+  FROM pairs CROSS JOIN m
+)
+SELECT CAST(m.n AS BIGINT) AS n_edge_ends,
+       c.sxy, c.sxx, c.syy,
+       c.sxy / sqrt(CAST(c.sxx AS DOUBLE) * CAST(c.syy AS DOUBLE))
+         AS assortativity
+FROM cent c CROSS JOIN m
+""",
+    doc="Degree assortativity of the trade graph: Pearson correlation "
+    "of endpoint degrees over the (both-direction) edge list — "
+    "positive means hubs trade with hubs, negative (typical for "
+    "bipartite commerce) means hubs fan out to the periphery; the "
+    "one-number topology profile that predicts how the graph "
+    "responds to hub removal and how skewed joins over it will be. "
+    "Contract: moments are CENTERED by exact integer means before "
+    "squaring (the rel_ts_correlation overflow discipline — raw "
+    "n*sum(xy) products leave int64 at ~1e8 edges), every moment is "
+    "an exact BIGINT on any partitioning, and the close is three "
+    "IEEE double ops (x, sqrt, /) — bit-identical across engines, "
+    "with the oracle CAST to DOUBLE (a bare product would run "
+    "DECIMAL arithmetic in DuckDB and diverge 1 ulp). Scale shape: "
+    "one degree agg reused by both endpoint joins (degree table is "
+    "node-sized — broadcast), one edge-sized centered-moment pass, "
+    "1 row out.",
+)
+def graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, "lineitem", sf_dir)
+    orders = load_table(spark, "orders", sf_dir)
+    e0 = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .select(
+            F.col("o_custkey").alias("src"),
+            (F.col("l_suppkey") + _SUPP_OFFSET).alias("dst"),
+        )
+        .distinct()
+    )
+    edges = e0.unionByName(
+        e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).localCheckpoint(eager=True)
+    deg = edges.groupBy("src").agg(F.count("*").alias("d"))
+    da = F.broadcast(deg.select(F.col("src"), F.col("d").alias("dx")))
+    db = F.broadcast(
+        deg.select(F.col("src").alias("dst"), F.col("d").alias("dy"))
+    )
+    pairs = (
+        edges.join(da, "src").join(db, "dst").select("dx", "dy")
+    ).localCheckpoint(eager=True)
+    m = pairs.agg(
+        F.count("*").alias("n"),
+        F.expr("sum(dx) div count(*)").alias("mx"),
+        F.expr("sum(dy) div count(*)").alias("my"),
+    )
+    cent = (
+        pairs.crossJoin(F.broadcast(m))
+        .agg(
+            F.sum((F.col("dx") - F.col("mx")) * (F.col("dy") - F.col("my")))
+            .cast("long")
+            .alias("sxy"),
+            F.sum((F.col("dx") - F.col("mx")) * (F.col("dx") - F.col("mx")))
+            .cast("long")
+            .alias("sxx"),
+            F.sum((F.col("dy") - F.col("my")) * (F.col("dy") - F.col("my")))
+            .cast("long")
+            .alias("syy"),
+            F.first(F.col("n")).cast("long").alias("n_edge_ends"),
+        )
+    )
+    return cent.select(
+        "n_edge_ends",
+        "sxy",
+        "sxx",
+        "syy",
+        # unrounded on purpose: exact integer moments + three IEEE ops
+        # (the emb_label_centroid_drift close)
+        (
+            F.col("sxy") / F.sqrt(F.col("sxx") * F.lit(1.0) * F.col("syy"))
+        ).alias("assortativity"),
+    )
+
+
+# --- BOM explosion (weighted transitive closure on a tree) ------------------
+
+BOM_DOUBLINGS = 4  # covers assembly depths up to 2^4 = 16 levels
+BOM_ROOTS = 4  # partkeys 0..3 are the root assemblies
+
+
+def _bom_sql() -> str:
+    ctes = [
+        f"""b0 AS MATERIALIZED (
+  SELECT p_partkey AS node, p_partkey // 4 AS anc,
+         (p_partkey % 3) + 1 AS q
+  FROM part WHERE p_partkey >= {BOM_ROOTS}
+)""",
+    ]
+    for k in range(BOM_DOUBLINGS):
+        ctes.append(
+            f"""b{k + 1} AS MATERIALIZED (
+  SELECT node, anc, q FROM b{k}
+  UNION
+  SELECT a.node, b.anc, a.q * b.q AS q
+  FROM b{k} a JOIN b{k} b ON a.anc = b.node
+)"""
+        )
+    last = f"b{BOM_DOUBLINGS}"
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+SELECT anc AS root,
+       CAST(count(*) AS BIGINT) AS n_components,
+       CAST(sum(q) AS BIGINT) AS total_units,
+       CAST(max(q) AS BIGINT) AS max_units
+FROM {last}
+WHERE anc < {BOM_ROOTS}
+GROUP BY anc
+"""
+    )
+
+
+@register(
+    "graph_bom_explosion",
+    oracle=_bom_sql(),
+    doc="Bill-of-materials explosion: total unit requirements of every "
+    "component under each root assembly, where the per-edge quantity "
+    "MULTIPLIES along the containment path (3 of X, each needing 2 of "
+    "Y -> 6 of Y) — the weighted WITH RECURSIVE workload "
+    "(manufacturing MRP, cost rollups) that graph_hierarchy_depth "
+    "covers only unweighted. Same transitive-closure-by-DOUBLING "
+    f"plan ({BOM_DOUBLINGS} rounds cover 16 levels where naive "
+    "expansion needs one join per level); because the hierarchy is a "
+    "TREE each (node, ancestor) pair has exactly one path, so the "
+    "doubling join multiplies quantities with no path double-count "
+    "and UNION dedup stays exact. All-integer: per-edge quantities "
+    "1..3, products bounded by 3^16 ~ 4.3e7 — element-wise exact on "
+    "any engine. Scale: closure rows = nodes x depth; lineage cut "
+    "per round; the root rollup is a |roots|-domain agg.",
+)
+def graph_bom_explosion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, "part", sf_dir)
+    closure = (
+        part.where(F.col("p_partkey") >= BOM_ROOTS)
+        .select(
+            F.col("p_partkey").alias("node"),
+            F.expr("p_partkey div 4").alias("anc"),
+            (F.col("p_partkey") % 3 + 1).cast("long").alias("q"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(BOM_DOUBLINGS):
+        hop = (
+            closure.alias("a")
+            .join(closure.alias("b"), F.col("a.anc") == F.col("b.node"))
+            .select(
+                F.col("a.node").alias("node"),
+                F.col("b.anc").alias("anc"),
+                (F.col("a.q") * F.col("b.q")).alias("q"),
+            )
+        )
+        closure = (
+            closure.unionByName(hop).distinct().localCheckpoint(eager=True)
+        )
+    return (
+        closure.where(F.col("anc") < BOM_ROOTS)
+        .groupBy(F.col("anc").alias("root"))
+        .agg(
+            F.count("*").cast("long").alias("n_components"),
+            F.sum("q").cast("long").alias("total_units"),
+            F.max("q").cast("long").alias("max_units"),
+        )
+    )

@@ -2035,3 +2035,45 @@ def emb_dim_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("ss div n").alias("var_u6"),
         )
     )
+
+
+# --- range search (radius query) --------------------------------------------
+
+RANGE_TAU = 0.2
+
+
+@register(
+    "sim_range_search",
+    oracle=f"""
+WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = {QUERY_VEC_ID})
+SELECT vec_id,
+       round({S.cosine_sql('embedding', 'qe')}, 6) AS cosine
+FROM embeddings, q
+WHERE vec_id <> {QUERY_VEC_ID}
+  AND round({S.cosine_sql('embedding', 'qe')}, 6) >= {RANGE_TAU}
+""",
+    doc="Range search (FAISS range_search): ALL vectors within cosine >= "
+    f"{RANGE_TAU} of the query — the radius-query dual of top-k, used "
+    "when the caller needs everything similar enough (dedup candidate "
+    "pull, recall-complete retrieval) rather than a fixed count. The "
+    "threshold compares on the already-6dp-rounded grid on BOTH "
+    "engines (the ADVICE discipline: a raw-accumulation comparand at "
+    "a rounding boundary can flip between engines). Single scan, "
+    "1-row broadcast query join, predicate evaluated JVM-side — "
+    "result size is data-dependent by design; at scale the sign-"
+    "bucket prefilter (sim_ann_bucketed) composes in front to skip "
+    "buckets whose centroid bound rules out the radius.",
+)
+def sim_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, "embeddings", sf_dir)
+    qdf = emb.filter(F.col("vec_id") == QUERY_VEC_ID)
+    q = F.broadcast(qdf.select(F.col("embedding").alias("_qe")))
+    return (
+        emb.filter(F.col("vec_id") != QUERY_VEC_ID)
+        .join(q)
+        .select(
+            "vec_id",
+            F.round(S.cosine_named("embedding", "_qe"), 6).alias("cosine"),
+        )
+        .where(F.col("cosine") >= RANGE_TAU)
+    )

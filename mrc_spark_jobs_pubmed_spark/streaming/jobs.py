@@ -804,3 +804,85 @@ def run_bitmap_distinct_to_files(
         .option("checkpointLocation", checkpoint)
         .start()
     )
+
+
+# --- streaming EWMA (arbitrary state: bounded value history) ----------------
+
+_EWMA_K = 8  # mirror of plans.timeseries_queries.EWMA_K
+
+
+def stateful_ewma(events: DataFrame) -> DataFrame:
+    """Streaming twin of rel_ewma_smoothing: per-user exact dyadic EWMA
+    maintained incrementally via applyInPandasWithState.
+
+    State per user is the last <= K 1e-4-unit values (oldest-first) plus
+    the running event count — bounded at K longs per ever-seen user
+    regardless of stream length. Each micro-batch folds its events (in
+    (ts, event_id) order, the time-ordered replay contract of
+    stateful_heartbeat_gaps) onto that carry and emits the user's
+    refreshed (n_events, last value, EWMA); update mode — the LATEST
+    emitted row per user is the serving value and, after a full replay,
+    equals the batch query exactly (integer dyadic arithmetic has no
+    accumulation error to drift on, which is what makes this
+    stream/batch equivalence EXACT rather than approximate — the replay
+    test asserts tuple equality, not closeness). All folding runs in
+    Python ints (a pandas int64 fold silently wraps — the round-4
+    grouped-UDF lesson).
+    """
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    out_schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("n_events", T.LongType()),
+            T.StructField("last_v_u4", T.LongType()),
+            T.StructField("ewma_u4", T.LongType()),
+        ]
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("n", T.LongType()),
+            T.StructField("vals", T.ArrayType(T.LongType())),
+        ]
+    )
+
+    def update(key, pdfs, state):
+        uid = key[0]
+        rows = pd.concat(list(pdfs), ignore_index=True)
+        if not len(rows):
+            return
+        rows = rows.sort_values(["t_us", "event_id"])
+        new_vals = [int(v) for v in rows["v_u4"].tolist()]
+        if state.exists:
+            n, vals = int(state.get[0]), [int(v) for v in state.get[1]]
+        else:
+            n, vals = 0, []
+        n += len(new_vals)
+        vals = (vals + new_vals)[-_EWMA_K:]
+        # batch form: sum_lag v_lag * 2^(K-1-lag) / sum_lag 2^(K-1-lag);
+        # the common factor 2^(K-m) divides numerator and denominator
+        # exactly, so with oldest-first index i (lag = m-1-i) this
+        # reduces to sum_i v_i*2^i over denominator 2^m - 1 — identical
+        # integer quotient, K-free state
+        num = sum(v << i for i, v in enumerate(vals))
+        den = (1 << len(vals)) - 1  # sum of 2^0..2^(m-1)
+        # truncate toward zero, matching Spark's `div` in the batch twin
+        q = abs(num) // den
+        ewma = q if num >= 0 else -q
+        state.update((n, vals))
+        yield pd.DataFrame(
+            [(uid, n, vals[-1], ewma)],
+            columns=["user_id", "n_events", "last_v_u4", "ewma_u4"],
+        )
+
+    # no watermark: NoTimeout closed-fold semantics, as heartbeat_gaps
+    src = events.select(
+        "user_id",
+        F.expr("unix_micros(ts)").alias("t_us"),
+        "event_id",
+        F.round(F.col("value") * 10000).cast("long").alias("v_u4"),
+    )
+    return src.groupBy("user_id").applyInPandasWithState(
+        update, out_schema, state_schema, "update", "NoTimeout"
+    )

@@ -530,3 +530,50 @@ def test_knn_join_is_bucket_grouped_pandas(spark):
     assert "FlatMapGroupsInPandas" in plan
     assert "CartesianProduct" not in plan
     assert "Join" not in plan
+
+
+def test_bitmap_distinct_two_shuffles_no_expand(spark):
+    """rel_bitmap_distinct's whole point is the shuffle shape: one
+    partial-aggregating exchange on (day, word) then one on day — never
+    the id-list repartition a COUNT(DISTINCT) plans (no Expand node,
+    which is how Spark rewrites distinct aggregates)."""
+    plan = _physical(spark, "rel_bitmap_distinct")
+    assert _n_shuffles(plan) == 2
+    assert "Expand" not in plan
+    assert "partial_bit_or" in plan or "bit_or" in plan
+
+
+def test_item_item_cf_broadcasts_marginals(spark):
+    """The part-frequency marginals are dimension-sized and must ride
+    broadcasts into the pair table; only the items build and the pair
+    agg (plus the rank window) may shuffle."""
+    plan = _physical(spark, "rel_item_item_cf")
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in plan
+
+
+def test_prefix_dup_single_shuffle(spark):
+    """Prefix-clone detection is one hash-agg on the 16-byte prefix key
+    — any extra exchange means the zero-shuffle projection regressed."""
+    plan = _physical(spark, "corpus_prefix_dup")
+    assert _n_shuffles(plan) == 1
+
+
+def test_textrank_collapses_before_iterating(spark):
+    """TextRank must rank over the DISTINCT edge set, not the corpus:
+    the corpus-sized explode feeds exactly one distinct, and the
+    iteration joins run on the checkpointed edge RDD (visible as a
+    scan-existing-RDD leaf, not a re-read of the parquet per round)."""
+    plan = _physical(spark, "text_textrank_keywords")
+    assert "TakeOrderedAndProject" in plan
+    assert plan.count("Scan parquet") == 0  # iterations read the checkpoint
+    assert "Scan ExistingRDD" in plan
+
+
+def test_waterfall_bridge_pushes_date_filter(spark):
+    """The two-period scan must push its date range to parquet — a
+    bridge over two years of a decade-deep orders table reads two
+    years, not the table."""
+    plan = _physical(spark, "rel_waterfall_bridge")
+    assert "PushedFilters: [IsNotNull(o_orderdate), GreaterThanOrEqual(o_orderdate" in plan
+    assert "BroadcastHashJoin" in plan

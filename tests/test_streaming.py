@@ -504,3 +504,57 @@ def test_bitmap_distinct_merge_is_idempotent(spark, tmp_path):
         for r in J.bitmap_distinct_rollup(J.bitmap_words(ev)).collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_stateful_ewma_stream_equals_batch(spark, tmp_path):
+    """Streaming dyadic EWMA (applyInPandasWithState, <= K longs of
+    state per user) must converge to exactly the batch query
+    (rel_ewma_smoothing, oracle-checked) after a full time-ordered
+    replay — EXACT tuple equality, possible because the dyadic integer
+    arithmetic has no accumulation error. The latest emitted row per
+    user (max n_events) is the serving value."""
+    from mrc_spark_jobs_pubmed_spark.plans.timeseries_queries import (
+        rel_ewma_smoothing,
+    )
+
+    import os
+    import time
+
+    src = str(tmp_path / "ew_src")
+    os.makedirs(src)
+    ev = _batch_events(spark)
+    lo, hi = ev.agg(F.min("ts"), F.max("ts")).collect()[0]
+    cuts = [lo, lo + (hi - lo) / 3, lo + 2 * (hi - lo) / 3, hi]
+    for i in range(3):
+        cond = (F.col("ts") >= F.lit(cuts[i])) & (
+            F.col("ts") <= F.lit(cuts[i + 1])
+            if i == 2
+            else F.col("ts") < F.lit(cuts[i + 1])
+        )
+        ev.where(cond).coalesce(1).write.parquet(f"{src}/t{i}")
+        time.sleep(1.1)
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("recursiveFileLookup", "true")
+        .parquet(src)
+    )
+    q = (
+        J.stateful_ewma(stream)
+        .writeStream.format("memory")
+        .queryName("t_ewma")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ew_ckpt"))
+        .start()
+    )
+    _drain(q)
+    got = {}
+    for r in spark.sql("SELECT * FROM t_ewma").collect():
+        prev = got.get(r.user_id)
+        if prev is None or r.n_events > prev[0]:
+            got[r.user_id] = (r.n_events, r.last_v_u4, r.ewma_u4)
+    want = {
+        r.user_id: (r.n_events, r.last_v_u4, r.ewma_u4)
+        for r in rel_ewma_smoothing(spark, SF).collect()
+    }
+    assert got == want and len(got) > 0
