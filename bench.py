@@ -61,6 +61,9 @@ HEADLINE = (
     # aggregate-contract scale companions; PERF.md round-4b section)
     "rel_ts_downsample_m4",
     "dedup_simhash_stats",
+    # round-4c flagship: perceptual-hash media near-dup — parity at
+    # sf0.1, 0.05x at sf5 (PERF.md round-4c section)
+    "mm_phash_neardup",
 )
 
 

@@ -1565,3 +1565,104 @@ def corpus_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("long").alias("n_docs"),
         F.sum("n_chars").cast("long").alias("total_chars"),
     )
+
+
+# --- weighted-blocklist filtering -------------------------------------------
+
+BLOCKLIST_WEIGHTS = {"slow": 3, "merge": 2, "small": 1}
+BLOCKLIST_TAU_U6 = 300_000  # weighted blocked-token density gate
+
+
+def _blocklist_case(dialect: str) -> str:
+    arms = " ".join(
+        f"WHEN t = '{w}' THEN {c}" for w, c in BLOCKLIST_WEIGHTS.items()
+    )
+    return f"CASE {arms} ELSE 0 END"
+
+
+@register(
+    "corpus_blocklist_filter",
+    oracle=f"""
+WITH d AS (
+  SELECT doc_id, source, n_chars,
+         list_filter(string_split_regex(trim(text), '\\s+'),
+                     t -> length(t) > 0) AS toks
+  FROM documents
+),
+s AS (
+  SELECT doc_id, source, n_chars, len(toks) AS n_toks,
+         coalesce(list_sum(list_transform(toks,
+                    t -> {_blocklist_case('duckdb')})), 0) AS wscore
+  FROM d
+),
+flagged AS (
+  SELECT source, n_chars,
+         CASE WHEN n_toks = 0 THEN 0
+              ELSE (wscore * 1000000) // n_toks END > {BLOCKLIST_TAU_U6}
+           AS blocked
+  FROM s
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN blocked THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_blocked,
+       CAST((sum(CASE WHEN blocked THEN 1 ELSE 0 END) * 1000000)
+            // count(*) AS BIGINT) AS block_rate_u6,
+       CAST(sum(CASE WHEN blocked THEN n_chars ELSE 0 END) AS BIGINT)
+         AS chars_blocked
+FROM flagged
+GROUP BY source
+""",
+    doc="Weighted-blocklist filtering (the C4/CCNet 'bad words' gate "
+    "generalized): each blocklisted term carries a weight, a doc's "
+    "score is the weighted blocked-token DENSITY in exact 1e-6 units "
+    "(weights x occurrences over token count — density, not "
+    "membership, so one incidental term does not kill a long "
+    "document, the failure mode of naive list filters), and docs "
+    "above the gate are reported per source with the volume at "
+    "stake. The word list here is a 3-term fixture stand-in; the "
+    "operator contract (weights, density, threshold, per-source "
+    "report) is the production shape, and a real list is data, not "
+    "code. Zero-shuffle per-row scoring (one codegen'd HOF pass, no "
+    "explode), then a source-domain agg with map-side partials.",
+)
+def corpus_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    case = _blocklist_case("spark")
+    s = docs.select(
+        "source",
+        "n_chars",
+        F.size(tokens_col(F.col("text"))).alias("n_toks"),
+        F.coalesce(
+            F.expr(
+                "aggregate(transform("
+                "regexp_extract_all(text, '\\\\S+', 0),"
+                f" t -> {case}), 0L, (acc, x) -> acc + x)"
+            ),
+            F.lit(0),
+        ).alias("wscore"),
+    )
+    flagged = s.select(
+        "source",
+        "n_chars",
+        (
+            F.expr(
+                "CASE WHEN n_toks = 0 THEN 0"
+                " ELSE (wscore * 1000000) div n_toks END"
+            )
+            > BLOCKLIST_TAU_U6
+        ).alias("blocked"),
+    )
+    return flagged.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum(F.when(F.col("blocked"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_blocked"),
+        F.expr(
+            "CAST((sum(CASE WHEN blocked THEN 1 ELSE 0 END) * 1000000)"
+            " div count(*) AS LONG)"
+        ).alias("block_rate_u6"),
+        F.sum(F.when(F.col("blocked"), F.col("n_chars")).otherwise(0))
+        .cast("long")
+        .alias("chars_blocked"),
+    )

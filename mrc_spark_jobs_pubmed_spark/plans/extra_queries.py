@@ -2491,3 +2491,96 @@ def rel_waterfall_bridge(spark: SparkSession, sf_dir: str) -> DataFrame:
             - (F.col("n_new") - F.col("n_old")) * avg_old
         ).alias("price_effect_cents"),
     )
+
+
+# --- FIFO queue matching ----------------------------------------------------
+
+
+@register(
+    "rel_fifo_matching",
+    oracle="""
+WITH v AS (
+  SELECT user_id, epoch_us(ts) AS t_us,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY epoch_us(ts), event_id) AS rn
+  FROM events WHERE event_type = 'view'
+),
+p AS (
+  SELECT user_id, epoch_us(ts) AS t_us,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY epoch_us(ts), event_id) AS rn
+  FROM events WHERE event_type = 'purchase'
+),
+m AS (
+  SELECT v.user_id, (p.t_us - v.t_us) // 1000 AS wait_ms
+  FROM v JOIN p ON v.user_id = p.user_id AND v.rn = p.rn
+),
+counts AS (
+  SELECT (SELECT count(*) FROM v) AS n_views,
+         (SELECT count(*) FROM p) AS n_purchases,
+         (SELECT count(*) FROM m) AS n_matched,
+         (SELECT count(*) FROM m WHERE wait_ms < 0) AS n_inverted
+)
+SELECT CAST(n_views AS BIGINT) AS n_views,
+       CAST(n_purchases AS BIGINT) AS n_purchases,
+       CAST(n_matched AS BIGINT) AS n_matched,
+       CAST(n_inverted AS BIGINT) AS n_inverted,
+       (SELECT quantile_cont(wait_ms, 0.5) FROM m WHERE wait_ms >= 0)
+         AS wait_p50_ms,
+       (SELECT quantile_cont(wait_ms, 0.9) FROM m WHERE wait_ms >= 0)
+         AS wait_p90_ms
+FROM counts
+""",
+    doc="FIFO queue matching: each user's k-th purchase settles against "
+    "their k-th view — rank both sides per key, equi-join on (key, "
+    "rank) — the first-in-first-out pairing behind inventory cost "
+    "layers, payment-to-invoice settlement, and demand-supply queue "
+    "audits, done WITHOUT an order-dependent loop: two row_number "
+    "windows over one shared user_id exchange and a co-partitioned "
+    "join, the classic set-based FIFO rewrite. Unmatched tail = the "
+    "open queue; inverted matches (purchase before its FIFO view) "
+    "are surfaced, not silently clamped. Waits are floor-ms integers "
+    "and the percentiles interpolate on the integer grid (Spark "
+    "`percentile` = DuckDB quantile_cont — the rel_funnel_latency "
+    "contract). Scale shape: one shuffle on user_id serves both "
+    "rankings AND the join; 1 row out.",
+)
+def rel_fifo_matching(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    w = Window.partitionBy("user_id").orderBy("t_us", "event_id")
+    base = ev.select(
+        "user_id",
+        "event_type",
+        F.expr("unix_micros(ts)").alias("t_us"),
+        "event_id",
+    )
+    v = (
+        base.where(F.col("event_type") == "view")
+        .withColumn("rn", F.row_number().over(w))
+        .select("user_id", F.col("t_us").alias("v_us"), "rn")
+    )
+    p = (
+        base.where(F.col("event_type") == "purchase")
+        .withColumn("rn", F.row_number().over(w))
+        .select("user_id", F.col("t_us").alias("p_us"), "rn")
+    )
+    m = v.join(p, ["user_id", "rn"]).select(
+        F.expr("(p_us - v_us) div 1000").alias("wait_ms")
+    ).localCheckpoint(eager=True)
+    nv = v.agg(F.count("*").cast("long").alias("n_views"))
+    np_ = p.agg(F.count("*").cast("long").alias("n_purchases"))
+    stats = m.agg(
+        F.count("*").cast("long").alias("n_matched"),
+        F.sum(F.when(F.col("wait_ms") < 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_inverted"),
+    )
+    pct = m.where(F.col("wait_ms") >= 0).agg(
+        F.expr("percentile(wait_ms, 0.5)").alias("wait_p50_ms"),
+        F.expr("percentile(wait_ms, 0.9)").alias("wait_p90_ms"),
+    )
+    return (
+        nv.crossJoin(F.broadcast(np_))
+        .crossJoin(F.broadcast(stats))
+        .crossJoin(F.broadcast(pct))
+    )

@@ -1133,19 +1133,24 @@ def graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = e0.unionByName(
         e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).localCheckpoint(eager=True)
-    deg = edges.groupBy("src").agg(F.count("*").alias("d"))
+    deg = edges.groupBy("src").agg(F.count("*").alias("d")).localCheckpoint(
+        eager=True
+    )
     da = F.broadcast(deg.select(F.col("src"), F.col("d").alias("dx")))
     db = F.broadcast(
         deg.select(F.col("src").alias("dst"), F.col("d").alias("dy"))
     )
-    pairs = (
-        edges.join(da, "src").join(db, "dst").select("dx", "dy")
-    ).localCheckpoint(eager=True)
-    m = pairs.agg(
-        F.count("*").alias("n"),
-        F.expr("sum(dx) div count(*)").alias("mx"),
-        F.expr("sum(dy) div count(*)").alias("my"),
+    # the endpoint-degree means need no edge pass: over edge ends, each
+    # node v contributes dx = d(v) exactly d(v) times, so n = sum(d) and
+    # sum(dx) = sum(dy) = sum(d^2) — node-domain aggregates (this is
+    # why the Spark plan has ONE edge-sized pass where the definitional
+    # oracle has two; the integer results are identical)
+    m = deg.agg(
+        F.sum("d").alias("n"),
+        F.expr("sum(d * d) div sum(d)").alias("mx"),
+        F.expr("sum(d * d) div sum(d)").alias("my"),
     )
+    pairs = edges.join(da, "src").join(db, "dst").select("dx", "dy")
     cent = (
         pairs.crossJoin(F.broadcast(m))
         .agg(
