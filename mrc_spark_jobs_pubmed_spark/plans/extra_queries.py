@@ -2584,3 +2584,70 @@ def rel_fifo_matching(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(stats))
         .crossJoin(F.broadcast(pct))
     )
+
+
+# --- Benford first-digit audit ----------------------------------------------
+
+# round(log10(1 + 1/d) * 1e6) for d = 1..9 — fixed constants of the law,
+# not computed at query time (no float log in the contract)
+BENFORD_U6 = (301030, 176091, 124939, 96910, 79181, 66947, 57992, 51153, 45757)
+
+
+@register(
+    "rel_benford_audit",
+    oracle=f"""
+WITH digits AS (
+  SELECT CAST(substr(CAST(CAST(round(o_totalprice * 100) AS BIGINT)
+                          AS VARCHAR), 1, 1) AS BIGINT) AS d
+  FROM orders
+),
+counts AS (
+  SELECT d, count(*) AS n FROM digits GROUP BY d
+),
+tot AS (SELECT CAST(sum(n) AS BIGINT) AS t FROM counts)
+SELECT d AS digit,
+       CAST(n AS BIGINT) AS n,
+       CAST((n * 1000000) // t AS BIGINT) AS observed_u6,
+       CAST(CASE d {' '.join(f'WHEN {i + 1} THEN {v}' for i, v in enumerate(BENFORD_U6))}
+            END AS BIGINT) AS benford_u6,
+       CAST((n * 1000000) // t
+            - CASE d {' '.join(f'WHEN {i + 1} THEN {v}' for i, v in enumerate(BENFORD_U6))}
+              END AS BIGINT) AS delta_u6
+FROM counts CROSS JOIN tot
+""",
+    doc="Benford first-digit audit over order totals: observed leading-"
+    "digit shares vs the Benford expectation log10(1+1/d), deltas in "
+    "exact 1e-6 units — the classic forensic screen for fabricated or "
+    "systematically-biased numeric columns, run as a data-quality "
+    "gate beside rel_data_quality. The Benford probabilities are "
+    "FIXED integer constants of the law (no float log at query "
+    "time); the leading digit comes from the exact-cents integer "
+    "(first char of its decimal string — identical on both engines), "
+    "so every output column is exact BIGINT arithmetic. One scan, "
+    "one 9-row hash-agg with map-side partials, a 1-row total "
+    "broadcast. (TPC-H prices are uniform, not scale-invariant, so "
+    "the fixture FAILS Benford — large deltas — which is exactly "
+    "what the audit is for.)",
+)
+def rel_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, "orders", sf_dir)
+    benford_case = "CASE digit " + " ".join(
+        f"WHEN {i + 1} THEN {v}L" for i, v in enumerate(BENFORD_U6)
+    ) + " END"
+    digits = orders.select(
+        F.expr(
+            "CAST(substr(CAST(CAST(round(o_totalprice * 100) AS LONG)"
+            " AS STRING), 1, 1) AS LONG)"
+        ).alias("digit")
+    )
+    counts = digits.groupBy("digit").agg(F.count("*").alias("n"))
+    tot = counts.agg(F.sum("n").cast("long").alias("t"))
+    return counts.crossJoin(F.broadcast(tot)).select(
+        "digit",
+        F.col("n").cast("long").alias("n"),
+        F.expr("CAST((n * 1000000) div t AS LONG)").alias("observed_u6"),
+        F.expr(f"CAST({benford_case} AS LONG)").alias("benford_u6"),
+        F.expr(
+            f"CAST((n * 1000000) div t - {benford_case} AS LONG)"
+        ).alias("delta_u6"),
+    )

@@ -1142,3 +1142,116 @@ def rel_multitouch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("share_u4").cast("long").alias("attributed_u4"),
         )
     )
+
+
+# --- as-of join, direction='nearest' ----------------------------------------
+
+
+@register(
+    "rel_asof_nearest",
+    oracle="""
+WITH c AS (
+  SELECT event_id, user_id, epoch_us(ts) AS t_us
+  FROM events WHERE event_type = 'click'
+),
+v AS (
+  SELECT user_id, epoch_us(ts) AS t_us
+  FROM events WHERE event_type = 'view'
+),
+prior AS (
+  SELECT c.event_id, max(v.t_us) AS prior_us
+  FROM c JOIN v ON v.user_id = c.user_id AND v.t_us <= c.t_us
+  GROUP BY c.event_id
+),
+nxt AS (
+  SELECT c.event_id, min(v.t_us) AS next_us
+  FROM c JOIN v ON v.user_id = c.user_id AND v.t_us > c.t_us
+  GROUP BY c.event_id
+)
+SELECT c.event_id, c.user_id, c.t_us, p.prior_us, n.next_us,
+       CASE WHEN p.prior_us IS NULL THEN n.next_us
+            WHEN n.next_us IS NULL THEN p.prior_us
+            WHEN c.t_us - p.prior_us <= n.next_us - c.t_us THEN p.prior_us
+            ELSE n.next_us END AS nearest_us,
+       CASE WHEN p.prior_us IS NULL AND n.next_us IS NULL THEN NULL
+            WHEN n.next_us IS NULL THEN 'prior'
+            WHEN p.prior_us IS NULL THEN 'next'
+            WHEN c.t_us - p.prior_us <= n.next_us - c.t_us THEN 'prior'
+            ELSE 'next' END AS direction
+FROM c
+LEFT JOIN prior p USING (event_id)
+LEFT JOIN nxt n USING (event_id)
+""",
+    doc="As-of join with direction='nearest' (pandas merge_asof "
+    "nearest / kdb aj variants): each click matches whichever view is "
+    "CLOSER in time — latest at-or-before or earliest strictly-after, "
+    "ties to prior — completing the as-of family (backward: "
+    "rel_asof_join; backward+tolerance: rel_asof_tolerance). "
+    "Implemented as the same single-shuffle union trick run in BOTH "
+    "directions over ONE (user_id, time)-ordered window: "
+    "last_value(ignoreNulls) with an unbounded-preceding frame gives "
+    "the prior view, first_value(ignoreNulls) with an "
+    "unbounded-following frame the next view — the (ts, src) sort "
+    "key (views before clicks at equal instants) makes at-or-before "
+    "vs strictly-after exact at boundaries, and both frames share "
+    "the one exchange. The definitional oracle runs the quadratic "
+    "per-user pairwise join; the window form is the one that "
+    "survives per-user activity at scale.",
+)
+def rel_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    base = ev.where(F.col("event_type").isin("view", "click")).select(
+        "event_id",
+        "user_id",
+        F.expr("unix_micros(ts)").alias("t_us"),
+        F.when(F.col("event_type") == "view", 0).otherwise(1).alias("src"),
+    )
+    wb = (
+        Window.partitionBy("user_id")
+        .orderBy("t_us", "src", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wf = (
+        Window.partitionBy("user_id")
+        .orderBy("t_us", "src", "event_id")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    view_t = F.when(F.col("src") == 0, F.col("t_us"))
+    marked = base.select(
+        "event_id",
+        "user_id",
+        "t_us",
+        "src",
+        F.last(view_t, ignorenulls=True).over(wb).alias("prior_us"),
+        F.first(view_t, ignorenulls=True).over(wf).alias("next_us"),
+    )
+    clicks = marked.where(F.col("src") == 1)
+    nearest = F.when(F.col("prior_us").isNull(), F.col("next_us")).when(
+        F.col("next_us").isNull(), F.col("prior_us")
+    ).when(
+        F.col("t_us") - F.col("prior_us") <= F.col("next_us") - F.col("t_us"),
+        F.col("prior_us"),
+    ).otherwise(F.col("next_us"))
+    direction = (
+        F.when(
+            F.col("prior_us").isNull() & F.col("next_us").isNull(),
+            F.lit(None).cast("string"),
+        )
+        .when(F.col("next_us").isNull(), "prior")
+        .when(F.col("prior_us").isNull(), "next")
+        .when(
+            F.col("t_us") - F.col("prior_us")
+            <= F.col("next_us") - F.col("t_us"),
+            "prior",
+        )
+        .otherwise("next")
+    )
+    return clicks.select(
+        "event_id",
+        "user_id",
+        "t_us",
+        "prior_us",
+        "next_us",
+        nearest.alias("nearest_us"),
+        direction.alias("direction"),
+    )

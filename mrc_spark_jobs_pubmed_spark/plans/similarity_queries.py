@@ -2077,3 +2077,52 @@ def sim_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("cosine") >= RANGE_TAU)
     )
+
+
+# --- attribute-filtered vector search ---------------------------------------
+
+FILTER_LABEL = 3
+
+
+@register(
+    "sim_filtered_topk",
+    oracle=f"""
+WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = {QUERY_VEC_ID})
+SELECT vec_id, label,
+       round({S.cosine_sql('embedding', 'qe')}, 6) AS cosine
+FROM embeddings, q
+WHERE vec_id <> {QUERY_VEC_ID} AND label = {FILTER_LABEL}
+ORDER BY cosine DESC, vec_id
+LIMIT {TOP_K}
+""",
+    doc="Attribute-filtered vector search (the vector-DB 'metadata "
+    f"filter' every retrieval stack needs): top-{TOP_K} by cosine "
+    f"among vectors with label = {FILTER_LABEL} only — PRE-filtered, "
+    "so the scan prunes to the predicate before any distance math "
+    "(post-filtering a plain top-k under-returns when the filter is "
+    "selective, the classic filtered-ANN bug). The label predicate "
+    "pushes to the parquet scan (PushedFilters), the query vector "
+    "rides a 1-row broadcast, and the close is "
+    "TakeOrderedAndProject. At IVF scale the same pre-filter "
+    "composes inside each probed cell; selectivity x nprobe decides "
+    "cell fan-out, and the measured-recall contract "
+    "(sim_ivf_nprobe_recall) re-prices under the filter.",
+)
+def sim_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, "embeddings", sf_dir)
+    qdf = emb.filter(F.col("vec_id") == QUERY_VEC_ID)
+    q = F.broadcast(qdf.select(F.col("embedding").alias("_qe")))
+    return (
+        emb.filter(
+            (F.col("vec_id") != QUERY_VEC_ID)
+            & (F.col("label") == FILTER_LABEL)
+        )
+        .join(q)
+        .select(
+            "vec_id",
+            "label",
+            F.round(S.cosine_named("embedding", "_qe"), 6).alias("cosine"),
+        )
+        .orderBy(F.desc("cosine"), F.asc("vec_id"))
+        .limit(TOP_K)
+    )
