@@ -1666,3 +1666,156 @@ def corpus_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("chars_blocked"),
     )
+
+
+# --- cross-source n-gram overlap matrix -------------------------------------
+
+OVERLAP_K = 5
+OVERLAP_TOP = 30
+
+
+@register(
+    "corpus_source_overlap",
+    oracle=f"""
+WITH toks AS (
+  SELECT source, {_TOKS_SQL} AS toks FROM documents
+),
+grams AS (
+  SELECT DISTINCT source, gram FROM (
+    SELECT source, unnest({_kgrams_sql('toks', OVERLAP_K)}) AS gram FROM toks
+  )
+),
+marg AS (SELECT source, count(*) AS n FROM grams GROUP BY source),
+pairs AS (
+  SELECT a.source AS source_a, b.source AS source_b, count(*) AS n_common
+  FROM grams a JOIN grams b ON a.gram = b.gram AND a.source < b.source
+  GROUP BY 1, 2
+)
+SELECT p.source_a, p.source_b,
+       CAST(p.n_common AS BIGINT) AS n_common,
+       CAST(ma.n AS BIGINT) AS n_a,
+       CAST(mb.n AS BIGINT) AS n_b,
+       CAST((p.n_common * 1000000) // least(ma.n, mb.n) AS BIGINT)
+         AS containment_u6
+FROM pairs p
+JOIN marg ma ON ma.source = p.source_a
+JOIN marg mb ON mb.source = p.source_b
+ORDER BY containment_u6 DESC, p.source_a, p.source_b
+LIMIT {OVERLAP_TOP}
+""",
+    doc=f"Cross-source {OVERLAP_K}-gram overlap matrix: for every source "
+    "pair, the count of shared distinct word n-grams and the "
+    "CONTAINMENT of the smaller source (common / min) in exact 1e-6 "
+    "units — the train/eval leakage audit between corpus components "
+    "(is the 'books' slice quietly inside the 'web' slice?), the "
+    "pairwise rollup of corpus_contamination/corpus_ngram_novelty "
+    "which gate one candidate set against one reference. Scale "
+    "shape: the corpus collapses to its distinct (gram, source) set "
+    "first; the per-gram pair fan-out is bounded by |sources|^2 "
+    "(sources are a catalog, not data — the triangle-count "
+    "vocab-cap argument), marginals broadcast, output is at most "
+    "C(|sources|, 2) rows.",
+)
+def corpus_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    grams = (
+        docs.select("source", tokens_col(F.col("text")).alias("toks"))
+        .select("source", F.explode(_kgrams_spark(OVERLAP_K)).alias("gram"))
+        .distinct()
+    )
+    marg = grams.groupBy("source").agg(F.count("*").alias("n"))
+    a = grams.select(F.col("source").alias("source_a"), "gram").hint(
+        "shuffle_hash"
+    )
+    b = grams.select(F.col("source").alias("source_b"), "gram")
+    pairs = (
+        a.join(b, "gram")
+        .where(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count("*").alias("n_common"))
+    )
+    ma = F.broadcast(
+        marg.select(F.col("source").alias("source_a"), F.col("n").alias("n_a"))
+    )
+    mb = F.broadcast(
+        marg.select(F.col("source").alias("source_b"), F.col("n").alias("n_b"))
+    )
+    return (
+        pairs.join(ma, "source_a")
+        .join(mb, "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            F.col("n_common").cast("long").alias("n_common"),
+            F.col("n_a").cast("long").alias("n_a"),
+            F.col("n_b").cast("long").alias("n_b"),
+            F.expr(
+                "CAST((n_common * 1000000) div least(n_a, n_b) AS LONG)"
+            ).alias("containment_u6"),
+        )
+        .orderBy(F.desc("containment_u6"), "source_a", "source_b")
+        .limit(OVERLAP_TOP)
+    )
+
+
+# --- weighted (PPS) systematic sampling -------------------------------------
+
+PPS_K = 100  # target sample size
+
+
+@register(
+    "corpus_pps_sample",
+    oracle=f"""
+WITH w AS (
+  SELECT doc_id, source, n_chars,
+         sum(n_chars) OVER (ORDER BY doc_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW) AS c
+  FROM documents WHERE n_chars > 0
+),
+tot AS (SELECT CAST(sum(n_chars) AS BIGINT) AS t
+        FROM documents WHERE n_chars > 0)
+SELECT doc_id, source, CAST(n_chars AS BIGINT) AS n_chars,
+       CAST((c * {PPS_K}) // t AS BIGINT) AS stratum
+FROM w CROSS JOIN tot
+WHERE (c * {PPS_K}) // t > ((c - n_chars) * {PPS_K}) // t
+""",
+    doc="Probability-proportional-to-size systematic sampling: docs are "
+    "laid on the cumulative-weight (char-count) axis and one doc is "
+    f"taken wherever the axis crosses a multiple of total/{PPS_K} — "
+    "each doc's selection probability is proportional to its size, "
+    "with EXACTLY the target count (+-1) and zero RNG state: pure "
+    "integer cumsum + integer-division stratum compare, so the same "
+    "sample on any engine or partitioning (the deterministic-gate "
+    "discipline of corpus_sample_hash, extended to WEIGHTED "
+    "sampling — the byte-budget-faithful way to draw eval slices or "
+    "inspection samples from a corpus where doc sizes span 4 orders "
+    "of magnitude and uniform-by-doc sampling over-represents "
+    "shorts). Scale shape: one ordered cumsum window (at 100 TB, "
+    "range-partitioned by the same key the corpus is already sorted "
+    "on) + a 1-row total broadcast; the crossing predicate is "
+    "per-row arithmetic; c*k stays in int64 through ~1e14 chars x "
+    "k=100.",
+)
+def corpus_pps_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir).where(F.col("n_chars") > 0)
+    w = Window.orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = docs.select(
+        "doc_id", "source", "n_chars", F.sum("n_chars").over(w).alias("c")
+    )
+    tot = docs.agg(F.sum("n_chars").cast("long").alias("t"))
+    return (
+        cum.crossJoin(F.broadcast(tot))
+        .where(
+            F.expr(f"(c * {PPS_K}) div t")
+            > F.expr(f"((c - n_chars) * {PPS_K}) div t")
+        )
+        .select(
+            "doc_id",
+            "source",
+            F.col("n_chars").cast("long").alias("n_chars"),
+            F.expr(f"CAST((c * {PPS_K}) div t AS LONG)").alias("stratum"),
+        )
+    )

@@ -406,3 +406,85 @@ def mm_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("hamming") <= PHASH_MAX_HAM)
         .distinct()
     )
+
+
+# --- scene-cut detection over sampled frames --------------------------------
+
+SCENE_CUT_HAM = 20  # 32-bit frame-hash hamming above this = scene cut
+
+
+@register(
+    "mm_scene_detection",
+    oracle=f"""
+WITH f AS (
+  SELECT doc_id AS media_id, unnest(range(0, doc_id % 8 + 1)) AS k
+  FROM documents
+),
+ph AS (
+  SELECT media_id, k,
+         CAST('0x' || substr(md5(CAST(media_id AS VARCHAR) || ':'
+                                 || CAST(k AS VARCHAR)), 1, 8)
+              AS BIGINT) AS phash
+  FROM f
+),
+cuts AS (
+  SELECT media_id, k, phash,
+         lag(phash) OVER (PARTITION BY media_id ORDER BY k) AS prev
+  FROM ph
+)
+SELECT media_id,
+       CAST(count(*) AS BIGINT) AS n_frames,
+       CAST(1 + sum(CASE WHEN prev IS NOT NULL
+                          AND bit_count(xor(phash, prev)) > {SCENE_CUT_HAM}
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_scenes,
+       CAST(max(CASE WHEN prev IS NULL THEN 0
+                     ELSE bit_count(xor(phash, prev)) END) AS BIGINT)
+         AS max_cut_hamming
+FROM cuts
+GROUP BY media_id
+""",
+    doc="Scene-cut detection: consecutive sampled frames are fingerprinted "
+    "(32-bit hash of the frame bytes — the stub stands in for a DCT "
+    "frame pHash, exactly as mm_phash_neardup documents) and a cut is "
+    f"declared where the hamming distance jumps above {SCENE_CUT_HAM} "
+    "of 32 bits — the shot-boundary primitive video curation runs "
+    "before per-scene sampling or captioning. Built ON the "
+    "mm_frame_sample expansion (same mapInPandas row-multiplicity "
+    "contract), then one lag window per media ordered by frame index "
+    "and a per-media rollup: the whole scene pass adds ONE shuffle on "
+    "media_id over the frame stream, frames never leave the executor "
+    "as raw bytes (fingerprinted in the same projection). Output is "
+    "per-media frame/scene counts and the strongest cut.",
+)
+def mm_scene_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    frames = M.sample_frames(_media(spark, sf_dir), every_ms=250)
+    ph = frames.select(
+        "media_id",
+        "frame_idx",
+        F.expr(
+            "CAST(conv(substr(lower(hex(frame)), 1, 8), 16, 10) AS BIGINT)"
+        ).alias("phash"),
+    )
+    w = Window.partitionBy("media_id").orderBy("frame_idx")
+    cuts = ph.withColumn("prev", F.lag("phash").over(w))
+    ham = F.expr("bit_count(phash ^ prev)")
+    return cuts.groupBy("media_id").agg(
+        F.count("*").cast("long").alias("n_frames"),
+        (
+            F.lit(1)
+            + F.sum(
+                F.when(
+                    F.col("prev").isNotNull() & (ham > SCENE_CUT_HAM), 1
+                ).otherwise(0)
+            )
+        )
+        .cast("long")
+        .alias("n_scenes"),
+        F.max(
+            F.when(F.col("prev").isNull(), 0).otherwise(ham)
+        )
+        .cast("long")
+        .alias("max_cut_hamming"),
+    )
