@@ -1819,3 +1819,80 @@ def corpus_pps_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr(f"CAST((c * {PPS_K}) div t AS LONG)").alias("stratum"),
         )
     )
+
+
+# --- quality-threshold retention sweep --------------------------------------
+
+QSWEEP_TAUS = (300_000, 400_000, 500_000, 600_000, 700_000, 800_000)
+
+
+@register(
+    "corpus_quality_threshold_sweep",
+    oracle=f"""
+WITH s AS (
+  SELECT doc_id, n_chars, len(toks) AS n_toks,
+         CASE WHEN len(toks) = 0 THEN 0
+              ELSE (len(list_distinct(toks)) * 1000000) // len(toks) END
+           AS score_u6
+  FROM (SELECT doc_id, n_chars, {_TOKS_SQL} AS toks FROM documents)
+),
+tot AS (
+  SELECT count(*) AS n_all, CAST(sum(n_chars) AS BIGINT) AS chars_all FROM s
+),
+taus AS (SELECT unnest([{', '.join(str(t) for t in QSWEEP_TAUS)}]) AS tau_u6)
+SELECT CAST(t.tau_u6 AS BIGINT) AS tau_u6,
+       CAST(count(*) FILTER (s.score_u6 >= t.tau_u6) AS BIGINT) AS n_kept,
+       CAST(coalesce(sum(s.n_chars) FILTER (s.score_u6 >= t.tau_u6), 0)
+            AS BIGINT) AS chars_kept,
+       CAST((count(*) FILTER (s.score_u6 >= t.tau_u6) * 1000000)
+            // (SELECT n_all FROM tot) AS BIGINT) AS kept_share_u6
+FROM taus t CROSS JOIN s
+GROUP BY t.tau_u6
+""",
+    doc="Quality-threshold retention sweep: how much corpus (docs and "
+    "bytes) survives at each candidate cutoff of the distinct-token-"
+    "ratio quality signal, in exact 1e-6 integer units — the tuning "
+    "curve you read BEFORE fixing a quality gate (the operator-family "
+    "sibling of dedup_banding_tradeoff and sim_ivf_nprobe_recall: "
+    "cost/recall knobs measured, not guessed; here the knob is "
+    "data-retention vs strictness). Scale shape: the per-doc score is "
+    "one zero-shuffle pass; the sweep joins a |taus|-row broadcast "
+    "and aggregates on the tau domain — one corpus scan for the "
+    "whole curve, not one per candidate threshold.",
+)
+def corpus_quality_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    s = docs.select(
+        "n_chars",
+        tokens_col(F.col("text")).alias("toks"),
+    ).select(
+        "n_chars",
+        F.expr(
+            "CASE WHEN size(toks) = 0 THEN 0"
+            " ELSE (size(array_distinct(toks)) * 1000000) div size(toks) END"
+        ).alias("score_u6"),
+    )
+    tot = s.agg(F.count("*").alias("n_all"))
+    taus = spark.createDataFrame(
+        [(t,) for t in QSWEEP_TAUS], "tau_u6 long"
+    )
+    kept = F.col("score_u6") >= F.col("tau_u6")
+    return (
+        s.crossJoin(F.broadcast(taus))
+        .groupBy("tau_u6")
+        .agg(
+            F.sum(F.when(kept, 1).otherwise(0)).cast("long").alias("n_kept"),
+            F.sum(F.when(kept, F.col("n_chars")).otherwise(0))
+            .cast("long")
+            .alias("chars_kept"),
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "tau_u6",
+            "n_kept",
+            "chars_kept",
+            F.expr("CAST((n_kept * 1000000) div n_all AS LONG)").alias(
+                "kept_share_u6"
+            ),
+        )
+    )

@@ -2651,3 +2651,80 @@ def rel_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"CAST((n * 1000000) div t - {benford_case} AS LONG)"
         ).alias("delta_u6"),
     )
+
+
+# --- receivables aging report -----------------------------------------------
+
+AGING_EDGES = (30, 60, 90, 180)  # bucket upper edges in days outstanding
+
+
+def _aging_bucket(dialect: str) -> str:
+    arms = []
+    lo = 0
+    for e in AGING_EDGES:
+        arms.append(f"WHEN age_d <= {e} THEN '{lo:03d}-{e:03d}'")
+        lo = e + 1
+    arms.append(f"ELSE '{AGING_EDGES[-1] + 1:03d}+'")
+    return "CASE " + " ".join(arms) + " END"
+
+
+@register(
+    "rel_receivables_aging",
+    oracle=f"""
+WITH ref AS (SELECT max(o_orderdate) AS r FROM orders),
+open_o AS (
+  SELECT date_diff('day', o_orderdate, ref.r) AS age_d,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders CROSS JOIN ref
+  WHERE o_orderstatus IN ('O', 'P')
+),
+b AS (
+  SELECT {_aging_bucket('duckdb')} AS bucket, count(*) AS n,
+         CAST(sum(cents) AS BIGINT) AS cents
+  FROM open_o GROUP BY 1
+),
+tot AS (SELECT CAST(sum(cents) AS BIGINT) AS t FROM b)
+SELECT bucket,
+       CAST(n AS BIGINT) AS n_orders,
+       cents,
+       CAST((cents * 1000) // (t // 1000) AS BIGINT) AS share_u6
+FROM b CROSS JOIN tot
+""",
+    doc="Receivables aging: open orders (status O/P) bucketed by days "
+    "outstanding at the ledger's reference date (its own max order "
+    "date — self-contained, no wall clock), with order counts, exact "
+    "cents, and 1e-6-unit value shares per bucket — the working-"
+    "capital report every finance close runs, and the canonical "
+    "bucket-by-derived-age shape (dunning tiers, SLA breach bands). "
+    "Share uses the two-step div (cents*1e3 over t/1e3): cents*1e6 "
+    "would overflow int64 at ~9e12 cents, the rel_revenue_pareto "
+    "lesson. Scale shape: a 1-row reference-date broadcast, one "
+    "status-filtered scan (predicate pushed), a 5-bucket hash-agg "
+    "with map-side partials.",
+)
+def rel_receivables_aging(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, "orders", sf_dir)
+    ref = orders.agg(F.max("o_orderdate").alias("r"))
+    open_o = (
+        orders.where(F.col("o_orderstatus").isin("O", "P"))
+        .crossJoin(F.broadcast(ref))
+        .select(
+            F.datediff(F.col("r"), F.col("o_orderdate")).alias("age_d"),
+            F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        )
+    )
+    b = open_o.select(
+        F.expr(_aging_bucket("spark")).alias("bucket"), "cents"
+    ).groupBy("bucket").agg(
+        F.count("*").cast("long").alias("n_orders"),
+        F.sum("cents").cast("long").alias("cents"),
+    )
+    tot = b.agg(F.sum("cents").cast("long").alias("t"))
+    return b.crossJoin(F.broadcast(tot)).select(
+        "bucket",
+        "n_orders",
+        "cents",
+        F.expr("CAST((cents * 1000) div (t div 1000) AS LONG)").alias(
+            "share_u6"
+        ),
+    )

@@ -1255,3 +1255,59 @@ def rel_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
         nearest.alias("nearest_us"),
         direction.alias("direction"),
     )
+
+
+# --- HLL sketch partial merge (re-aggregable approx distinct) ---------------
+
+
+@register(
+    "rel_hll_partial_merge",
+    oracle="""
+WITH weekly AS (
+  SELECT epoch_us(ts) // 604800000000 AS week,
+         count(DISTINCT user_id) AS exact_users
+  FROM events GROUP BY 1
+)
+SELECT CAST(week AS BIGINT) AS week,
+       CAST(exact_users AS BIGINT) AS exact_users,
+       TRUE AS merged_within_tol
+FROM weekly
+""",
+    doc="HLL sketch RE-AGGREGATION (Datasketches hll_sketch_agg / "
+    "hll_union_agg, Spark 3.5+): per-day user sketches union into "
+    "weekly estimates WITHOUT rescanning events — the pre-aggregated "
+    "distinct-count serving pattern (store daily sketches, answer "
+    "any-window questions by merge), the approximate sibling of "
+    "rel_bitmap_distinct's exact bitmap OR (sketches are fixed-size "
+    "at any cardinality; bitmaps grow with the id range — pick by "
+    "id-space density). Sketch bytes are engine-specific, so the "
+    "contract is the rel_approx_distinct form: the query emits the "
+    "merged estimate's error check vs the exact weekly distinct "
+    "(within 10%), which the oracle asserts TRUE; week and exact "
+    "counts are exact integers. Scale shape: one (day)-keyed sketch "
+    "agg with map-side partials, a |days|-row merge to weeks, exact "
+    "check only at test scale.",
+)
+def rel_hll_partial_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    daily = ev.groupBy(
+        F.expr("unix_micros(ts) div 86400000000").alias("day")
+    ).agg(F.expr("hll_sketch_agg(user_id)").alias("sk"))
+    weekly = daily.groupBy(
+        F.expr("day div 7").alias("week")
+    ).agg(F.expr("hll_sketch_estimate(hll_union_agg(sk))").alias("est"))
+    exact = ev.groupBy(
+        F.expr("unix_micros(ts) div 604800000000").alias("week")
+    ).agg(F.countDistinct("user_id").alias("exact_users"))
+    return (
+        exact.join(weekly, "week")
+        .select(
+            F.col("week").cast("long").alias("week"),
+            F.col("exact_users").cast("long").alias("exact_users"),
+            (
+                F.abs(F.col("est") - F.col("exact_users"))
+                / F.col("exact_users")
+                < F.lit(0.10)
+            ).alias("merged_within_tol"),
+        )
+    )

@@ -2126,3 +2126,65 @@ def sim_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("cosine"), F.asc("vec_id"))
         .limit(TOP_K)
     )
+
+
+# --- batched multi-query top-k ----------------------------------------------
+
+BATCH_Q_N = 5
+BATCH_TOP_K = 5
+
+
+@register(
+    "sim_batch_topk",
+    oracle=f"""
+WITH q AS (
+  SELECT vec_id AS qid, embedding AS qe FROM embeddings
+  WHERE vec_id < {BATCH_Q_N}
+),
+scored AS (
+  SELECT q.qid, e.vec_id,
+         round({S.cosine_sql('e.embedding', 'q.qe')}, 6) AS cosine
+  FROM embeddings e CROSS JOIN q
+  WHERE e.vec_id >= {BATCH_Q_N}
+)
+SELECT qid, vec_id, cosine, CAST(rnk AS BIGINT) AS rnk
+FROM (
+  SELECT *, row_number() OVER (
+           PARTITION BY qid ORDER BY cosine DESC, vec_id) AS rnk
+  FROM scored
+) WHERE rnk <= {BATCH_TOP_K}
+""",
+    doc=f"Batched vector search: top-{BATCH_TOP_K} for {BATCH_Q_N} query "
+    "vectors in ONE corpus pass — the online-serving shape (requests "
+    "arrive in batches; re-scanning per query multiplies cost by "
+    "batch size). The query block rides a broadcast nested-loop join "
+    "(tiny side), every (query, vector) score computes in the same "
+    "projection, and the per-query top-k is a qid-partitioned "
+    "window — so corpus I/O is amortized across the whole batch, "
+    "which is the entire point. At IVF scale the same batch probes "
+    "its union of cells once and the window stays per-query. "
+    "Deterministic: 6dp-rounded scores, (cosine, vec_id) ties.",
+)
+def sim_batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    q = F.broadcast(
+        emb.where(F.col("vec_id") < BATCH_Q_N).select(
+            F.col("vec_id").alias("qid"), F.col("embedding").alias("_qe")
+        )
+    )
+    scored = (
+        emb.where(F.col("vec_id") >= BATCH_Q_N)
+        .join(q)
+        .select(
+            "qid",
+            "vec_id",
+            F.round(S.cosine_named("embedding", "_qe"), 6).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .where(F.col("rnk") <= BATCH_TOP_K)
+    )

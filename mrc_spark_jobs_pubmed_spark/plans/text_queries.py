@@ -1276,3 +1276,137 @@ def text_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("rank_p12"), "word")
         .limit(TEXTRANK_TOP)
     )
+
+
+# --- mutual-information feature ranking -------------------------------------
+
+MI_VOCAB = 30  # rank the top-M df terms
+MI_TOP = 20
+
+
+@register(
+    "text_mi_feature_ranking",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, source, unnest(list_distinct({_dedup_tokens_sql('text')}))
+           AS tok
+  FROM documents
+),
+n AS (SELECT count(*) AS n_docs FROM documents),
+ns AS (SELECT source, count(*) AS n_s FROM documents GROUP BY source),
+df AS (SELECT tok, count(*) AS df_t FROM toks GROUP BY tok),
+vocab AS (SELECT tok, df_t FROM df ORDER BY df_t DESC, tok
+          LIMIT {MI_VOCAB}),
+dfs AS (
+  SELECT t.tok, t.source, count(*) AS c1
+  FROM toks t JOIN vocab v USING (tok)
+  GROUP BY t.tok, t.source
+),
+cells AS (
+  SELECT v.tok, v.df_t, s.source, s.n_s,
+         coalesce(d.c1, 0) AS c1,
+         s.n_s - coalesce(d.c1, 0) AS c0
+  FROM vocab v CROSS JOIN ns s
+  LEFT JOIN dfs d ON d.tok = v.tok AND d.source = s.source
+),
+contrib AS (
+  SELECT tok, df_t,
+         CASE WHEN c1 > 0 THEN c1 * CAST(round(ln(
+                (c1 * (SELECT n_docs FROM n))::DOUBLE
+                / (n_s * df_t)) * 1000000) AS BIGINT) ELSE 0 END
+         + CASE WHEN c0 > 0 THEN c0 * CAST(round(ln(
+                (c0 * (SELECT n_docs FROM n))::DOUBLE
+                / (n_s * ((SELECT n_docs FROM n) - df_t))) * 1000000)
+                AS BIGINT) ELSE 0 END AS part
+  FROM cells
+)
+SELECT tok AS term,
+       CAST(max(df_t) AS BIGINT) AS df,
+       CAST(sum(part) // (SELECT n_docs FROM n) AS BIGINT) AS mi_u6
+FROM contrib
+GROUP BY tok
+ORDER BY mi_u6 DESC, term
+LIMIT {MI_TOP}
+""",
+    doc="Mutual-information feature ranking: MI between term PRESENCE "
+    "and the source label for the top-" f"{MI_VOCAB} " "df terms — the "
+    "feature-selection screen (which vocabulary separates corpus "
+    "components?) behind classifier-based quality filters and domain "
+    "routers, and the information-theoretic upgrade of raw df. "
+    "Numeric contract: each (term, source, present) cell contributes "
+    "count x round(ln(count*N / (rowmarginal*colmarginal)) * 1e6) — "
+    "one single-op log rounded once per cell (the "
+    "corpus_unigram_logprob discipline), summed exactly, closed by "
+    "one integer division — so the ranking is order-independent. "
+    "Scale shape: one doc-distinct token explode feeds df and the "
+    "(term, source) contingency; vocab and source marginals are "
+    "catalog-sized broadcasts; cells live on the vocab x sources "
+    "grid.",
+)
+def text_mi_feature_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mrc_spark_jobs_pubmed_spark.operators.dedup import tokens_col
+
+    docs = load_table(spark, "documents", sf_dir)
+    toks = docs.select(
+        "doc_id",
+        "source",
+        F.explode(F.array_distinct(tokens_col(F.col("text")))).alias("tok"),
+    )
+    n = docs.agg(F.count("*").alias("n_docs"))
+    ns = docs.groupBy("source").agg(F.count("*").alias("n_s"))
+    df = toks.groupBy("tok").agg(F.count("*").alias("df_t"))
+    vocab = df.orderBy(F.desc("df_t"), "tok").limit(MI_VOCAB)
+    dfs = (
+        toks.join(F.broadcast(vocab.select("tok")), "tok")
+        .groupBy("tok", "source")
+        .agg(F.count("*").alias("c1"))
+    )
+    cells = (
+        F.broadcast(vocab)
+        .crossJoin(F.broadcast(ns))
+        .join(dfs, ["tok", "source"], "left")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "tok",
+            "df_t",
+            "n_s",
+            "n_docs",
+            F.coalesce("c1", F.lit(0)).alias("c1"),
+            (F.col("n_s") - F.coalesce("c1", F.lit(0))).alias("c0"),
+        )
+    )
+    part = (
+        F.when(
+            F.col("c1") > 0,
+            F.col("c1")
+            * F.round(
+                F.log(
+                    (F.col("c1") * F.col("n_docs")).cast("double")
+                    / (F.col("n_s") * F.col("df_t"))
+                )
+                * 1e6
+            ).cast("long"),
+        ).otherwise(0)
+        + F.when(
+            F.col("c0") > 0,
+            F.col("c0")
+            * F.round(
+                F.log(
+                    (F.col("c0") * F.col("n_docs")).cast("double")
+                    / (F.col("n_s") * (F.col("n_docs") - F.col("df_t")))
+                )
+                * 1e6
+            ).cast("long"),
+        ).otherwise(0)
+    )
+    return (
+        cells.select("tok", "df_t", "n_docs", part.alias("part"))
+        .groupBy("tok")
+        .agg(
+            F.max("df_t").cast("long").alias("df"),
+            F.expr("CAST(sum(part) div max(n_docs) AS LONG)").alias("mi_u6"),
+        )
+        .select(F.col("tok").alias("term"), "df", "mi_u6")
+        .orderBy(F.desc("mi_u6"), "term")
+        .limit(MI_TOP)
+    )

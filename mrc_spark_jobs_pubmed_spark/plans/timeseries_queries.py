@@ -1118,3 +1118,222 @@ def rel_ewma_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("g0").alias("last_v_u4"),
         F.expr(f"CAST(({num}) div ({den}) AS LONG)").alias("ewma_u4"),
     )
+
+
+# --- CUSUM changepoint detection --------------------------------------------
+
+
+@register(
+    "rel_cusum_changepoint",
+    oracle="""
+WITH daily AS (
+  SELECT event_type,
+         epoch_us(ts) // 86400000000 AS day,
+         CAST(sum(CAST(round(value * 10000) AS BIGINT)) AS BIGINT) AS v_u4
+  FROM events
+  GROUP BY 1, 2
+),
+m AS (
+  SELECT event_type, count(*) AS n, CAST(sum(v_u4) AS BIGINT) AS s
+  FROM daily GROUP BY event_type
+),
+dev AS (
+  SELECT d.event_type, d.day,
+         -- n*x - s: the mean-centered deviation SCALED BY n, keeping
+         -- everything integer (x - s/n would need a lossy division)
+         sum(d.v_u4 * m.n - m.s) OVER (
+           PARTITION BY d.event_type ORDER BY d.day
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS cusum_n
+  FROM daily d JOIN m USING (event_type)
+),
+peak AS (
+  SELECT event_type, day, cusum_n, abs(cusum_n) AS mag,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY abs(cusum_n) DESC, day) AS rn
+  FROM dev
+)
+SELECT event_type,
+       CAST(day AS BIGINT) AS change_day,
+       CAST(cusum_n AS BIGINT) AS cusum_n_u4,
+       CAST(mag AS BIGINT) AS magnitude_u4
+FROM peak WHERE rn = 1
+""",
+    doc="CUSUM changepoint detection per metric stream: cumulative sum "
+    "of mean-centered daily values, peak |CUSUM| marks the most "
+    "likely level-shift day — the classic offline changepoint screen "
+    "(did the metric's regime change, and when?) beside "
+    "rel_ts_anomaly_mad's point outliers. EXACT-integer trick: the "
+    "deviation is scaled by n (n*x - sum instead of x - sum/n), so "
+    "the running sum is pure BIGINT — no float mean, no rounding "
+    "drift, bit-identical peak day on any engine/partitioning; "
+    "magnitude is in n-scaled 1e-4 units (the ORDERING and argmax "
+    "day are what the operator contracts). Scale shape: a (type, "
+    "day) pre-agg collapses the stream to the bounded time grid; "
+    "mean, window, and argmax all run on that grid — constant in "
+    "event volume. Overflow: |n*x - s| <= 2*n*max_daily ~ 1e13 at "
+    "a decade of days x 1e5-unit daily sums.",
+)
+def rel_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    daily = ev.groupBy(
+        "event_type", F.expr("unix_micros(ts) div 86400000000").alias("day")
+    ).agg(
+        F.sum(F.round(F.col("value") * 10000).cast("long"))
+        .cast("long")
+        .alias("v_u4")
+    )
+    m = daily.groupBy("event_type").agg(
+        F.count("*").alias("n"), F.sum("v_u4").cast("long").alias("s")
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    dev = daily.join(F.broadcast(m), "event_type").withColumn(
+        "cusum_n",
+        F.sum(F.col("v_u4") * F.col("n") - F.col("s")).over(w),
+    )
+    peak = dev.withColumn(
+        "rn",
+        F.row_number().over(
+            Window.partitionBy("event_type").orderBy(
+                F.abs(F.col("cusum_n")).desc(), "day"
+            )
+        ),
+    )
+    return peak.where(F.col("rn") == 1).select(
+        "event_type",
+        F.col("day").cast("long").alias("change_day"),
+        F.col("cusum_n").cast("long").alias("cusum_n_u4"),
+        F.abs(F.col("cusum_n")).cast("long").alias("magnitude_u4"),
+    )
+
+
+# --- Kaplan-Meier churn survival --------------------------------------------
+
+
+@register(
+    "rel_survival_curve",
+    oracle=f"""
+WITH spans AS (
+  SELECT user_id,
+         min(epoch_us(ts)) // {DAY_US} AS first_w,
+         max(epoch_us(ts)) // {DAY_US} AS last_w
+  FROM events GROUP BY user_id
+),
+horizon AS (SELECT max(epoch_us(ts)) // {DAY_US} AS w_max FROM events),
+obs AS (
+  SELECT user_id,
+         CASE WHEN s.last_w < h.w_max THEN s.last_w - s.first_w
+              ELSE h.w_max - s.first_w END AS tenure,
+         CASE WHEN s.last_w < h.w_max THEN 1 ELSE 0 END AS churned
+  FROM spans s CROSS JOIN horizon h
+),
+grid AS (SELECT DISTINCT tenure AS t FROM obs),
+km AS (
+  SELECT g.t,
+         (SELECT count(*) FROM obs WHERE obs.tenure >= g.t) AS n_at_risk,
+         (SELECT count(*) FROM obs
+          WHERE obs.tenure = g.t AND obs.churned = 1) AS n_churned
+  FROM grid g
+),
+hz AS (
+  SELECT t, n_at_risk, n_churned,
+         CAST((n_churned * 1000000) // n_at_risk AS BIGINT) AS hazard_u6,
+         CASE WHEN n_churned < n_at_risk
+              THEN CAST(round(-ln(1.0 - n_churned::DOUBLE / n_at_risk)
+                              * 1000000) AS BIGINT)
+              END AS nl_u6
+  FROM km
+)
+SELECT CAST(t AS BIGINT) AS tenure_d,
+       CAST(n_at_risk AS BIGINT) AS n_at_risk,
+       CAST(n_churned AS BIGINT) AS n_churned,
+       hazard_u6,
+       CAST(sum(nl_u6) OVER (ORDER BY t
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS BIGINT) AS cum_neg_log_u6,
+       exp(-(sum(nl_u6) OVER (ORDER BY t
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+           / 1000000.0) AS survival
+FROM hz
+""",
+    doc="Kaplan-Meier churn survival: per tenure DAY, users at risk, "
+    "churn events (users whose LAST activity fell that many weeks "
+    "after their first — users still active at the corpus horizon are "
+    "CENSORED, not churned, the distinction naive churn rates get "
+    "wrong), the discrete hazard in exact 1e-6 units, and the KM "
+    "survival estimate — the product over days of (1 - hazard) "
+    "carried as a SUM of per-day 1e-6-unit rounded logs (the "
+    "corpus_unigram_logprob discipline: round each single-op log "
+    "once, sum exactly — order-independent), closed by one exp at "
+    "the contract edge. Scale shape: one user-domain span agg, a "
+    "1-row horizon broadcast, and the KM table lives on the bounded "
+    "tenure grid (the oracle's correlated counts are the definitional "
+    "spec; the plan computes at-risk as a reversed cumulative sum on "
+    "the grid — no per-day rescans).",
+)
+def rel_survival_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    spans = ev.groupBy("user_id").agg(
+        F.expr(f"min(unix_micros(ts)) div {DAY_US}").alias("first_w"),
+        F.expr(f"max(unix_micros(ts)) div {DAY_US}").alias("last_w"),
+    )
+    horizon = ev.agg(
+        F.expr(f"max(unix_micros(ts)) div {DAY_US}").alias("w_max")
+    )
+    obs = spans.crossJoin(F.broadcast(horizon)).select(
+        F.when(
+            F.col("last_w") < F.col("w_max"),
+            F.col("last_w") - F.col("first_w"),
+        )
+        .otherwise(F.col("w_max") - F.col("first_w"))
+        .alias("tenure"),
+        F.when(F.col("last_w") < F.col("w_max"), 1).otherwise(0).alias(
+            "churned"
+        ),
+    )
+    cells = obs.groupBy("tenure").agg(
+        F.count("*").alias("n_here"),
+        F.sum("churned").alias("n_churned"),
+    )
+    # at-risk = users with tenure >= t: reversed cumulative sum over the
+    # bounded tenure grid (no per-day rescans of the user table)
+    w_rev = (
+        Window.orderBy(F.desc("tenure"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    km = cells.withColumn("n_at_risk", F.sum("n_here").over(w_rev))
+    hz = km.select(
+        F.col("tenure").alias("t"),
+        "n_at_risk",
+        "n_churned",
+        F.expr("CAST((n_churned * 1000000) div n_at_risk AS LONG)").alias(
+            "hazard_u6"
+        ),
+        F.when(
+            F.col("n_churned") < F.col("n_at_risk"),
+            F.round(
+                -F.log(
+                    F.lit(1.0)
+                    - F.col("n_churned").cast("double") / F.col("n_at_risk")
+                )
+                * 1e6
+            ).cast("long"),
+        ).alias("nl_u6"),
+    )
+    w_cum = Window.orderBy("t").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return hz.select(
+        F.col("t").cast("long").alias("tenure_d"),
+        F.col("n_at_risk").cast("long").alias("n_at_risk"),
+        F.col("n_churned").cast("long").alias("n_churned"),
+        "hazard_u6",
+        F.sum("nl_u6").over(w_cum).cast("long").alias("cum_neg_log_u6"),
+        F.exp(
+            -F.sum("nl_u6").over(w_cum).cast("double") / F.lit(1000000.0)
+        ).alias("survival"),
+    )

@@ -95,4 +95,6 @@ def test_driver_window_is_consistent():
     and be duplicate-free; entries beyond the driver's 50-row cap are
     the documented next-in-line set."""
     assert len(set(plans.DRIVER_WINDOW)) == len(plans.DRIVER_WINDOW)
-    assert len(plans.DRIVER_WINDOW) <= 110
+    # generous sanity bound only — the prioritized prefix (4 fixed reds +
+    # never-official set) plus every round-4 addition queued next-in-line
+    assert len(plans.DRIVER_WINDOW) <= 200
