@@ -1410,3 +1410,68 @@ def text_mi_feature_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("mi_u6"), "term")
         .limit(MI_TOP)
     )
+
+
+# --- template (slot-masked vocabulary) duplicate detection ------------------
+
+
+@register(
+    "text_template_dedup",
+    oracle="""
+WITH t AS (
+  SELECT doc_id, source,
+         md5(array_to_string(list_sort(list_distinct(
+           list_filter(string_split_regex(
+             regexp_replace(lower(trim(text)), '[0-9]+', '#', 'g'),
+             '\\s+'), x -> length(x) > 0))), ' ')) AS template_hash
+  FROM documents
+)
+SELECT template_hash,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       min(doc_id) AS canonical_id,
+       CAST(count(DISTINCT source) AS BIGINT) AS n_sources
+FROM t
+GROUP BY template_hash
+HAVING count(*) >= 2
+""",
+    doc="Template-duplicate detection via the slot-masked VOCABULARY "
+    "fingerprint: digit runs mask to '#' (the price/date/id slots of "
+    "machine-generated pages), then the SORTED DISTINCT token set "
+    "hashes to one template id — so reorderings, repetition-count "
+    "changes, and slot-value changes of the same boilerplate all "
+    "collapse, which exact dedup misses entirely and MinHash only "
+    "partially scores, with zero pairwise work. n_sources > 1 flags "
+    "templates leaking ACROSS corpus components; groups feed "
+    "keep-best exactly as dedup_exact clusters. Scale shape: "
+    "normalize + sort-within-row + hash is one codegen'd zero-shuffle "
+    "projection (sort cost is per-doc vocab, not corpus); ONE "
+    "hash-agg on 16-byte keys with map-side partials.",
+)
+def text_template_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    t = docs.select(
+        "doc_id",
+        "source",
+        F.md5(
+            F.array_join(
+                F.array_sort(
+                    F.array_distinct(
+                        F.expr(
+                            "regexp_extract_all(regexp_replace(lower(trim(text)),"
+                            " '[0-9]+', '#'), '\\\\S+', 0)"
+                        )
+                    )
+                ),
+                " ",
+            )
+        ).alias("template_hash"),
+    )
+    return (
+        t.groupBy("template_hash")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.min("doc_id").alias("canonical_id"),
+            F.countDistinct("source").cast("long").alias("n_sources"),
+        )
+        .where(F.col("n_docs") >= 2)
+    )

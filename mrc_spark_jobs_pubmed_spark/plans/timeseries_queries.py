@@ -1337,3 +1337,73 @@ def rel_survival_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             -F.sum("nl_u6").over(w_cum).cast("double") / F.lit(1000000.0)
         ).alias("survival"),
     )
+
+
+# --- seasonal-naive forecast backtest ---------------------------------------
+
+FC_SEASON_D = 7  # seasonal-naive lag, days
+
+
+@register(
+    "rel_forecast_backtest",
+    oracle=f"""
+WITH daily AS (
+  SELECT event_type,
+         epoch_us(ts) // 86400000000 AS day,
+         CAST(sum(CAST(round(value * 10000) AS BIGINT)) AS BIGINT) AS v_u4
+  FROM events GROUP BY 1, 2
+),
+joined AS (
+  SELECT a.event_type, a.day, a.v_u4, f.v_u4 AS fc_u4
+  FROM daily a JOIN daily f
+    ON f.event_type = a.event_type AND f.day = a.day - {FC_SEASON_D}
+)
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_days,
+       CAST(sum(abs(v_u4 - fc_u4)) // count(*) AS BIGINT) AS mae_u4,
+       CAST(sum(abs(v_u4 - fc_u4) * 1000000 // greatest(v_u4, 1))
+            // count(*) AS BIGINT) AS mape_u6,
+       CAST(max(abs(v_u4 - fc_u4)) AS BIGINT) AS worst_abs_err_u4
+FROM joined
+GROUP BY event_type
+""",
+    doc=f"Forecast backtest against the seasonal-naive baseline (predict "
+    f"each day = same weekday {FC_SEASON_D} days earlier): per metric "
+    "stream, MAE, MAPE, and worst error over the whole backtest "
+    "window in exact integer units — the accuracy floor every real "
+    "forecaster must beat, and the backtest harness shape (align "
+    "actuals with lagged predictions, score exactly) that fancier "
+    "models plug into. Per-day percentage errors are individually "
+    "integer-divided THEN averaged (order-independent; a float MAPE "
+    "accumulation is not). Scale shape: the stream collapses to the "
+    "(type, day) grid first; the self-join aligns on (type, day-lag) "
+    "within the grid — both sides from one pre-agg, partitioned "
+    "alike; scoring is a grid-domain agg.",
+)
+def rel_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    daily = ev.groupBy(
+        "event_type", F.expr("unix_micros(ts) div 86400000000").alias("day")
+    ).agg(
+        F.sum(F.round(F.col("value") * 10000).cast("long"))
+        .cast("long")
+        .alias("v_u4")
+    ).localCheckpoint(eager=True)
+    fc = daily.select(
+        "event_type",
+        (F.col("day") + FC_SEASON_D).alias("day"),
+        F.col("v_u4").alias("fc_u4"),
+    )
+    joined = daily.join(fc, ["event_type", "day"])
+    err = F.abs(F.col("v_u4") - F.col("fc_u4"))
+    return joined.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n_days"),
+        F.expr(
+            "CAST(sum(abs(v_u4 - fc_u4)) div count(*) AS LONG)"
+        ).alias("mae_u4"),
+        F.expr(
+            "CAST(sum(abs(v_u4 - fc_u4) * 1000000 div greatest(v_u4, 1))"
+            " div count(*) AS LONG)"
+        ).alias("mape_u6"),
+        F.max(err).cast("long").alias("worst_abs_err_u4"),
+    )
