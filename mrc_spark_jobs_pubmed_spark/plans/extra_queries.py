@@ -2728,3 +2728,174 @@ def rel_receivables_aging(spark: SparkSession, sf_dir: str) -> DataFrame:
             "share_u6"
         ),
     )
+
+
+# --- winsorized / trimmed robust statistics ---------------------------------
+
+WINSOR_PCT = 5  # percent clipped at EACH tail
+
+
+@register(
+    "rel_winsorized_stats",
+    oracle=f"""
+WITH ranked AS (
+  SELECT o_orderpriority AS priority,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+         row_number() OVER (PARTITION BY o_orderpriority
+                            ORDER BY CAST(round(o_totalprice * 100) AS BIGINT),
+                                     o_orderkey) AS r,
+         count(*) OVER (PARTITION BY o_orderpriority) AS n
+  FROM orders
+),
+flagged AS (
+  SELECT priority, cents, r, n, n * {WINSOR_PCT} // 100 AS c FROM ranked
+)
+SELECT priority,
+       CAST(max(n) AS BIGINT) AS n_orders,
+       CAST(max(c) AS BIGINT) AS clipped_each_side,
+       CAST(max(CASE WHEN r <= c + 1 THEN cents END) AS BIGINT) AS lo_cents,
+       CAST(max(CASE WHEN r <= n - c THEN cents END) AS BIGINT) AS hi_cents,
+       CAST((sum(CASE WHEN r > c AND r <= n - c THEN cents ELSE 0 END)
+             + max(c) * max(CASE WHEN r <= c + 1 THEN cents END)
+             + max(c) * max(CASE WHEN r <= n - c THEN cents END))
+            // max(n) AS BIGINT) AS winsor_mean_cents,
+       CAST(sum(CASE WHEN r > c AND r <= n - c THEN cents ELSE 0 END)
+            // (max(n) - 2 * max(c)) AS BIGINT) AS trimmed_mean_cents
+FROM flagged
+GROUP BY priority
+""",
+    doc=f"Winsorized and trimmed means of order value per priority class "
+    f"({WINSOR_PCT}% clipped at each tail): the robust-location pair "
+    "that survives the fat-tailed revenue distributions a plain mean "
+    "drowns in. Tail cuts are RANK-based (row_number over (cents, "
+    "orderkey) — a total order, so ties at the cut value resolve "
+    "identically on every engine), not value-based quantile "
+    "interpolation, and the winsorized sum decomposes exactly as "
+    "trim_sum + c*lo + c*hi in BIGINT cents — no float path at all. "
+    "Scale shape: one window pass partitioned by the group key, one "
+    "hash-agg; the per-group sort is the unavoidable cost of exact "
+    "order statistics and shards by group.",
+)
+def rel_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, "orders", sf_dir)
+    wp = Window.partitionBy("priority")
+    ranked = orders.select(
+        F.col("o_orderpriority").alias("priority"),
+        F.expr("CAST(round(o_totalprice * 100) AS LONG)").alias("cents"),
+        "o_orderkey",
+    ).select(
+        "priority",
+        "cents",
+        F.row_number()
+        .over(
+            Window.partitionBy("priority").orderBy("cents", "o_orderkey")
+        )
+        .alias("r"),
+        F.count("*").over(wp).alias("n"),
+    )
+    flagged = ranked.withColumn("c", F.expr(f"n * {WINSOR_PCT} div 100"))
+    lo = F.max(F.expr("CASE WHEN r <= c + 1 THEN cents END"))
+    hi = F.max(F.expr("CASE WHEN r <= n - c THEN cents END"))
+    return flagged.groupBy("priority").agg(
+        F.max("n").cast("long").alias("n_orders"),
+        F.max("c").cast("long").alias("clipped_each_side"),
+        lo.cast("long").alias("lo_cents"),
+        hi.cast("long").alias("hi_cents"),
+        F.expr(
+            "CAST((sum(CASE WHEN r > c AND r <= n - c THEN cents ELSE 0 END)"
+            " + max(c) * max(CASE WHEN r <= c + 1 THEN cents END)"
+            " + max(c) * max(CASE WHEN r <= n - c THEN cents END))"
+            " div max(n) AS LONG)"
+        ).alias("winsor_mean_cents"),
+        F.expr(
+            "CAST(sum(CASE WHEN r > c AND r <= n - c THEN cents ELSE 0 END)"
+            " div (max(n) - 2 * max(c)) AS LONG)"
+        ).alias("trimmed_mean_cents"),
+    )
+
+
+# --- ABC inventory classification -------------------------------------------
+
+
+@register(
+    "rel_abc_classification",
+    oracle="""
+WITH rev AS (
+  SELECT l_partkey AS part,
+         CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+           AS cents
+  FROM lineitem GROUP BY l_partkey
+),
+tot AS (SELECT CAST(sum(cents) AS BIGINT) AS t FROM rev),
+cum AS (
+  SELECT part, cents,
+         CAST(sum(cents) OVER (ORDER BY cents DESC, part
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              // nullif((SELECT t FROM tot) // 1000000, 0) AS BIGINT)
+           AS cum_u6
+  FROM rev
+)
+SELECT CASE WHEN cum_u6 <= 700000 THEN 'A'
+            WHEN cum_u6 <= 900000 THEN 'B'
+            ELSE 'C' END AS abc_class,
+       CAST(count(*) AS BIGINT) AS n_parts,
+       CAST(sum(cents) AS BIGINT) AS revenue_cents,
+       CAST(sum(cents) // nullif((SELECT t FROM tot) // 1000000, 0)
+            AS BIGINT) AS revenue_share_u6,
+       CAST(min(cum_u6) AS BIGINT) AS min_cum_u6,
+       CAST(max(cum_u6) AS BIGINT) AS max_cum_u6
+FROM cum
+GROUP BY 1
+""",
+    doc="ABC inventory classification: parts ranked by exact-cents "
+    "revenue, class A = items inside the first 70% of cumulative "
+    "revenue, B to 90%, C the tail — the standard stock-policy "
+    "segmentation (count A items tightly, C loosely). Cumulative "
+    "share uses the two-step integer division idiom "
+    "(cum_cents // (total // 1e6)) so the share is exact int "
+    "arithmetic at any corpus size — cents*1e6 overflows int64 past "
+    "~9e12 total cents, which sf1 already exceeds. Deterministic "
+    "(cents, partkey) rank order. Scale shape: one partkey hash-agg "
+    "over lineitem (the only corpus-sized pass), then a part-domain "
+    "ranked cumulative window (at 100 TB: range-partitioned sort on "
+    "the compact per-part aggregate) and a 3-row rollup.",
+)
+def rel_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, "lineitem", sf_dir)
+    rev = li.groupBy(F.col("l_partkey").alias("part")).agg(
+        F.sum(F.expr("CAST(round(l_extendedprice * 100) AS LONG)"))
+        .cast("long")
+        .alias("cents")
+    )
+    tot = rev.agg(F.sum("cents").cast("long").alias("t"))
+    cum = (
+        rev.join(F.broadcast(tot))
+        .select(
+            "part",
+            "cents",
+            F.expr(
+                "CAST(sum(cents) OVER (ORDER BY cents DESC, part"
+                " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
+                " div nullif(t div 1000000, 0) AS LONG)"
+            ).alias("cum_u6"),
+            "t",
+        )
+    )
+    return (
+        cum.withColumn(
+            "abc_class",
+            F.when(F.col("cum_u6") <= 700000, "A")
+            .when(F.col("cum_u6") <= 900000, "B")
+            .otherwise("C"),
+        )
+        .groupBy("abc_class")
+        .agg(
+            F.count("*").cast("long").alias("n_parts"),
+            F.sum("cents").cast("long").alias("revenue_cents"),
+            F.expr(
+                "CAST(sum(cents) div nullif(max(t) div 1000000, 0) AS LONG)"
+            ).alias("revenue_share_u6"),
+            F.min("cum_u6").cast("long").alias("min_cum_u6"),
+            F.max("cum_u6").cast("long").alias("max_cum_u6"),
+        )
+    )

@@ -1269,3 +1269,128 @@ def graph_bom_explosion(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("q").cast("long").alias("max_units"),
         )
     )
+
+
+# --- deterministic random walks (DeepWalk-style corpus sampling) ------------
+
+WALK_STEPS = 3
+WALK_SEED_MOD = 7  # walk starts at customers with custkey % 7 == 0
+WALK_TOP = 20
+
+
+def _walk_sql() -> str:
+    ctes = [
+        """e0 AS (
+  SELECT DISTINCT o_custkey AS src, l_suppkey + 10000000 AS dst
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+)""",
+        "edges AS MATERIALIZED (SELECT src, dst FROM e0"
+        " UNION ALL SELECT dst AS src, src AS dst FROM e0)",
+        f"w0 AS (SELECT DISTINCT src AS seed, src AS cur FROM edges"
+        f" WHERE src < {_SUPP_OFFSET} AND src % {WALK_SEED_MOD} = 0)",
+    ]
+    for t in range(1, WALK_STEPS + 1):
+        ctes.append(
+            f"""s{t} AS (
+  SELECT seed, e.dst AS nxt,
+         row_number() OVER (PARTITION BY seed ORDER BY
+           md5(CAST(cur AS VARCHAR) || '|{t}|' || CAST(e.dst AS VARCHAR)),
+           e.dst) AS rn
+  FROM w{t - 1} JOIN edges e ON e.src = cur
+)""",
+        )
+        ctes.append(f"w{t} AS (SELECT seed, nxt AS cur FROM s{t} WHERE rn = 1)")
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+SELECT cur AS end_node,
+       CASE WHEN cur >= {_SUPP_OFFSET} THEN 'supplier' ELSE 'customer' END
+         AS node_type,
+       CAST(count(*) AS BIGINT) AS n_walks,
+       CAST(min(seed) AS BIGINT) AS min_seed
+FROM w{WALK_STEPS}
+GROUP BY 1, 2
+ORDER BY n_walks DESC, end_node
+LIMIT {WALK_TOP}
+"""
+    )
+
+
+@register(
+    "graph_random_walk",
+    oracle=_walk_sql(),
+    doc=f"Deterministic DeepWalk-style walks over the customer-supplier "
+    f"graph: from every {WALK_SEED_MOD}th customer, {WALK_STEPS} steps, "
+    "each step choosing the neighbor that minimizes "
+    "md5(cur || step || neighbor) — hash-driven choice IS the random "
+    "walk (uniform over neighbors, since md5 order is uniform), but "
+    "bit-reproducible on any engine, partitioning, or cluster size, "
+    "which is what makes walk corpora for embedding training diffable "
+    "across re-runs. The walk endpoint histogram approximates the "
+    "stationary distribution (compare graph_pagerank). Scale shape "
+    "per step: one equi-join of the frontier against the edge list "
+    "(both hash-partitioned on the join key; edge table "
+    "localCheckpoint'd once and reused all steps) and the per-seed "
+    "argmin is a hash-agg min(struct(hash, nbr)) — NO sort window, "
+    "map-side partials carry 2 longs per frontier row.",
+)
+def graph_random_walk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, "lineitem", sf_dir)
+    orders = load_table(spark, "orders", sf_dir)
+    e0 = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .select(
+            F.col("o_custkey").alias("src"),
+            (F.col("l_suppkey") + _SUPP_OFFSET).alias("dst"),
+        )
+        .distinct()
+    )
+    edges = (
+        e0.unionByName(
+            e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        .repartition("src")
+        .localCheckpoint(eager=True)
+    )
+    frontier = (
+        edges.where(
+            (F.col("src") < _SUPP_OFFSET) & (F.col("src") % WALK_SEED_MOD == 0)
+        )
+        .select(F.col("src").alias("seed"), F.col("src").alias("cur"))
+        .distinct()
+    )
+    for t in range(1, WALK_STEPS + 1):
+        stepped = frontier.join(edges, frontier.cur == edges.src).select(
+            "seed",
+            F.md5(
+                F.concat(
+                    F.col("cur").cast("string"),
+                    F.lit(f"|{t}|"),
+                    F.col("dst").cast("string"),
+                )
+            ).alias("h"),
+            F.col("dst").alias("nxt"),
+        )
+        frontier = (
+            stepped.groupBy("seed")
+            .agg(F.min(F.struct("h", "nxt")).alias("m"))
+            .select("seed", F.col("m.nxt").alias("cur"))
+        )
+    return (
+        frontier.groupBy("cur")
+        .agg(
+            F.count("*").cast("long").alias("n_walks"),
+            F.min("seed").cast("long").alias("min_seed"),
+        )
+        .select(
+            F.col("cur").alias("end_node"),
+            F.when(F.col("cur") >= _SUPP_OFFSET, F.lit("supplier"))
+            .otherwise(F.lit("customer"))
+            .alias("node_type"),
+            "n_walks",
+            "min_seed",
+        )
+        .orderBy(F.desc("n_walks"), "end_node")
+        .limit(WALK_TOP)
+    )

@@ -488,3 +488,89 @@ def mm_scene_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("max_cut_hamming"),
     )
+
+
+# --- aspect-ratio bucketing (training-batch geometry assignment) ------------
+
+# (bw, bh) target shapes, portrait -> landscape; fixed-point aspect
+# ratios are 1e6*bw div bh = 250000, 500000, 1000000, 2000000, 4000000
+AR_BUCKETS = [(64, 256), (96, 192), (128, 128), (192, 96), (256, 64)]
+
+
+def _ar_bucket_key_sql(w: str, h: str) -> str:
+    """argmin bucket as least(diff*8+idx)%8 — exact, tie -> lower idx."""
+    terms = ", ".join(
+        f"abs(1000000 * {w} // {h} - {1000000 * bw // bh}) * 8 + {i}"
+        for i, (bw, bh) in enumerate(AR_BUCKETS)
+    )
+    return f"(least({terms}) % 8)"
+
+
+@register(
+    "mm_aspect_bucket",
+    oracle=f"""
+WITH dims AS (
+  SELECT doc_id AS media_id,
+         16 + CAST('0x' || substr(md5(text), 1, 2) AS INTEGER) AS w,
+         16 + CAST('0x' || substr(md5(text), 3, 2) AS INTEGER) AS h
+  FROM documents
+),
+assigned AS (
+  SELECT media_id, w, h, {_ar_bucket_key_sql('w', 'h')} AS bidx
+  FROM dims
+)
+SELECT bidx AS bucket_idx,
+       CAST(count(*) AS BIGINT) AS n_media,
+       CAST(sum(CASE WHEN w * h <
+                CASE bidx {' '.join(f'WHEN {i} THEN {bw * bh}' for i, (bw, bh) in enumerate(AR_BUCKETS))} END
+              THEN 1 ELSE 0 END) AS BIGINT) AS n_upscale,
+       CAST(sum(1000000 * w // h) // count(*) AS BIGINT) AS avg_ar_u6,
+       CAST(min(1000000 * w // h) AS BIGINT) AS min_ar_u6,
+       CAST(max(1000000 * w // h) AS BIGINT) AS max_ar_u6
+FROM assigned
+GROUP BY bidx
+""",
+    doc="Aspect-ratio bucketing for image-training batch assembly "
+    "(SDXL-style): every decoded image goes to the fixed target shape "
+    "whose aspect ratio is nearest its own, so training batches crop "
+    "minimally and pad never. Nearest is computed in exact fixed-point "
+    "(1e6-unit ratios) with the argmin folded into ONE least() over "
+    "diff*8+idx — no window, no join, ties break to the lower bucket "
+    "deterministically. Dims come through the real Arrow decode "
+    "crossing (operators/multimodal.decode_features), so the Python "
+    "plumbing is exercised; the oracle recomputes the kernel "
+    "arithmetic from the same bytes. Scale shape: decode is one "
+    "mapInPandas pass (zero shuffle), assignment is a codegen "
+    "projection, and the report is one hash-agg on <=5 keys with "
+    "map-side partials — n_upscale tells you which buckets force "
+    "lossy upsampling at corpus scale.",
+)
+def mm_aspect_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    decoded = M.decode_features(_media(spark, sf_dir)).select(
+        "media_id", "width", "height"
+    )
+    terms = ", ".join(
+        f"abs(1000000 * width div height - {1000000 * bw // bh}) * 8 + {i}"
+        for i, (bw, bh) in enumerate(AR_BUCKETS)
+    )
+    area_case = " ".join(
+        f"WHEN {i} THEN {bw * bh}" for i, (bw, bh) in enumerate(AR_BUCKETS)
+    )
+    assigned = decoded.select(
+        "media_id",
+        F.col("width").alias("w"),
+        F.col("height").alias("h"),
+        F.expr(f"least({terms}) % 8").alias("bucket_idx"),
+        F.expr("1000000 * width div height").alias("ar_u6"),
+    )
+    return assigned.groupBy("bucket_idx").agg(
+        F.count("*").cast("long").alias("n_media"),
+        F.sum(
+            F.expr(f"CASE WHEN w * h < CASE bucket_idx {area_case} END THEN 1 ELSE 0 END")
+        )
+        .cast("long")
+        .alias("n_upscale"),
+        F.expr("CAST(sum(ar_u6) div count(*) AS LONG)").alias("avg_ar_u6"),
+        F.min("ar_u6").cast("long").alias("min_ar_u6"),
+        F.max("ar_u6").cast("long").alias("max_ar_u6"),
+    )

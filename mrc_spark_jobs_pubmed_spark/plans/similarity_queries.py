@@ -2188,3 +2188,309 @@ def sim_batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.withColumn("rnk", F.row_number().over(w).cast("long"))
         .where(F.col("rnk") <= BATCH_TOP_K)
     )
+
+
+# --- reciprocal-rank fusion (multi-query / hybrid retrieval) ----------------
+
+RRF_Q_N = 3  # fused query vectors (multi-query retrieval)
+RRF_K = 60  # the standard RRF dampening constant
+RRF_DEPTH = 50  # per-query candidate list depth
+RRF_TOP = 20
+
+
+@register(
+    "sim_rrf_fusion",
+    oracle=f"""
+WITH q AS (
+  SELECT vec_id AS qid, embedding AS qe FROM embeddings
+  WHERE vec_id < {RRF_Q_N}
+),
+scored AS (
+  SELECT q.qid, e.vec_id,
+         round({S.cosine_sql('e.embedding', 'q.qe')}, 6) AS cosine
+  FROM embeddings e CROSS JOIN q
+  WHERE e.vec_id >= {RRF_Q_N}
+),
+ranked AS (
+  SELECT qid, vec_id, row_number() OVER (
+           PARTITION BY qid ORDER BY cosine DESC, vec_id) AS rnk
+  FROM scored
+)
+SELECT vec_id,
+       CAST(count(*) AS BIGINT) AS n_lists,
+       CAST(sum(1000000000 // ({RRF_K} + rnk)) AS BIGINT) AS rrf_u9,
+       CAST(min(rnk) AS BIGINT) AS best_rank
+FROM ranked
+WHERE rnk <= {RRF_DEPTH}
+GROUP BY vec_id
+ORDER BY rrf_u9 DESC, vec_id
+LIMIT {RRF_TOP}
+""",
+    doc=f"Reciprocal-rank fusion over {RRF_Q_N} query vectors: each "
+    f"query ranks the corpus (top-{RRF_DEPTH} lists), then lists merge "
+    f"by RRF score sum(1/({RRF_K}+rank)) — the standard consensus "
+    "merge for multi-query RAG retrieval and lexical+dense hybrid "
+    "search, where rank fusion beats score fusion because ranks are "
+    "scale-free across heterogeneous scorers. Scores are exact "
+    "integers (1e9 // (k+rank) per contribution), so the fused "
+    "ordering is bit-stable on any engine. Scale shape: ONE corpus "
+    "pass scores all queries (broadcast query block, same as "
+    "sim_batch_topk), per-query ranking is a qid-partitioned window, "
+    "and the fusion itself is a hash-agg on vec_id over at most "
+    f"{RRF_Q_N}x{RRF_DEPTH} surviving rows — the expensive side "
+    "never leaves rank space.",
+)
+def sim_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    q = F.broadcast(
+        emb.where(F.col("vec_id") < RRF_Q_N).select(
+            F.col("vec_id").alias("qid"), F.col("embedding").alias("_qe")
+        )
+    )
+    scored = (
+        emb.where(F.col("vec_id") >= RRF_Q_N)
+        .join(q)
+        .select(
+            "qid",
+            "vec_id",
+            F.round(S.cosine_named("embedding", "_qe"), 6).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= RRF_DEPTH)
+        .groupBy("vec_id")
+        .agg(
+            F.count("*").cast("long").alias("n_lists"),
+            F.sum(F.expr(f"1000000000 div ({RRF_K} + rnk)"))
+            .cast("long")
+            .alias("rrf_u9"),
+            F.min("rnk").cast("long").alias("best_rank"),
+        )
+        .orderBy(F.desc("rrf_u9"), "vec_id")
+        .limit(RRF_TOP)
+    )
+
+
+# --- int8 clip-range calibration (per-dimension rank quantiles) -------------
+
+
+@register(
+    "emb_clip_calibration",
+    oracle="""
+WITH elems AS (
+  SELECT t.i AS dim, vec_id,
+         CAST(round(CAST(embedding[t.i] AS DOUBLE) * 1000000) AS BIGINT)
+           AS q6
+  FROM embeddings CROSS JOIN range(1, 65) t(i)
+),
+ranked AS (
+  SELECT dim, q6,
+         row_number() OVER (PARTITION BY dim ORDER BY q6, vec_id) AS r,
+         count(*) OVER (PARTITION BY dim) AS n
+  FROM elems
+)
+SELECT CAST(dim AS BIGINT) AS dim,
+       CAST(max(n) AS BIGINT) AS n_vecs,
+       CAST(max(CASE WHEN r <= (1 * n + 99) // 100 THEN q6 END)
+            AS BIGINT) AS p01_u6,
+       CAST(max(CASE WHEN r <= (99 * n + 99) // 100 THEN q6 END)
+            AS BIGINT) AS p99_u6,
+       CAST(max(CASE WHEN r <= (99 * n + 99) // 100 THEN q6 END)
+            - max(CASE WHEN r <= (1 * n + 99) // 100 THEN q6 END)
+            AS BIGINT) AS clip_range_u6,
+       CAST((1 * max(n) + 99) // 100 - 1 AS BIGINT) AS n_clip_below,
+       CAST(max(n) - (99 * max(n) + 99) // 100 AS BIGINT) AS n_clip_above
+FROM ranked
+GROUP BY dim
+""",
+    doc="Per-dimension p01/p99 clip-range calibration for int8 "
+    "quantization: the percentile-clipping pass every production "
+    "quantizer runs before emb_int8_quantize, because min/max scaling "
+    "lets one outlier dimension burn the whole int8 range. "
+    "Percentiles are NEAREST-RANK (value at rank ceil(q*n), "
+    "(q6, vec_id) total order) so the calibration table is exact "
+    "BIGINT on any engine — interpolated quantiles float-diverge. "
+    "Scale shape: one posexplode projection (rows = 64n but 16 bytes "
+    "each), a window partitioned by dim (64 bounded sorts, "
+    "embarrassingly parallel), one 64-key hash-agg; at 100 TB the "
+    "same calibration runs on a deterministic hash-sample of vectors "
+    "with the identical plan.",
+)
+def emb_clip_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    elems = emb.select(
+        "vec_id", F.posexplode("embedding").alias("pos0", "e")
+    ).select(
+        (F.col("pos0") + 1).alias("dim"),
+        "vec_id",
+        F.round(F.col("e").cast("double") * 1e6).cast("long").alias("q6"),
+    )
+    wp = Window.partitionBy("dim")
+    ranked = elems.select(
+        "dim",
+        "q6",
+        F.row_number().over(wp.orderBy("q6", "vec_id")).alias("r"),
+        F.count("*").over(wp).alias("n"),
+    )
+    lo = F.max(F.expr("CASE WHEN r <= (1 * n + 99) div 100 THEN q6 END"))
+    hi = F.max(F.expr("CASE WHEN r <= (99 * n + 99) div 100 THEN q6 END"))
+    return ranked.groupBy("dim").agg(
+        F.max("n").cast("long").alias("n_vecs"),
+        lo.cast("long").alias("p01_u6"),
+        hi.cast("long").alias("p99_u6"),
+        (hi - lo).cast("long").alias("clip_range_u6"),
+        F.expr("CAST((1 * max(n) + 99) div 100 - 1 AS LONG)").alias(
+            "n_clip_below"
+        ),
+        F.expr("CAST(max(n) - (99 * max(n) + 99) div 100 AS LONG)").alias(
+            "n_clip_above"
+        ),
+    ).withColumn("dim", F.col("dim").cast("long"))
+
+
+# --- retrieval quality metrics (MRR / DCG / NDCG @ 10) ----------------------
+
+RM_Q_N = 10  # held-out query vectors
+RM_K = 10  # evaluation depth
+# DCG rank discounts as 1e9-unit integer literals: W[r] = round(1e9 /
+# log2(r+1)). Freezing the libm call into the plan text keeps both
+# engines on the identical constant — no runtime transcendental.
+RM_W = [1000000000, 630929754, 500000000, 430676558, 386852807,
+        356207187, 333333333, 315464877, 301029996, 289064826]
+RM_P = [1000000000, 1630929754, 2130929754, 2561606312, 2948459119,
+        3304666306, 3637999639, 3953464516, 4254494512, 4543559338]
+
+_RM_W_CASE = "CASE rnk " + " ".join(
+    f"WHEN {r + 1} THEN {w}" for r, w in enumerate(RM_W)
+) + " END"
+
+
+def _rm_idcg_case(nrel: str) -> str:
+    return (
+        f"CASE least({nrel}, {RM_K}) "
+        + " ".join(f"WHEN {j + 1} THEN {p}" for j, p in enumerate(RM_P))
+        + " END"
+    )
+
+
+@register(
+    "sim_retrieval_metrics",
+    oracle=f"""
+WITH q AS (
+  SELECT vec_id AS qid, embedding AS qe, label AS qlabel
+  FROM embeddings WHERE vec_id < {RM_Q_N}
+),
+lab AS (
+  SELECT label, CAST(count(*) AS BIGINT) AS n_relevant
+  FROM embeddings WHERE vec_id >= {RM_Q_N} GROUP BY label
+),
+ranked AS (
+  SELECT qid, qlabel, label, row_number() OVER (
+           PARTITION BY qid ORDER BY cosine DESC, vec_id) AS rnk
+  FROM (
+    SELECT q.qid, q.qlabel, e.vec_id, e.label,
+           round({S.cosine_sql('e.embedding', 'q.qe')}, 6) AS cosine
+    FROM embeddings e CROSS JOIN q
+    WHERE e.vec_id >= {RM_Q_N}
+  )
+),
+per_q AS (
+  SELECT qid, qlabel,
+         CAST(sum(CASE WHEN label = qlabel THEN 1 ELSE 0 END) AS BIGINT)
+           AS hits_at_k,
+         CAST(max(CASE WHEN label = qlabel
+                  THEN 1000000000 // rnk ELSE 0 END) AS BIGINT) AS mrr_u9,
+         CAST(sum(CASE WHEN label = qlabel
+                  THEN {_RM_W_CASE} ELSE 0 END) AS BIGINT) AS dcg_u9
+  FROM ranked WHERE rnk <= {RM_K}
+  GROUP BY qid, qlabel
+)
+SELECT p.qid, p.qlabel AS label, l.n_relevant,
+       p.hits_at_k, p.mrr_u9, p.dcg_u9,
+       CAST(1000000 * p.dcg_u9 // {_rm_idcg_case('l.n_relevant')}
+            AS BIGINT) AS ndcg_u6
+FROM per_q p JOIN lab l ON l.label = p.qlabel
+""",
+    doc=f"Retrieval quality metrics at k={RM_K} for {RM_Q_N} held-out "
+    "queries against label ground truth: hits@k, MRR, DCG and NDCG — "
+    "the evaluation harness every ANN index change must clear before "
+    "shipping (companion to the recall-only contracts "
+    "sim_ann_recall / sim_ivfpq_recall). DCG rank discounts are "
+    "frozen 1e9-unit integer literals (no runtime log2), ideal-DCG "
+    "is the literal prefix-sum table indexed by min(n_relevant, k), "
+    "and NDCG is one exact integer division — the whole scorecard is "
+    "BIGINT-reproducible. Scale shape: one corpus pass scores all "
+    "queries (broadcast query block), per-query ranking is a "
+    "qid-partitioned window, metrics aggregate over k rows per "
+    "query, and the relevance-count side is a label hash-agg joined "
+    "broadcast.",
+)
+def sim_retrieval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    q = F.broadcast(
+        emb.where(F.col("vec_id") < RM_Q_N).select(
+            F.col("vec_id").alias("qid"),
+            F.col("embedding").alias("_qe"),
+            F.col("label").alias("qlabel"),
+        )
+    )
+    corpus = emb.where(F.col("vec_id") >= RM_Q_N)
+    lab = corpus.groupBy("label").agg(
+        F.count("*").cast("long").alias("n_relevant")
+    )
+    scored = corpus.join(q).select(
+        "qid",
+        "qlabel",
+        "vec_id",
+        "label",
+        F.round(S.cosine_named("embedding", "_qe"), 6).alias("cosine"),
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    per_q = (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= RM_K)
+        .groupBy("qid", "qlabel")
+        .agg(
+            F.sum(F.expr("CASE WHEN label = qlabel THEN 1 ELSE 0 END"))
+            .cast("long")
+            .alias("hits_at_k"),
+            F.max(
+                F.expr(
+                    "CASE WHEN label = qlabel THEN 1000000000 div rnk"
+                    " ELSE 0 END"
+                )
+            )
+            .cast("long")
+            .alias("mrr_u9"),
+            F.sum(
+                F.expr(
+                    f"CASE WHEN label = qlabel THEN {_RM_W_CASE} ELSE 0 END"
+                )
+            )
+            .cast("long")
+            .alias("dcg_u9"),
+        )
+    )
+    return (
+        per_q.join(F.broadcast(lab), per_q.qlabel == lab.label)
+        .select(
+            "qid",
+            per_q.qlabel.alias("label"),
+            "n_relevant",
+            "hits_at_k",
+            "mrr_u9",
+            "dcg_u9",
+            F.expr(
+                f"CAST(1000000 * dcg_u9 div {_rm_idcg_case('n_relevant')}"
+                " AS LONG)"
+            ).alias("ndcg_u6"),
+        )
+    )

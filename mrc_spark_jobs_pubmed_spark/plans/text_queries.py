@@ -1475,3 +1475,75 @@ def text_template_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("n_docs") >= 2)
     )
+
+
+# --- positional phrase search ------------------------------------------------
+
+PHRASES = [("fast", "table"), ("hash", "join"), ("table", "scan")]
+
+
+@register(
+    "text_phrase_search",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                     x -> length(x) > 0) AS t
+  FROM documents
+),
+phrases(w1, w2) AS (VALUES {', '.join(f"('{a}', '{b}')" for a, b in PHRASES)}),
+hits AS (
+  SELECT p.w1 || ' ' || p.w2 AS phrase, d.doc_id,
+         len(list_filter(range(1, len(d.t)),
+             i -> d.t[i] = p.w1 AND d.t[i + 1] = p.w2)) AS cnt
+  FROM toks d CROSS JOIN phrases p
+)
+SELECT phrase,
+       CAST(sum(CASE WHEN cnt > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_docs,
+       CAST(sum(cnt) AS BIGINT) AS n_occurrences,
+       CAST(min(CASE WHEN cnt > 0 THEN doc_id END) AS BIGINT) AS min_doc
+FROM hits
+GROUP BY phrase
+""",
+    doc="Positional phrase search ('w1 w2' as adjacent tokens, the "
+    "phrase-query semantics a bag-of-words inverted index cannot "
+    "answer): adjacency is evaluated per document with a zero-shuffle "
+    "higher-order filter over token positions — NO posting-list "
+    "self-join, no explode; each doc emits one count per phrase. "
+    "The classic positional-index join (termA.pos + 1 = termB.pos) "
+    "is what this replaces: at 100 TB the HOF form scans the corpus "
+    "once for the whole phrase batch (broadcast phrase table) and "
+    "aggregates 3 tiny rows, where the join form shuffles two "
+    "posting lists per phrase. Same hit semantics, engine-exact "
+    "integer counts.",
+)
+def text_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    phrases = F.broadcast(
+        spark.createDataFrame(PHRASES, ["w1", "w2"])
+    )
+    toks = docs.select(
+        "doc_id",
+        F.expr("regexp_extract_all(lower(trim(text)), '\\\\S+', 0)").alias("t"),
+    )
+    hits = toks.join(phrases).select(
+        F.concat_ws(" ", "w1", "w2").alias("phrase"),
+        "doc_id",
+        # guard: Spark's sequence(1, 0) is DESCENDING [1, 0] (DuckDB's
+        # range(1, 1) is empty), so short docs must short-circuit
+        F.expr(
+            "CASE WHEN size(t) < 2 THEN 0 ELSE"
+            " size(filter(sequence(1, size(t) - 1),"
+            " i -> element_at(t, i) = w1 AND element_at(t, i + 1) = w2))"
+            " END"
+        ).alias("cnt"),
+    )
+    return hits.groupBy("phrase").agg(
+        F.sum(F.expr("CASE WHEN cnt > 0 THEN 1 ELSE 0 END"))
+        .cast("long")
+        .alias("n_docs"),
+        F.sum("cnt").cast("long").alias("n_occurrences"),
+        F.min(F.expr("CASE WHEN cnt > 0 THEN doc_id END"))
+        .cast("long")
+        .alias("min_doc"),
+    )

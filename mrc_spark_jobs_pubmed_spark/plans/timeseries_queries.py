@@ -1407,3 +1407,167 @@ def rel_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("mape_u6"),
         F.max(err).cast("long").alias("worst_abs_err_u4"),
     )
+
+
+# --- exact-moment OLS trend line per metric stream --------------------------
+
+
+@register(
+    "rel_ols_trend",
+    oracle="""
+WITH daily AS (
+  SELECT event_type,
+         epoch_us(ts) // 86400000000 AS day,
+         CAST(sum(CAST(round(value * 10000) AS BIGINT))
+              // count(*) AS BIGINT) AS y_u4
+  FROM events GROUP BY 1, 2
+),
+rebased AS (
+  SELECT event_type,
+         day - min(day) OVER (PARTITION BY event_type) AS x,
+         y_u4
+  FROM daily
+),
+moments AS (
+  SELECT event_type,
+         CAST(count(*) AS BIGINT) AS n_days,
+         CAST(sum(x) AS BIGINT) AS sx,
+         CAST(sum(y_u4) AS BIGINT) AS sy,
+         CAST(sum(x * x) AS BIGINT) AS sxx,
+         CAST(sum(x * y_u4) AS BIGINT) AS sxy
+  FROM rebased GROUP BY event_type HAVING count(*) >= 2
+)
+SELECT event_type, n_days,
+       CAST(n_days * sxy - sx * sy AS DOUBLE)
+         / CAST(n_days * sxx - sx * sx AS DOUBLE) AS slope_u4pd,
+       (CAST(sy AS DOUBLE)
+        - (CAST(n_days * sxy - sx * sy AS DOUBLE)
+           / CAST(n_days * sxx - sx * sx AS DOUBLE)) * CAST(sx AS DOUBLE))
+         / CAST(n_days AS DOUBLE) AS intercept_u4
+FROM moments
+""",
+    doc="Per-stream OLS trend line (slope + intercept of daily average "
+    "value against day index): the drift monitor behind every "
+    "'is this metric trending' alert. All four moments (Sx, Sy, Sxx, "
+    "Sxy) accumulate as EXACT BIGINTs over the rebased day index and "
+    "the integer daily-average (u4 units, bounded — summing raw "
+    "daily SUMS instead overflows the cross moment at scale), so the "
+    "closed-form slope = (n*Sxy - Sx*Sy) / (n*Sxx - Sx^2) is one "
+    "deterministic IEEE division of exact integers; the intercept "
+    "reuses the identical expression tree on both engines. Scale "
+    "shape: the stream collapses to the (type, day) grid in one "
+    "partial-agg pass; rebasing is a per-type window over the tiny "
+    "grid; moments are a second hash-agg — nothing downstream of the "
+    "first agg is corpus-sized.",
+)
+def rel_ols_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, "events", sf_dir)
+    daily = ev.groupBy(
+        "event_type", F.expr("unix_micros(ts) div 86400000000").alias("day")
+    ).agg(
+        F.expr(
+            "CAST(sum(CAST(round(value * 10000) AS LONG)) div count(*) AS LONG)"
+        ).alias("y_u4")
+    )
+    w_min = Window.partitionBy("event_type")
+    rebased = daily.select(
+        "event_type",
+        (F.col("day") - F.min("day").over(w_min)).alias("x"),
+        "y_u4",
+    )
+    m = (
+        rebased.groupBy("event_type")
+        .agg(
+            F.count("*").cast("long").alias("n_days"),
+            F.sum("x").cast("long").alias("sx"),
+            F.sum("y_u4").cast("long").alias("sy"),
+            F.sum(F.expr("x * x")).cast("long").alias("sxx"),
+            F.sum(F.expr("x * y_u4")).cast("long").alias("sxy"),
+        )
+        .where(F.col("n_days") >= 2)
+    )
+    num = "CAST(n_days * sxy - sx * sy AS DOUBLE)"
+    den = "CAST(n_days * sxx - sx * sx AS DOUBLE)"
+    return m.select(
+        "event_type",
+        "n_days",
+        F.expr(f"{num} / {den}").alias("slope_u4pd"),
+        F.expr(
+            f"(CAST(sy AS DOUBLE) - ({num} / {den}) * CAST(sx AS DOUBLE))"
+            " / CAST(n_days AS DOUBLE)"
+        ).alias("intercept_u4"),
+    )
+
+
+# --- nearest-rank SLO percentile bands --------------------------------------
+
+
+@register(
+    "rel_latency_slo_bands",
+    oracle="""
+WITH ranked AS (
+  SELECT event_type,
+         epoch_us(ts) // 86400000000 AS day,
+         CAST(round(value * 10000) AS BIGINT) AS v_u4,
+         row_number() OVER (PARTITION BY event_type, epoch_us(ts) // 86400000000
+                            ORDER BY CAST(round(value * 10000) AS BIGINT),
+                                     event_id) AS r,
+         count(*) OVER (PARTITION BY event_type,
+                                     epoch_us(ts) // 86400000000) AS n
+  FROM events
+)
+SELECT event_type, CAST(day AS BIGINT) AS day,
+       CAST(max(n) AS BIGINT) AS n_events,
+       CAST(max(CASE WHEN r <= (50 * n + 99) // 100 THEN v_u4 END)
+            AS BIGINT) AS p50_u4,
+       CAST(max(CASE WHEN r <= (95 * n + 99) // 100 THEN v_u4 END)
+            AS BIGINT) AS p95_u4,
+       CAST(max(CASE WHEN r <= (99 * n + 99) // 100 THEN v_u4 END)
+            AS BIGINT) AS p99_u4,
+       CAST(max(v_u4) AS BIGINT) AS max_u4
+FROM ranked
+GROUP BY event_type, day
+""",
+    doc="Daily p50/p95/p99 SLO bands per metric stream using NEAREST-RANK "
+    "percentiles (value at rank ceil(q*n), ties broken by event id): "
+    "the latency-dashboard contract where the reported percentile must "
+    "be an actually-observed value — interpolated percentiles "
+    "(rel_percentiles) invent values between samples and float-diverge "
+    "across engines; rank selection is exact BIGINT end to end. "
+    "Scale shape: one window pass partitioned by the (type, day) grid "
+    "cell — partitions are day-sized so the per-cell sort is bounded "
+    "and embarrassingly parallel — then one hash-agg per cell; at "
+    "100 TB the same plan shards by cell with no global sort.",
+)
+def rel_latency_slo_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, "events", sf_dir)
+    base = ev.select(
+        "event_type",
+        F.expr("unix_micros(ts) div 86400000000").alias("day"),
+        F.expr("CAST(round(value * 10000) AS LONG)").alias("v_u4"),
+        "event_id",
+    )
+    wp = Window.partitionBy("event_type", "day")
+    ranked = base.select(
+        "event_type",
+        "day",
+        "v_u4",
+        F.row_number().over(wp.orderBy("v_u4", "event_id")).alias("r"),
+        F.count("*").over(wp).alias("n"),
+    )
+    def at_q(q: int) -> F.Column:
+        return F.max(
+            F.expr(f"CASE WHEN r <= ({q} * n + 99) div 100 THEN v_u4 END")
+        ).cast("long")
+
+    return ranked.groupBy("event_type", "day").agg(
+        F.max("n").cast("long").alias("n_events"),
+        at_q(50).alias("p50_u4"),
+        at_q(95).alias("p95_u4"),
+        at_q(99).alias("p99_u4"),
+        F.max("v_u4").cast("long").alias("max_u4"),
+    )
