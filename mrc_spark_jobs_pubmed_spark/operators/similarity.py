@@ -58,6 +58,19 @@ def _dot_terms(a: str, b: str, dim: int) -> str:
     )
 
 
+def dot_named(a: str, b: str, dim: int = EMB_DIM) -> Column:
+    """Codegen'd unrolled dot product over NAMED array columns (one
+    left-associated 64-term chain — same float order as the fold and as
+    DuckDB's list_dot_product, so bit-identical). Used to hoist
+    self-norms OUT of join conditions: sim_range_search's pushed filter
+    inlined the full 192-term cosine into the BroadcastNestedLoopJoin
+    condition AND the output projection, blowing the JVM 64 KB method
+    limit (whole stage fell back to interpreted, 28x at sf5). With
+    |a|^2 precomputed per row below the join and |q|^2 on the broadcast
+    side, every surviving expression is a single 64-term chain."""
+    return F.expr(f"({_dot_terms(a, b, dim)})")
+
+
 def cosine_named(a: str, b: str, dim: int = EMB_DIM) -> Column:
     """Codegen'd cosine over NAMED array columns with known width.
 

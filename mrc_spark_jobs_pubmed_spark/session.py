@@ -61,14 +61,17 @@ def get_session(
         # to micros. Harmless when the fixture is micros (the current one):
         # the flag only changes how ns columns surface.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-        # Scans must not under-parallelize CPU-heavy per-row work: a
-        # ~200 MB documents table splits into only 2 default 128 MB
-        # partitions, so a tokenize/explode pipeline would run on 2 of
-        # N cores (measured 3.6x on the PMI bigram agg at sf1). This is
-        # a MINIMUM split count — maxPartitionBytes still bounds
-        # per-task input at real scale, where file volume alone
-        # saturates the cluster and this floor is already met.
-        .config("spark.sql.files.minPartitionNum", str(2 * int(cpus)))
+        # NO spark.sql.files.minPartitionNum floor (r5). The r4 floor
+        # (2x cores) regressed small scans ~1.3-2.2x (TPC-H Q1 sf0.1:
+        # 0.30 -> 0.44 s; even sf1: 0.26 -> 0.35 s, A/B median-of-3,
+        # warm) while winning nothing: Spark's own split formula
+        # min(maxPartitionBytes, max(openCost, bytes/parallelism))
+        # already yields ~1 split per core once a table exceeds
+        # openCost x cores, and the one genuine under-parallelization
+        # case — CPU-heavy per-row work over a compact single-row-group
+        # file — is handled by the volume-gated fan_out() in
+        # sources/catalog.py (>= 4 MB corpus tables only). At 100 TB
+        # file volume alone saturates the cluster and a floor is moot.
         .config("spark.ui.enabled", "false")
     )
     if master is not None:

@@ -57,44 +57,25 @@ def test_query_matches_oracle(spark, duck, name):
     )
 
 
-def test_driver_window_r4_policy():
-    """Round-4 rotation: the driver writes official CORRECTNESS rows for
-    only the first ~50 registered queries. The window must (a) lead with
-    the four r3 hash-fail rows so their fixes get official green rows,
-    and (b) give every query that has NEVER had an official row
-    (CORRECTNESS r01 ∪ r02 ∪ r03) a slot in the first 50 — round-4
-    additions may sit beyond 50 as next-in-line for r5."""
-    import json
-    import os
-
+def test_driver_window_is_derived_from_official_rows():
+    """Round-5 structural fix (VERDICT r4 item 1): DRIVER_WINDOW is
+    derived — exactly the set of registered queries with NO official
+    CORRECTNESS_r*.json row, in curated-queue-then-registration order,
+    and queries() leads with it. A new register() call lands in the
+    window automatically; a hand-edit that drops a never-official query
+    fails here."""
+    official = plans._official_rows()
     names = list(plans.all_queries())
-    window = names[:50]
-    for i, must in enumerate(
-        ("text_bpe_merges", "rel_skew_salted_join", "graph_pagerank",
-         "stream_chained_rollup")
-    ):
-        assert window[i] == must, f"r3-red row {must} not leading the window"
-    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    seen: set[str] = set()
-    for r in ("r01", "r02", "r03"):
-        p = os.path.join(repo, f"CORRECTNESS_{r}.json")
-        if os.path.exists(p):
-            with open(p) as f:
-                seen.update(json.load(f))
-    never_official = [
-        n for n in names if n not in seen and n not in plans.DRIVER_WINDOW
-    ]
-    assert not [n for n in never_official if n not in window], (
-        f"never-official queries outside the 50-row window: "
-        f"{[n for n in never_official if n not in window]}"
+
+    never_official = [n for n in names if n not in official]
+    assert set(plans.DRIVER_WINDOW) == set(never_official), (
+        "window/never-official divergence: "
+        f"missing={sorted(set(never_official) - set(plans.DRIVER_WINDOW))} "
+        f"stale={sorted(set(plans.DRIVER_WINDOW) - set(never_official))}"
     )
-
-
-def test_driver_window_is_consistent():
-    """DRIVER_WINDOW names must all exist (set_priority raises on typos)
-    and be duplicate-free; entries beyond the driver's 50-row cap are
-    the documented next-in-line set."""
+    # the driver samples the first ~50 of queries(): the window must be
+    # the registry prefix, duplicate-free
+    assert names[: len(plans.DRIVER_WINDOW)] == plans.DRIVER_WINDOW
     assert len(set(plans.DRIVER_WINDOW)) == len(plans.DRIVER_WINDOW)
-    # generous sanity bound only — the prioritized prefix (4 fixed reds +
-    # never-official set) plus every round-4 addition queued next-in-line
-    assert len(plans.DRIVER_WINDOW) <= 200
+    # curated queue entries must all still exist (catches renames)
+    assert not [n for n in plans._ROTATION_QUEUE if n not in names]
