@@ -207,27 +207,83 @@ SIMHASH_HAM_MAX = 3  # <= 3 differing bits over the 32-bit fingerprint
 @register(
     "dedup_simhash_hamming",
     oracle=f"""
-WITH sig AS ({D.simhash_fingerprints_sql()}),
+WITH sig AS MATERIALIZED ({D.simhash_fingerprints_sql()}),
+grp AS MATERIALIZED (SELECT simhash, min(doc_id) AS canon FROM sig GROUP BY simhash),
+star AS (
+  SELECT g.canon AS doc_a, s.doc_id AS doc_b, 0 AS hamming
+  FROM sig s JOIN grp g USING (simhash)
+  WHERE s.doc_id <> g.canon
+),
 bands AS (
-  SELECT doc_id, simhash, t.b AS band_id, (simhash >> (8 * t.b)) & 255 AS band_val
-  FROM sig CROSS JOIN unnest([0, 1, 2, 3]) t(b)
+  SELECT canon, simhash, t.b AS band_id, (simhash >> (8 * t.b)) & 255 AS band_val
+  FROM grp CROSS JOIN unnest([0, 1, 2, 3]) t(b)
+),
+near AS (
+  SELECT DISTINCT least(a.canon, b.canon) AS doc_a,
+         greatest(a.canon, b.canon) AS doc_b,
+         CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+  FROM bands a JOIN bands b
+    ON a.band_id = b.band_id AND a.band_val = b.band_val
+   AND a.simhash < b.simhash
+  WHERE bit_count(xor(a.simhash, b.simhash)) <= {SIMHASH_HAM_MAX}
 )
-SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
-       bit_count(xor(a.simhash, b.simhash)) AS hamming
-FROM bands a JOIN bands b
-  ON a.band_id = b.band_id AND a.band_val = b.band_val AND a.doc_id < b.doc_id
-WHERE bit_count(xor(a.simhash, b.simhash)) <= {SIMHASH_HAM_MAX}
+SELECT doc_a, doc_b, hamming FROM star
+UNION ALL
+SELECT doc_a, doc_b, hamming FROM near
 """,
-    doc="SimHash near-dup pairs: byte-band LSH over the 32-bit "
+    doc="SimHash near-dup SPANNING edges: byte-band LSH over the 32-bit "
     "fingerprint (pigeonhole: Hamming <= 3 implies one of 4 bands "
-    "matches exactly), then exact bit_count(xor) verify on candidates "
-    "only. The fingerprint table is 12 bytes/doc, so candidate "
-    "generation joins a tiny projection — never all-pairs; at 64-bit "
-    "scale the same plan uses 8 bands.",
+    "matches exactly), exact bit_count(xor) verify on candidates only. "
+    "r5 scale-safe contract (r4 verdict perf item 5): identical "
+    "fingerprints collapse to a canonical doc FIRST, emitting star "
+    "edges doc->canon (hamming 0), then near-dup edges join DISTINCT "
+    "fingerprints only, one edge per signature pair between canonical "
+    "docs. Connectivity is identical to full pair enumeration (every "
+    "emitted edge was in the old output; union-find yields the same "
+    "clusters) but output and join cost are linear in docs + distinct-"
+    "signature candidate pairs instead of clone-quadratic — a 10k-clone "
+    "cluster is 9 999 star rows, not 5e7 pairs, so the operator sweeps "
+    "at sf1/sf5 instead of being excluded. Exact pair COUNTS by "
+    "hamming remain available from dedup_simhash_stats (m1*m2 "
+    "aggregation, no enumeration). At 64-bit scale the same plan uses "
+    "8 bands.",
 )
 def dedup_simhash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, "documents", sf_dir)
-    return _simhash_banded_pairs(D.simhash_fingerprints(docs))
+    sig = D.simhash_fingerprints(docs)
+    grp = sig.groupBy("simhash").agg(F.min("doc_id").alias("canon"))
+    star = (
+        sig.join(grp, "simhash")
+        .where(F.col("doc_id") != F.col("canon"))
+        .select(
+            F.col("canon").alias("doc_a"),
+            F.col("doc_id").alias("doc_b"),
+            F.lit(0).alias("hamming"),
+        )
+    )
+    bands = grp.select(
+        "canon",
+        "simhash",
+        F.explode(F.array(*[F.lit(b) for b in range(4)])).alias("band_id"),
+    ).withColumn("band_val", F.expr("shiftright(simhash, 8 * band_id) & 255"))
+    a, b = bands.alias("a"), bands.alias("b")
+    ham = F.bit_count(F.expr("a.simhash ^ b.simhash")).cast("int")
+    near = (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.simhash") < F.col("b.simhash")),
+        )
+        .where(ham <= SIMHASH_HAM_MAX)
+        .select(
+            F.least("a.canon", "b.canon").alias("doc_a"),
+            F.greatest("a.canon", "b.canon").alias("doc_b"),
+            ham.alias("hamming"),
+        )
+        .distinct()
+    )
+    return star.unionByName(near)
 
 
 def _simhash_banded_pairs(sig: DataFrame) -> DataFrame:

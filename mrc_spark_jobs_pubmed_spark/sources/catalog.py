@@ -215,10 +215,25 @@ def load_table(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> 
     return df
 
 
-# Partition-probe results by (path, target): physical planning for
-# getNumPartitions costs ~100 ms, and a table's scan layout is fixed
-# within a session.
-_FAN_OUT_NEEDED: dict[tuple[str, int], bool] = {}
+# Partition-probe results by (path, target, freshness): physical
+# planning for getNumPartitions costs ~100 ms, and a table's scan
+# layout is fixed for a given set of files. The freshness token
+# (scan bytes + newest mtime) invalidates the entry when a test
+# regenerates the fixture at the same path in-process (r4 ADVICE:
+# the (path, target)-only key reused a stale partition-count decision).
+_FAN_OUT_NEEDED: dict[tuple, bool] = {}
+
+
+def _freshness_token(path: str) -> tuple[int, float]:
+    if os.path.isfile(path):
+        return os.path.getsize(path), os.path.getmtime(path)
+    size = mtime = 0
+    for root, _dirs, files in os.walk(path):
+        for f in files:
+            p = os.path.join(root, f)
+            size += os.path.getsize(p)
+            mtime = max(mtime, os.path.getmtime(p))
+    return size, mtime
 
 # Below this compressed-scan volume the repartition's shuffle + extra
 # stage costs more than single-threaded per-row work saves — measured
@@ -254,7 +269,7 @@ def fan_out(df: DataFrame, cache_key: str | None = None) -> DataFrame:
     single-threaded scan saves (measured on TPC-H Q1).
     """
     target = df.sparkSession.sparkContext.defaultParallelism
-    key = (cache_key, target) if cache_key else None
+    key = (cache_key, target, _freshness_token(cache_key)) if cache_key else None
     if key is not None and key in _FAN_OUT_NEEDED:
         needed = _FAN_OUT_NEEDED[key]
     else:

@@ -14,10 +14,64 @@ File-source replay of events.parquet drives deterministic tests
 
 from __future__ import annotations
 
+import os
+import shutil
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from mrc_spark_jobs_pubmed_spark.sources.catalog import events_read_plan
+
+
+# --- crash-safe serving-state versioning for foreachBatch MERGE jobs --------
+#
+# r4 ADVICE: the state-copy read wrapped in a bare `except Exception`
+# treated ANY failure (corrupt partial parquet from a crash mid-
+# overwrite, transient FS error) as "first batch" and silently discarded
+# the accumulated state, and the in-place overwrite of the path being
+# read was itself the corruption window. The fix is versioned state:
+# batch N writes `state_dir/v{N}`, readers take the LATEST COMPLETE
+# (_SUCCESS-marked) version <= N, and older versions are pruned only
+# after the new one is fully written — a crash at any point leaves the
+# last good version intact. Structured Streaming replays a failed batch
+# with the SAME batch id, so re-merging into v{N} requires the merge to
+# be IDEMPOTENT per key — true for all three users (left-anti upsert,
+# latest-wins-by-LSN, bitmap OR). Read errors now propagate: only a
+# genuinely absent version directory means "first batch".
+
+
+def _state_versions(state_dir: str) -> list[int]:
+    if not os.path.isdir(state_dir):
+        return []
+    return sorted(
+        int(d[1:])
+        for d in os.listdir(state_dir)
+        if d.startswith("v")
+        and d[1:].isdigit()
+        and os.path.exists(os.path.join(state_dir, d, "_SUCCESS"))
+    )
+
+
+def read_state(spark: SparkSession, state_dir: str, batch_id: int) -> DataFrame | None:
+    """Latest complete state version written by a batch <= batch_id, or
+    None on a true first batch. Versions > batch_id (possible only if a
+    checkpoint was deleted while state was kept) are ignored rather
+    than merged twice."""
+    versions = [v for v in _state_versions(state_dir) if v <= batch_id]
+    if not versions:
+        return None
+    return spark.read.parquet(os.path.join(state_dir, f"v{versions[-1]}"))
+
+
+def write_state(df: DataFrame, state_dir: str, batch_id: int) -> None:
+    """Publish state version batch_id, then prune older versions. The
+    overwrite of v{batch_id} only ever replaces a partial attempt of the
+    SAME batch; completed older versions are untouched until the new
+    _SUCCESS exists."""
+    df.write.mode("overwrite").parquet(os.path.join(state_dir, f"v{batch_id}"))
+    for v in _state_versions(state_dir):
+        if v != batch_id:
+            shutil.rmtree(os.path.join(state_dir, f"v{v}"), ignore_errors=True)
 
 WATERMARK = "10 minutes"
 TUMBLE = "5 minutes"
@@ -550,21 +604,22 @@ def run_topk_to_files(
     volume; the rank runs over the merged copy, which is one row per
     (window, type) — vocabulary-sized, not stream-sized.
     """
-    counts_path = path + "_counts"
+    counts_dir = path + "_counts"
 
-    def _emit(batch_df: DataFrame, _batch_id: int) -> None:
+    def _emit(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
         batch = batch_df.localCheckpoint(eager=True)
-        try:
-            existing = spark.read.parquet(counts_path)
+        existing = read_state(spark, counts_dir, batch_id)
+        if existing is None:  # true first batch
+            merged = batch
+        else:
+            # idempotent upsert: re-running the same batch replaces the
+            # same keys (required by the versioned-state replay contract)
             merged = existing.join(
                 batch, ["wstart", "event_type"], "left_anti"
             ).unionByName(batch)
-        except Exception:  # first batch: no serving copy yet
-            merged = batch
-        # materialize BEFORE overwriting the path it was read from
         merged = merged.localCheckpoint(eager=True)
-        merged.write.mode("overwrite").parquet(counts_path)
+        write_state(merged, counts_dir, batch_id)
         rank_topk(merged, k).write.mode("overwrite").parquet(path)
 
     return (
@@ -641,18 +696,19 @@ def run_cdc_apply_to_files(
     Append mode with a pass-through projection: the merge logic lives
     entirely in foreachBatch, so no engine aggregation state is held.
     """
-    state_path = path + "_state"
+    state_dir = path + "_state"
 
-    def _merge(batch_df: DataFrame, _batch_id: int) -> None:
+    def _merge(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
         batch = cdc_latest(batch_df).localCheckpoint(eager=True)
-        try:
-            state = spark.read.parquet(state_path)
-            merged = cdc_latest(state.unionByName(batch))
-        except Exception:  # first batch: no state yet
+        state = read_state(spark, state_dir, batch_id)
+        if state is None:  # true first batch
             merged = batch
+        else:
+            # latest-wins by LSN is idempotent under batch replay
+            merged = cdc_latest(state.unionByName(batch))
         merged = merged.localCheckpoint(eager=True)
-        merged.write.mode("overwrite").parquet(state_path)
+        write_state(merged, state_dir, batch_id)
         merged.where(F.col("op") == "upsert").drop("op").write.mode(
             "overwrite"
         ).parquet(path)
@@ -708,15 +764,24 @@ def stateful_heartbeat_gaps(events: DataFrame) -> DataFrame:
             return
         ts_us = sorted((rows["ts"].astype("int64") // 1000).tolist())
         prior = state.get[0] if state.exists else None
+        # ENFORCED closed-gap contract (r4 ADVICE): events at or before
+        # the carried high-water mark fall inside intervals whose gap
+        # verdict was already emitted as final — folding them again
+        # could re-derive or split covered intervals, so they are
+        # dropped, not merged. In-order replay never trips this; a
+        # disordered source trades those events' gaps for the
+        # emitted-rows-are-final guarantee (update mode cannot retract).
+        if prior is not None:
+            ts_us = [t for t in ts_us if t > prior]
+            if not ts_us:
+                return
         seq = ([prior] if prior is not None else []) + ts_us
         gaps = [
             (uid, a, b, (b - a) // 1_000_000)
             for a, b in zip(seq, seq[1:])
             if b - a > _HB_GAP_US
         ]
-        # max-robust carry: a late (out-of-order) batch must never move
-        # the high-water mark backwards
-        state.update((int(max(seq)),))
+        state.update((int(seq[-1]),))
         if gaps:
             yield pd.DataFrame(
                 gaps,
@@ -780,22 +845,24 @@ def run_bitmap_distinct_to_files(
     8 bytes per 64 users of the ACTIVE id space per day, never the
     stream volume.
     """
-    state_path = path + "_state"
+    state_dir = path + "_state"
 
-    def _merge(batch_df: DataFrame, _batch_id: int) -> None:
+    def _merge(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
         batch = bitmap_words(batch_df).localCheckpoint(eager=True)
-        try:
-            state = spark.read.parquet(state_path)
+        state = read_state(spark, state_dir, batch_id)
+        if state is None:  # true first batch
+            merged = batch
+        else:
+            # OR is idempotent, so batch replay into the same version
+            # is exact (the at-least-once property the docstring claims)
             merged = (
                 state.unionByName(batch)
                 .groupBy("day", "word_id")
                 .agg(F.expr("bit_or(bm)").alias("bm"))
             )
-        except Exception:  # first batch: no state yet
-            merged = batch
         merged = merged.localCheckpoint(eager=True)
-        merged.write.mode("overwrite").parquet(state_path)
+        write_state(merged, state_dir, batch_id)
         bitmap_distinct_rollup(merged).write.mode("overwrite").parquet(path)
 
     return (

@@ -558,3 +558,34 @@ def test_stateful_ewma_stream_equals_batch(spark, tmp_path):
         for r in rel_ewma_smoothing(spark, SF).collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_versioned_state_survives_partial_write(spark, tmp_path):
+    """Crash-safety contract of the foreachBatch serving state (r4
+    ADVICE): a partial (no _SUCCESS) version directory — the artifact a
+    crash mid-write leaves behind — must be IGNORED by read_state, and
+    write_state must prune only after the new version is complete, so
+    the last good state can never be destroyed."""
+    import os
+
+    state_dir = str(tmp_path / "state")
+
+    df1 = spark.range(3).select(F.col("id").alias("k"), F.lit(1).alias("v"))
+    J.write_state(df1, state_dir, batch_id=0)
+    assert J.read_state(spark, state_dir, 5).count() == 3
+
+    # simulate a crash mid-write of v1: parquet files present, no _SUCCESS
+    df2 = spark.range(7).select(F.col("id").alias("k"), F.lit(2).alias("v"))
+    df2.write.mode("overwrite").parquet(str(tmp_path / "state" / "v1"))
+    os.remove(str(tmp_path / "state" / "v1" / "_SUCCESS"))
+
+    got = J.read_state(spark, state_dir, 5)
+    assert got.count() == 3, "partial v1 must be ignored, v0 served"
+
+    # the replayed batch 1 overwrites its own partial attempt and prunes v0
+    J.write_state(df2, state_dir, batch_id=1)
+    assert J.read_state(spark, state_dir, 5).count() == 7
+    assert sorted(os.listdir(state_dir)) == ["v1"]
+
+    # a version NEWER than the replaying batch id is never served
+    assert J.read_state(spark, state_dir, 0) is None
