@@ -1138,3 +1138,64 @@ def dedup_minhash_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
         "min_exact_u6",
         "max_exact_u6",
     )
+
+
+# --- suffix/prefix overlap (document stitching) ------------------------------
+
+EDGE_K = 3  # tokens compared at each document edge
+
+
+@register(
+    "dedup_suffix_prefix_overlap",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, {D.tokens_sql('text')} AS tl FROM documents
+),
+edges AS (
+  SELECT doc_id,
+         md5(array_to_string(tl[1:{EDGE_K}], ' ')) AS head_key,
+         md5(array_to_string(tl[-{EDGE_K}:], ' ')) AS tail_key
+  FROM toks WHERE len(tl) >= {2 * EDGE_K}
+)
+SELECT a.doc_id AS prev_doc, b.doc_id AS next_doc
+FROM edges a JOIN edges b
+  ON a.tail_key = b.head_key AND a.doc_id <> b.doc_id
+ORDER BY prev_doc, next_doc
+""",
+    doc=f"Document-stitching detector: pairs where doc A's LAST "
+    f"{EDGE_K} tokens equal doc B's FIRST {EDGE_K} tokens — the "
+    "signature of one article split across crawl records (pagination, "
+    "chunked extraction), which per-document dedup can never see "
+    "because neither fragment duplicates the other. One tokenize pass "
+    "projects two md5 edge keys per doc (16-byte join keys, not token "
+    "arrays); candidates come from a tail=head equi-join — linear, "
+    f"never all-pairs. Docs shorter than {2 * EDGE_K} tokens are "
+    "excluded so a doc's own head cannot equal its tail trivially. At "
+    "100 TB the edge-key table is 32 bytes/doc and the join shuffles "
+    "on a uniform hash; downstream, matched pairs feed the same "
+    "union-find as dedup_cluster_components to reassemble full "
+    "articles before near-dedup re-scores them.",
+)
+def dedup_suffix_prefix_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    toks = docs.select("doc_id", D.tokens_col(F.col("text")).alias("tl"))
+    edges = toks.where(F.size("tl") >= 2 * EDGE_K).select(
+        "doc_id",
+        F.md5(F.concat_ws(" ", F.slice("tl", 1, EDGE_K))).alias("head_key"),
+        F.md5(F.concat_ws(" ", F.slice("tl", -EDGE_K, EDGE_K))).alias(
+            "tail_key"
+        ),
+    )
+    a, b = edges.alias("a"), edges.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.tail_key") == F.col("b.head_key"))
+            & (F.col("a.doc_id") != F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("prev_doc"),
+            F.col("b.doc_id").alias("next_doc"),
+        )
+        .orderBy("prev_doc", "next_doc")
+    )

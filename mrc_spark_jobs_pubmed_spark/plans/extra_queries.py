@@ -2899,3 +2899,78 @@ def rel_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("cum_u6").cast("long").alias("max_cum_u6"),
         )
     )
+
+
+# --- rolling exact distinct (bitmap window) ----------------------------------
+
+ROLL_DAYS = 7  # trailing window width, days
+
+
+@register(
+    "rel_rolling_distinct_bitmap",
+    oracle=f"""
+WITH bits AS (
+  SELECT epoch_us(ts) // {DAY_US} AS day,
+         user_id // 64 AS word_id,
+         bit_or(CAST(1 AS UBIGINT) << CAST(user_id % 64 AS INTEGER)) AS bm
+  FROM events
+  GROUP BY 1, 2
+),
+days AS (SELECT DISTINCT day FROM bits),
+spread AS (
+  SELECT t.tday, b.word_id, bit_or(b.bm) AS bm7
+  FROM bits b,
+       unnest(generate_series(b.day, b.day + {ROLL_DAYS - 1})) AS t(tday)
+  GROUP BY t.tday, b.word_id
+)
+SELECT CAST(s.tday AS BIGINT) AS day,
+       CAST(sum(bit_count(s.bm7)) AS BIGINT) AS n_users_{ROLL_DAYS}d
+FROM spread s JOIN days d ON d.day = s.tday
+GROUP BY s.tday
+ORDER BY day
+""",
+    doc=f"EXACT trailing-{ROLL_DAYS}-day distinct users per day via "
+    "bitmap words — the rolling-MAU/WAU dashboard query that "
+    "COUNT(DISTINCT) over a RANGE frame cannot express (distinct "
+    "aggregates are not frameable) and approx sketches only estimate. "
+    "Each (day, word) bitmap is FANNED OUT to the "
+    f"{ROLL_DAYS} target days it covers, then OR-collapsed per "
+    "(target_day, word) and popcount-summed — the fan-out is the "
+    "standard sparse-rolling fix: a per-word RANGE window would "
+    "silently drop a word's users from days where that word had no new "
+    "activity. Output days are restricted to days present in the data "
+    "(no trailing phantom days). Cost: {ROLL_DAYS}x the daily-word "
+    "sketch volume (8 bytes per 64 active users per day), shuffled on "
+    "(day, word) with map-side OR partials — never the raw id list; "
+    "re-aggregable to any wider window by the same OR. Composes with "
+    "the streaming maintainer (run_bitmap_distinct_to_files): the state "
+    "copy it maintains is exactly the `bits` input here.",
+)
+def rel_rolling_distinct_bitmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mrc_spark_jobs_pubmed_spark.streaming.jobs import bitmap_words
+
+    ev = load_table(spark, "events", sf_dir)
+    bits = bitmap_words(ev)
+    days = bits.select("day").distinct()
+    spread = (
+        bits.select(
+            F.explode(
+                F.sequence(F.col("day"), F.col("day") + (ROLL_DAYS - 1))
+            ).alias("tday"),
+            "word_id",
+            "bm",
+        )
+        .groupBy("tday", "word_id")
+        .agg(F.expr("bit_or(bm)").alias("bm7"))
+    )
+    return (
+        spread.join(days, spread.tday == days.day, "left_semi")
+        .groupBy("tday")
+        .agg(
+            F.sum(F.expr("bit_count(bm7)"))
+            .cast("long")
+            .alias(f"n_users_{ROLL_DAYS}d")
+        )
+        .select(F.col("tday").cast("long").alias("day"), f"n_users_{ROLL_DAYS}d")
+        .orderBy("day")
+    )

@@ -574,3 +574,101 @@ def corpus_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             <= F.expr(f"n_docs div {DSIR_KEEP_FRAC}")
         ).alias("selected"),
     )
+
+
+# --- multi-epoch allocation under a token budget -----------------------------
+
+EPOCH_BUDGET_X = 2  # train-token budget as a multiple of unique tokens
+EPOCH_CAP = 4  # max useful epochs per source (data-constrained scaling)
+
+
+@register(
+    "corpus_epoch_allocation",
+    oracle=f"""
+WITH src AS (
+  SELECT source,
+         CAST(sum(len({tokens_sql('text')})) AS BIGINT) AS tokens
+  FROM documents GROUP BY source
+),
+tot AS (SELECT CAST(sum(tokens) AS BIGINT) AS total FROM src),
+weighted AS (
+  SELECT source, tokens,
+         CAST(floor(sqrt(CAST(tokens AS DOUBLE))) AS BIGINT) AS s,
+         total
+  FROM src CROSS JOIN tot
+),
+alloc AS (
+  SELECT source, tokens,
+         CAST(s * 1000000 // sum(s) OVER () AS BIGINT) AS share_u6,
+         CAST(({EPOCH_BUDGET_X} * total * s) // sum(s) OVER () AS BIGINT)
+           AS target_tokens
+  FROM weighted
+)
+SELECT source, tokens, share_u6, target_tokens,
+       CAST(least({EPOCH_CAP}, (target_tokens + tokens - 1) // tokens)
+            AS BIGINT) AS epochs,
+       CAST(least(target_tokens, {EPOCH_CAP} * tokens) AS BIGINT)
+         AS allocated_tokens,
+       CAST(greatest(least(target_tokens, {EPOCH_CAP} * tokens) - tokens, 0)
+            AS BIGINT) AS repeated_tokens
+FROM alloc
+ORDER BY source
+""",
+    doc="Multi-epoch token allocation under a fixed training budget (the "
+    "data-constrained-scaling recipe: when the budget exceeds unique "
+    f"data, REPEAT the best sources up to ~{EPOCH_CAP} epochs before "
+    "returns decay). Per source: unique token count, a sqrt-weighted "
+    "target share (integer isqrt — the alpha=0.5 temperature flatten "
+    "without float pow), the budget slice, the epoch count "
+    "ceil(target/tokens) capped at "
+    f"{EPOCH_CAP}, and how many tokens are repeats. ALL integer "
+    "arithmetic: shares in 1e-6 units by integer division, ceil by "
+    "(a+b-1)//b — no float path to diverge between engines (floor(sqrt) "
+    "of a BIGINT is the one double touch; IEEE sqrt is correctly "
+    "rounded, so both engines floor the same value). Scale shape: one "
+    "tokenize+count hash-agg to |sources| rows, then window math on "
+    "that tiny table; the corpus ships only (source, count) partials. "
+    "Downstream, corpus_curriculum_order / corpus_mix_weighted consume "
+    "the epochs column as their repeat plan.",
+)
+def corpus_epoch_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, "documents", sf_dir)
+    src = docs.groupBy("source").agg(
+        F.sum(F.size(tokens_col(F.col("text")))).cast("long").alias("tokens")
+    )
+    tot = src.agg(F.sum("tokens").cast("long").alias("total"))
+    weighted = src.crossJoin(F.broadcast(tot)).withColumn(
+        "s", F.expr("CAST(floor(sqrt(CAST(tokens AS DOUBLE))) AS BIGINT)")
+    )
+    wall = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    alloc = weighted.select(
+        "source",
+        "tokens",
+        F.expr(f"s * 1000000").alias("_s6"),
+        (F.lit(EPOCH_BUDGET_X) * F.col("total") * F.col("s")).alias("_bt"),
+        F.sum("s").over(wall).alias("_ssum"),
+    ).select(
+        "source",
+        "tokens",
+        F.expr("CAST(_s6 div _ssum AS BIGINT)").alias("share_u6"),
+        F.expr("CAST(_bt div _ssum AS BIGINT)").alias("target_tokens"),
+    )
+    return alloc.select(
+        "source",
+        "tokens",
+        "share_u6",
+        "target_tokens",
+        F.expr(
+            f"CAST(least({EPOCH_CAP}, (target_tokens + tokens - 1) div tokens) AS BIGINT)"
+        ).alias("epochs"),
+        F.expr(
+            f"CAST(least(target_tokens, {EPOCH_CAP} * tokens) AS BIGINT)"
+        ).alias("allocated_tokens"),
+        F.expr(
+            f"CAST(greatest(least(target_tokens, {EPOCH_CAP} * tokens) - tokens, 0) AS BIGINT)"
+        ).alias("repeated_tokens"),
+    ).orderBy("source")

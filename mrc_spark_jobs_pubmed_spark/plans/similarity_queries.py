@@ -2512,3 +2512,163 @@ def sim_retrieval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("ndcg_u6"),
         )
     )
+
+
+# --- MMR diversity rerank ----------------------------------------------------
+
+MMR_POOL = 20  # relevance-ranked candidate pool fed to the greedy pass
+MMR_K = 5  # final diversified list length
+# lambda = 0.7 in x10 integer weights: score = 7*rel - 3*max_sim_to_selected
+MMR_W_REL, MMR_W_DIV = 7, 3
+
+
+def _mmr_sql() -> str:
+    """Unrolled greedy MMR as CTEs (one sN/selN pair per step)."""
+    cos_q = S.cosine_sql("embedding", "qe")
+    cos_ab = S.cosine_sql("a.embedding", "b.embedding")
+    ctes = [
+        f"q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = {QUERY_VEC_ID})",
+        f"""pool AS MATERIALIZED (
+  SELECT vec_id, embedding,
+         CAST(round(1000000 * {cos_q}) AS BIGINT) AS rel_u6
+  FROM embeddings, q
+  WHERE vec_id <> {QUERY_VEC_ID}
+  ORDER BY rel_u6 DESC, vec_id
+  LIMIT {MMR_POOL}
+)""",
+        f"""pairs AS MATERIALIZED (
+  SELECT a.vec_id AS aa, b.vec_id AS bb,
+         CAST(round(1000000 * {cos_ab}) AS BIGINT) AS sim_u6
+  FROM pool a JOIN pool b ON a.vec_id <> b.vec_id
+)""",
+        f"""s1 AS (
+  SELECT 1 AS rank, vec_id, rel_u6,
+         CAST({MMR_W_REL} * rel_u6 AS BIGINT) AS mmr_score_u6
+  FROM pool ORDER BY rel_u6 DESC, vec_id LIMIT 1
+)""",
+        "sel1 AS (SELECT * FROM s1)",
+    ]
+    for k in range(2, MMR_K + 1):
+        ctes.append(
+            f"""s{k} AS (
+  SELECT {k} AS rank, c.vec_id, c.rel_u6,
+         CAST({MMR_W_REL} * c.rel_u6 - {MMR_W_DIV} * mx.m AS BIGINT)
+           AS mmr_score_u6
+  FROM pool c
+  JOIN (
+    SELECT aa, max(sim_u6) AS m FROM pairs
+    WHERE bb IN (SELECT vec_id FROM sel{k - 1})
+    GROUP BY aa
+  ) mx ON mx.aa = c.vec_id
+  WHERE c.vec_id NOT IN (SELECT vec_id FROM sel{k - 1})
+  ORDER BY mmr_score_u6 DESC, c.vec_id LIMIT 1
+)""",
+        )
+        ctes.append(
+            f"sel{k} AS (SELECT * FROM sel{k - 1} UNION ALL SELECT * FROM s{k})"
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+SELECT CAST(rank AS BIGINT) AS rank, vec_id, rel_u6, mmr_score_u6
+FROM sel{MMR_K} ORDER BY rank
+"""
+    )
+
+
+@register(
+    "sim_mmr_rerank",
+    oracle=_mmr_sql(),
+    doc="Maximal-Marginal-Relevance diversity rerank (Carbonell-"
+    f"Goldstein, lambda=0.7): greedily pick {MMR_K} results from the "
+    f"top-{MMR_POOL} relevance pool, each step maximizing "
+    f"{MMR_W_REL}*rel - {MMR_W_DIV}*max(sim to already-picked) — the "
+    "standard RAG/search post-filter that stops near-duplicate "
+    "passages from filling the context window. Fully integer once "
+    "cosines land on the 1e-6 grid (identical doubles both engines — "
+    "same fold order — so the grid cast matches exactly); argmax ties "
+    "break by vec_id, making the greedy path engine- and partitioning-"
+    "deterministic. Scale shape: relevance top-k prunes the corpus to "
+    f"{MMR_POOL} rows (TakeOrderedAndProject over one scan); the "
+    "greedy pass is {MMR_K} unrolled joins over a broadcast-sized "
+    "pool + pairwise-sim table, no collect — at 100 TB the pool cut "
+    "does all the work and the rerank cost is constant. First pick's "
+    "score is {MMR_W_REL}*rel by contract (empty selected set).",
+)
+def sim_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, "embeddings", sf_dir)
+    qdf = emb.filter(F.col("vec_id") == QUERY_VEC_ID)
+    q = F.broadcast(qdf.select(F.col("embedding").alias("_qe")))
+    pool = (
+        emb.filter(F.col("vec_id") != QUERY_VEC_ID)
+        .join(q)
+        .select(
+            "vec_id",
+            "embedding",
+            F.round(S.cosine_named("embedding", "_qe") * 1000000)
+            .cast("long")
+            .alias("rel_u6"),
+        )
+        .orderBy(F.desc("rel_u6"), F.asc("vec_id"))
+        .limit(MMR_POOL)
+        .localCheckpoint(eager=True)
+    )
+    a = pool.select(
+        F.col("vec_id").alias("aa"), F.col("embedding").alias("ea")
+    )
+    b = pool.select(
+        F.col("vec_id").alias("bb"), F.col("embedding").alias("eb")
+    )
+    pairs = (
+        a.join(F.broadcast(b), F.col("aa") != F.col("bb"))
+        .select(
+            "aa",
+            "bb",
+            F.round(S.cosine_named("ea", "eb") * 1000000)
+            .cast("long")
+            .alias("sim_u6"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    sel = (
+        pool.orderBy(F.desc("rel_u6"), F.asc("vec_id"))
+        .limit(1)
+        .select(
+            F.lit(1).cast("long").alias("rank"),
+            "vec_id",
+            "rel_u6",
+            (F.lit(MMR_W_REL) * F.col("rel_u6")).cast("long").alias(
+                "mmr_score_u6"
+            ),
+        )
+    )
+    for k in range(2, MMR_K + 1):
+        mx = (
+            pairs.join(
+                sel.select(F.col("vec_id").alias("bb")), "bb", "left_semi"
+            )
+            .groupBy("aa")
+            .agg(F.max("sim_u6").alias("m"))
+        )
+        best = (
+            pool.join(
+                sel.select("vec_id"), "vec_id", "left_anti"
+            )
+            .join(mx, F.col("vec_id") == F.col("aa"))
+            .select(
+                F.lit(k).cast("long").alias("rank"),
+                "vec_id",
+                "rel_u6",
+                (
+                    F.lit(MMR_W_REL) * F.col("rel_u6")
+                    - F.lit(MMR_W_DIV) * F.col("m")
+                )
+                .cast("long")
+                .alias("mmr_score_u6"),
+            )
+            .orderBy(F.desc("mmr_score_u6"), F.asc("vec_id"))
+            .limit(1)
+        )
+        sel = sel.unionByName(best)
+    return sel.orderBy("rank")

@@ -1571,3 +1571,170 @@ def rel_latency_slo_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
         at_q(99).alias("p99_u4"),
         F.max("v_u4").cast("long").alias("max_u4"),
     )
+
+
+# --- burst detection (trailing-baseline ratio) -------------------------------
+
+BURST_MULT = 3  # burst when hourly count > 3x the trailing-24h average
+BURST_BASE_H = 24
+
+
+@register(
+    "rel_burst_detection",
+    oracle=f"""
+WITH hourly AS (
+  SELECT event_type,
+         epoch_us(ts) // 3600000000 AS hour,
+         count(*) AS n
+  FROM events
+  GROUP BY 1, 2
+),
+scored AS (
+  SELECT event_type, hour, n,
+         CAST(coalesce(sum(n) OVER (
+           PARTITION BY event_type ORDER BY hour
+           RANGE BETWEEN {BURST_BASE_H} PRECEDING AND 1 PRECEDING
+         ), 0) AS BIGINT) AS base_n
+  FROM hourly
+)
+SELECT event_type, CAST(hour AS BIGINT) AS hour, CAST(n AS BIGINT) AS n, base_n
+FROM scored
+WHERE base_n > 0 AND n * {BURST_BASE_H} > {BURST_MULT} * base_n
+ORDER BY event_type, hour
+""",
+    doc="Burst detection (Kleinberg-style, integer form): an hour is a "
+    f"burst for an event type when its count exceeds {BURST_MULT}x the "
+    f"trailing-{BURST_BASE_H}h average — the comparison runs as "
+    f"n*{BURST_BASE_H} > {BURST_MULT}*sum(trailing), pure BIGINT, so no "
+    "division and no float threshold to diverge between engines. The "
+    "RANGE frame is over the integer epoch-hour (not row offsets), so "
+    "silent hours count as zero in the baseline rather than stretching "
+    "the window backwards — the sparse-series correctness trap of "
+    "ROWS-frame baselines. One hash-agg (map-side partials) + one "
+    "window sort per event_type; at 100 TB the hourly rollup is "
+    "cardinality |types| x |hours| — tiny — so the window never sees "
+    "raw events. The monitoring/alerting primitive of the time-series "
+    "family; hours with an empty baseline are excluded by contract "
+    "(a type's first hour is not a burst).",
+)
+def rel_burst_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    hourly = (
+        ev.select(
+            "event_type",
+            F.expr("unix_micros(ts) div 3600000000").alias("hour"),
+        )
+        .groupBy("event_type", "hour")
+        .agg(F.count("*").alias("n"))
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("hour")
+        .rangeBetween(-BURST_BASE_H, -1)
+    )
+    scored = hourly.select(
+        "event_type",
+        F.col("hour").cast("long").alias("hour"),
+        F.col("n").cast("long").alias("n"),
+        F.coalesce(F.sum("n").over(w), F.lit(0)).cast("long").alias("base_n"),
+    )
+    return scored.where(
+        (F.col("base_n") > 0)
+        & (F.col("n") * BURST_BASE_H > BURST_MULT * F.col("base_n"))
+    ).orderBy("event_type", "hour")
+
+
+# --- seasonality strength (hour-of-day profile) ------------------------------
+
+
+@register(
+    "rel_seasonality_strength",
+    oracle="""
+WITH hod AS (
+  SELECT event_type,
+         (epoch_us(ts) // 3600000000) % 24 AS h,
+         count(*) AS c
+  FROM events
+  GROUP BY 1, 2
+),
+tot AS (
+  SELECT event_type, CAST(sum(c) AS BIGINT) AS total,
+         CAST(sum(abs(c * 24 - (SELECT sum(c2.c) FROM hod c2
+                                WHERE c2.event_type = hod.event_type)))
+              AS BIGINT) AS dev_x24
+  FROM hod GROUP BY event_type
+),
+peak AS (
+  SELECT event_type, h AS peak_hod, c AS peak_c
+  FROM (
+    SELECT event_type, h, c,
+           row_number() OVER (
+             PARTITION BY event_type ORDER BY c DESC, h ASC
+           ) AS rn
+    FROM hod
+  ) WHERE rn = 1
+)
+SELECT t.event_type,
+       t.total,
+       t.dev_x24,
+       CAST(p.peak_hod AS BIGINT) AS peak_hod,
+       CAST(p.peak_c * 1000000 // t.total AS BIGINT) AS peak_share_u6
+FROM tot t JOIN peak p USING (event_type)
+ORDER BY t.event_type
+""",
+    doc="Seasonality-strength profile per event type: hour-of-day counts "
+    "(pure epoch arithmetic — `(epoch_us div 3600e6) % 24`, never a "
+    "session-timezone calendar extract, the r4 cross-engine lesson), "
+    "L1 deviation from the uniform profile in x24 integer units "
+    "(sum |24*c_h - total|, zero for perfectly flat traffic, "
+    "2*total*(24-1)/24 max for a single-hour spike), and the peak hour "
+    "with its 1e-6-unit share. All BIGINT, so engine- and partitioning-"
+    "exact. Scale shape: one hash-agg to |types| x 24 rows; everything "
+    "after is constant-size. The profile DECIDES whether downstream "
+    "time-features (hour-of-day embeddings, per-hour mixing caps) are "
+    "worth their cost — the measured-knob pattern of "
+    "sim_ivf_nprobe_recall applied to time features.",
+)
+def rel_seasonality_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    hod = (
+        ev.select(
+            "event_type",
+            F.expr("(unix_micros(ts) div 3600000000) % 24").alias("h"),
+        )
+        .groupBy("event_type", "h")
+        .agg(F.count("*").alias("c"))
+    )
+    wt = Window.partitionBy("event_type")
+    scored = hod.select(
+        "event_type",
+        "h",
+        "c",
+        F.sum("c").over(wt).alias("total"),
+        F.row_number()
+        .over(wt.orderBy(F.desc("c"), F.asc("h")))
+        .alias("rn"),
+    )
+    return (
+        scored.groupBy("event_type")
+        .agg(
+            F.max("total").cast("long").alias("total"),
+            F.sum(F.abs(F.col("c") * 24 - F.col("total")))
+            .cast("long")
+            .alias("dev_x24"),
+            F.max(F.when(F.col("rn") == 1, F.col("h")))
+            .cast("long")
+            .alias("peak_hod"),
+            F.max(F.when(F.col("rn") == 1, F.col("c"))).alias("_peak_c"),
+        )
+        .select(
+            "event_type",
+            "total",
+            "dev_x24",
+            "peak_hod",
+            F.expr("CAST(_peak_c * 1000000 div total AS BIGINT)").alias(
+                "peak_share_u6"
+            ),
+        )
+        .orderBy("event_type")
+    )

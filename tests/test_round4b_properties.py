@@ -95,22 +95,66 @@ def test_concurrency_peak_bounds(spark):
         assert 1 <= r.peak_concurrency <= r.n_intervals
 
 
-def test_simhash_stats_consistent_with_pairs(spark):
-    """The signature-level histogram must exactly aggregate the
-    doc-level pair enumeration (the combinatorial close is a rewrite,
-    not an approximation)."""
-    pairs = plans.get("dedup_simhash_hamming").fn(spark, SF).collect()
-    stats = {
-        r.hamming: (r.n_pairs, r.n_docs_involved)
-        for r in plans.get("dedup_simhash_stats").fn(spark, SF).collect()
-    }
-    from collections import defaultdict
+def test_simhash_spanning_edges_preserve_clusters(spark):
+    """r5 contract: dedup_simhash_hamming emits SPANNING edges (star
+    within identical fingerprints + one edge per near-dup signature
+    pair), not the clone-quadratic full enumeration. The guarantees
+    that replace the old aggregate-consistency check:
 
-    n_pairs: dict[int, int] = defaultdict(int)
-    docs: dict[int, set] = defaultdict(set)
-    for p in pairs:
-        n_pairs[p.hamming] += 1
-        docs[p.hamming].update((p.doc_a, p.doc_b))
-    assert stats == {
-        h: (n_pairs[h], len(docs[h])) for h in n_pairs
-    }
+    1. every spanning edge appears in the full enumeration (subset),
+    2. union-find over spanning edges and over the full enumeration
+       produce IDENTICAL clusters (same node set, same partition),
+    3. the edge count is linear: (docs - distinct_sigs) + sig_pairs.
+    """
+    from mrc_spark_jobs_pubmed_spark.operators import dedup as D
+    from mrc_spark_jobs_pubmed_spark.plans.dedup_queries import (
+        _simhash_banded_pairs,
+    )
+    from mrc_spark_jobs_pubmed_spark.sources.catalog import load_table
+
+    spanning = [
+        (r.doc_a, r.doc_b)
+        for r in plans.get("dedup_simhash_hamming").fn(spark, SF).collect()
+    ]
+    sig = D.simhash_fingerprints(load_table(spark, "documents", SF))
+    full = [
+        (r.doc_a, r.doc_b) for r in _simhash_banded_pairs(sig).collect()
+    ]
+    assert set(spanning) <= set(full)
+    assert len(spanning) < len(full) or len(spanning) == len(full)
+
+    def clusters(edges):
+        parent: dict[int, int] = {}
+
+        def find(x):
+            parent.setdefault(x, x)
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        out: dict[int, set] = {}
+        for n in parent:
+            out.setdefault(find(n), set()).add(n)
+        return {frozenset(v) for v in out.values()}
+
+    assert clusters(spanning) == clusters(full)
+
+    rows = sig.groupBy("simhash").count().collect()
+    n_docs = sum(r["count"] for r in rows)
+    n_sigs = len(rows)
+    n_sig_pairs = len(
+        {
+            (min(a, b), max(a, b))
+            for (a, b), h in (
+                ((p.doc_a, p.doc_b), p.hamming)
+                for p in plans.get("dedup_simhash_hamming").fn(spark, SF).collect()
+            )
+            if h > 0
+        }
+    )
+    assert len(spanning) == (n_docs - n_sigs) + n_sig_pairs
