@@ -1896,3 +1896,192 @@ def corpus_quality_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFram
             ),
         )
     )
+
+
+# --- per-source boilerplate profile ------------------------------------------
+
+BOILER_MIN_SHARE_U6 = 100_000  # line is boilerplate in a source at >= 10% DF
+
+
+def _register_boilerplate_profile() -> None:
+    from mrc_spark_jobs_pubmed_spark.operators.dedup import (
+        pseudo_lines,
+        pseudo_lines_sql,
+    )
+
+    lines_sql = pseudo_lines_sql("text")
+
+    @register(
+        "corpus_boilerplate_profile",
+        oracle=f"""
+WITH src_docs AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_docs FROM documents GROUP BY source
+),
+lines AS (
+  SELECT DISTINCT d.doc_id, d.source, t.line
+  FROM (SELECT doc_id, source, {lines_sql} AS ls FROM documents) d,
+       unnest(d.ls) AS t(line)
+),
+df AS (
+  SELECT source, md5(line) AS line_key, count(*) AS line_df,
+         min(line) AS sample_line
+  FROM lines GROUP BY source, md5(line)
+)
+SELECT f.source, f.line_key,
+       CAST(f.line_df AS BIGINT) AS line_df,
+       s.n_docs,
+       CAST(f.line_df * 1000000 // s.n_docs AS BIGINT) AS df_share_u6,
+       f.sample_line
+FROM df f JOIN src_docs s USING (source)
+WHERE f.line_df * 1000000 >= {BOILER_MIN_SHARE_U6} * s.n_docs
+ORDER BY f.source, df_share_u6 DESC, f.line_key
+""",
+        doc="Per-SOURCE boilerplate profile: lines whose within-source "
+        "document frequency is >= 10% — the nav/footer/disclaimer "
+        "signature of a scraped site that corpus-wide line dedup "
+        "(corpus_line_dedup) underweights when the source is a small "
+        "fraction of the corpus. Output is the audit table (source, "
+        "line md5 key, DF, share in 1e-6 units, a deterministic sample "
+        "line) a pipeline turns into per-source strip rules. DISTINCT "
+        "(doc, line) first so a line repeated within one doc counts "
+        "once; share threshold compared in cross-multiplied integers "
+        "(df*1e6 >= tau*n_docs) — no float division. Scale shape: "
+        "narrow line projection, one (source, line-hash) hash-agg with "
+        "map-side partials, broadcast join to per-source doc counts; "
+        "output is bounded by lines/share >= 10%, a tiny set by "
+        "construction.",
+    )
+    def corpus_boilerplate_profile(
+        spark: SparkSession, sf_dir: str
+    ) -> DataFrame:
+        docs = load_table(spark, "documents", sf_dir)
+        src_docs = docs.groupBy("source").agg(
+            F.count("*").cast("long").alias("n_docs")
+        )
+        lines = docs.select(
+            "doc_id",
+            "source",
+            F.explode(pseudo_lines(F.col("text"))).alias("line"),
+        ).distinct()
+        df = lines.groupBy("source", F.md5("line").alias("line_key")).agg(
+            F.count("*").cast("long").alias("line_df"),
+            F.min("line").alias("sample_line"),
+        )
+        return (
+            df.join(F.broadcast(src_docs), "source")
+            .where(
+                F.col("line_df") * 1_000_000
+                >= F.lit(BOILER_MIN_SHARE_U6) * F.col("n_docs")
+            )
+            .select(
+                "source",
+                "line_key",
+                "line_df",
+                "n_docs",
+                F.expr("CAST(line_df * 1000000 div n_docs AS BIGINT)").alias(
+                    "df_share_u6"
+                ),
+                "sample_line",
+            )
+            .orderBy("source", F.desc("df_share_u6"), "line_key")
+        )
+
+
+_register_boilerplate_profile()
+
+
+# --- CCNet perplexity buckets -------------------------------------------------
+
+
+@register(
+    "corpus_perplexity_buckets",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, t.tok AS tok
+  FROM (SELECT doc_id, {_TOKS_SQL} AS toklist FROM documents),
+       unnest(toklist) AS t(tok)
+),
+vocab AS (SELECT tok, count(*) AS n FROM toks GROUP BY tok),
+tot AS (SELECT sum(n) AS total FROM vocab),
+scored AS (
+  SELECT doc_id,
+         count(*) AS n_tok,
+         (2 * sum(CAST(round(-ln(n::DOUBLE / total) * 1000000) AS BIGINT))
+          + count(*)) // (2 * count(*)) AS nll_u6
+  FROM toks JOIN vocab USING (tok) CROSS JOIN tot
+  GROUP BY doc_id
+),
+bucketed AS (
+  SELECT doc_id, n_tok, nll_u6,
+         ntile(3) OVER (ORDER BY nll_u6 ASC, doc_id ASC) AS b
+  FROM scored
+)
+SELECT CASE b WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END
+         AS bucket,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+       CAST(min(nll_u6) AS BIGINT) AS min_nll_u6,
+       CAST(max(nll_u6) AS BIGINT) AS max_nll_u6
+FROM bucketed
+GROUP BY bucket
+ORDER BY min_nll_u6
+""",
+    doc="CCNet head/middle/tail quality buckets: per-doc unigram-LM "
+    "negative log-likelihood per token (the corpus_unigram_logprob "
+    "score in exact 1e-6 integer units — order-independent sum, "
+    "integer half-up mean), docs split into NLL terciles by ntile(3) "
+    "with doc_id tie-breaks (fully deterministic — an equal-score run "
+    "straddling a tercile boundary splits identically on both "
+    "engines). head = most in-distribution, the bucket CCNet keeps "
+    "outright; tail = candidates for drop or LM re-score. Output is "
+    "the bucket datacard (doc count, token mass, NLL range). Scale "
+    "shape: the scoring aggs as in corpus_unigram_logprob (top-V "
+    "broadcast vocab at real scale); the tercile is ONE global sort "
+    "of |docs| scalar rows, and at 100 TB the same contract is served "
+    "by approx percentile cuts with a documented tolerance.",
+)
+def corpus_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, "documents", sf_dir)
+    toks = docs.select(
+        "doc_id", F.explode(tokens_col(F.col("text"))).alias("tok")
+    )
+    vocab = toks.groupBy("tok").agg(F.count("*").alias("n"))
+    tot = vocab.agg(F.sum("n").alias("total"))
+    scored = (
+        toks.join(vocab, "tok")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tok"),
+            F.sum(
+                F.round(
+                    -F.log(F.col("n").cast("double") / F.col("total")) * 1e6
+                ).cast("long")
+            ).alias("_nl6"),
+        )
+        .select(
+            "doc_id",
+            "n_tok",
+            F.expr("(2 * _nl6 + n_tok) div (2 * n_tok)").alias("nll_u6"),
+        )
+    )
+    bucketed = scored.withColumn(
+        "b", F.ntile(3).over(Window.orderBy(F.asc("nll_u6"), F.asc("doc_id")))
+    )
+    return (
+        bucketed.groupBy(
+            F.when(F.col("b") == 1, "head")
+            .when(F.col("b") == 2, "middle")
+            .otherwise("tail")
+            .alias("bucket")
+        )
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_tok").cast("long").alias("n_tokens"),
+            F.min("nll_u6").cast("long").alias("min_nll_u6"),
+            F.max("nll_u6").cast("long").alias("max_nll_u6"),
+        )
+        .orderBy("min_nll_u6")
+    )

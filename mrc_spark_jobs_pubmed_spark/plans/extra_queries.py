@@ -2974,3 +2974,70 @@ def rel_rolling_distinct_bitmap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("tday").cast("long").alias("day"), f"n_users_{ROLL_DAYS}d")
         .orderBy("day")
     )
+
+
+# --- 2-D skyline (Pareto-dominance frontier) ----------------------------------
+
+
+@register(
+    "rel_skyline_dominance",
+    oracle="""
+WITH pts AS (
+  SELECT p_partkey, CAST(round(p_retailprice * 100) AS BIGINT) AS price_c2,
+         CAST(p_size AS BIGINT) AS p_size
+  FROM part
+),
+per_price AS (
+  SELECT price_c2, min(p_size) AS m_eq FROM pts GROUP BY price_c2
+),
+cheaper AS (
+  SELECT price_c2, m_eq,
+         min(m_eq) OVER (
+           ORDER BY price_c2 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ) AS m_lt
+  FROM per_price
+)
+SELECT p.p_partkey, p.price_c2, p.p_size
+FROM pts p JOIN cheaper c USING (price_c2)
+WHERE (c.m_lt IS NULL OR p.p_size < c.m_lt) AND p.p_size <= c.m_eq
+ORDER BY p.price_c2, p.p_size, p.p_partkey
+""",
+    doc="2-D skyline / Pareto frontier over part (minimize price AND "
+    "size): the non-dominated set — every part for which no other part "
+    "is <= on both dimensions and < on at least one. Computed WITHOUT "
+    "the naive O(n^2) NOT-EXISTS self-join: collapse to per-price "
+    "minimum size (|distinct prices| rows), one running-min window "
+    "ordered by price gives the best size among STRICTLY cheaper "
+    "points, and a point survives iff it beats that bound strictly and "
+    "ties the best within its own price group (equal (price, size) "
+    "duplicates do not dominate each other, so all survive — the "
+    "standard strict-dominance contract). Prices compared in exact "
+    "cents. Scale shape: one hash-agg + one window over the collapsed "
+    "price domain + a broadcast-sized join back — the skyline of a "
+    "100 TB table costs one agg-shuffle; the frontier itself is "
+    "output-bounded.",
+)
+def rel_skyline_dominance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    part = load_table(spark, "part", sf_dir)
+    pts = part.select(
+        "p_partkey",
+        F.expr("CAST(round(p_retailprice * 100) AS BIGINT)").alias("price_c2"),
+        F.col("p_size").cast("long").alias("p_size"),
+    )
+    per_price = pts.groupBy("price_c2").agg(F.min("p_size").alias("m_eq"))
+    w = (
+        Window.orderBy("price_c2")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cheaper = per_price.withColumn("m_lt", F.min("m_eq").over(w))
+    return (
+        pts.join(cheaper, "price_c2")
+        .where(
+            (F.col("m_lt").isNull() | (F.col("p_size") < F.col("m_lt")))
+            & (F.col("p_size") <= F.col("m_eq"))
+        )
+        .select("p_partkey", "price_c2", "p_size")
+        .orderBy("price_c2", "p_size", "p_partkey")
+    )

@@ -2672,3 +2672,118 @@ def sim_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         sel = sel.unionByName(best)
     return sel.orderBy("rank")
+
+
+# --- hard-negative / hard-positive mining -------------------------------------
+
+MINE_ANCHOR_MOD = 50  # every 50th vector is an anchor
+
+
+@register(
+    "emb_hard_negative_mining",
+    oracle=f"""
+WITH anchors AS (
+  SELECT vec_id AS anchor, embedding AS ae, label AS alabel
+  FROM embeddings WHERE vec_id % {MINE_ANCHOR_MOD} = 0
+),
+scored AS (
+  SELECT a.anchor, a.alabel, e.vec_id, e.label,
+         CAST(round(1000000 * {S.cosine_sql('e.embedding', 'a.ae')}) AS BIGINT)
+           AS cos_u6
+  FROM anchors a JOIN embeddings e ON e.vec_id <> a.anchor
+),
+neg AS (
+  SELECT anchor, vec_id AS neg_id, cos_u6 AS neg_cos_u6
+  FROM (
+    SELECT anchor, vec_id, cos_u6,
+           row_number() OVER (
+             PARTITION BY anchor ORDER BY cos_u6 DESC, vec_id ASC
+           ) AS rn
+    FROM scored WHERE label <> alabel
+  ) WHERE rn = 1
+),
+pos AS (
+  SELECT anchor, vec_id AS pos_id, cos_u6 AS pos_cos_u6
+  FROM (
+    SELECT anchor, vec_id, cos_u6,
+           row_number() OVER (
+             PARTITION BY anchor ORDER BY cos_u6 ASC, vec_id ASC
+           ) AS rn
+    FROM scored WHERE label = alabel
+  ) WHERE rn = 1
+)
+SELECT p.anchor, p.pos_id, p.pos_cos_u6, n.neg_id, n.neg_cos_u6,
+       CAST(p.pos_cos_u6 - n.neg_cos_u6 AS BIGINT) AS margin_u6
+FROM pos p JOIN neg n USING (anchor)
+ORDER BY anchor
+""",
+    doc="Triplet mining for embedding training: per sampled anchor "
+    f"(every {MINE_ANCHOR_MOD}th id), the HARDEST NEGATIVE (highest-"
+    "cosine vector of a DIFFERENT label — the impostor) and the "
+    "HARDEST POSITIVE (lowest-cosine vector of the SAME label — the "
+    "stray), with the triplet margin pos-neg in 1e-6 units: negative "
+    "margins are active triplets, exactly what FaceNet-style semi-hard "
+    "mining feeds the loss. Arg-extremes run as associative "
+    "struct-max/min aggregations (no per-anchor sort window), "
+    "vec_id tie-breaks — deterministic on any partitioning. This is "
+    "the exact brute verification path (anchors x corpus, pruned to "
+    "1/{MINE_ANCHOR_MOD} of all pairs); the production mining loop "
+    "swaps the corpus side for each anchor's IVF probe set "
+    "(sim_kmeans_ivf) and re-prices recall with sim_ivf_nprobe_recall "
+    "— same contract, candidate-bounded cost.",
+)
+def emb_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, "embeddings", sf_dir)
+    anchors = emb.where(F.col("vec_id") % MINE_ANCHOR_MOD == 0).select(
+        F.col("vec_id").alias("anchor"),
+        F.col("embedding").alias("ae"),
+        F.col("label").alias("alabel"),
+    )
+    scored = (
+        emb.join(F.broadcast(anchors), F.col("vec_id") != F.col("anchor"))
+        .select(
+            "anchor",
+            "alabel",
+            "vec_id",
+            "label",
+            F.round(S.cosine_named("embedding", "ae") * 1000000)
+            .cast("long")
+            .alias("cos_u6"),
+        )
+    )
+    neg = (
+        scored.where(F.col("label") != F.col("alabel"))
+        .groupBy("anchor")
+        .agg(F.max(F.struct("cos_u6", (-F.col("vec_id")).alias("nid"))).alias("m"))
+        .select(
+            "anchor",
+            (-F.col("m.nid")).alias("neg_id"),
+            F.col("m.cos_u6").alias("neg_cos_u6"),
+        )
+    )
+    pos = (
+        scored.where(F.col("label") == F.col("alabel"))
+        .groupBy("anchor")
+        .agg(
+            F.min(F.struct("cos_u6", F.col("vec_id").alias("pid"))).alias("m")
+        )
+        .select(
+            "anchor",
+            F.col("m.pid").alias("pos_id"),
+            F.col("m.cos_u6").alias("pos_cos_u6"),
+        )
+    )
+    return (
+        pos.join(neg, "anchor")
+        .select(
+            "anchor",
+            "pos_id",
+            "pos_cos_u6",
+            "neg_id",
+            "neg_cos_u6",
+            (F.col("pos_cos_u6") - F.col("neg_cos_u6"))
+            .cast("long")
+            .alias("margin_u6"),
+        )
+        .orderBy("anchor")
+    )
