@@ -646,3 +646,79 @@ def ta_code_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
         ratio.cast("long").alias("code_ratio_u6"),
         ((n_chars > 0) & (ratio >= 20000)).alias("looks_like_code"),
     )
+
+
+# --- charset / script profile -------------------------------------------------
+
+
+@register(
+    "ta_charset_profile",
+    oracle=r"""
+WITH per_doc AS (
+  SELECT lang,
+         length(text) AS n_chars,
+         length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS n_alpha,
+         length(regexp_replace(text, '[^0-9]', '', 'g')) AS n_digit,
+         length(regexp_replace(text, '[^ ]', '', 'g')) AS n_space,
+         length(text)
+           - length(regexp_replace(text, '[\x80-\x{10FFFF}]', '', 'g'))
+           AS n_nonascii
+  FROM documents
+)
+SELECT lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS n_chars,
+       CAST(sum(n_alpha) * 1000000 // sum(n_chars) AS BIGINT) AS alpha_u6,
+       CAST(sum(n_digit) * 1000000 // sum(n_chars) AS BIGINT) AS digit_u6,
+       CAST(sum(n_space) * 1000000 // sum(n_chars) AS BIGINT) AS space_u6,
+       CAST(sum(n_nonascii) * 1000000 // sum(n_chars) AS BIGINT)
+         AS nonascii_u6
+FROM per_doc
+GROUP BY lang
+ORDER BY lang
+""",
+    doc="Charset/script profile per language: corpus-level shares (1e-6 "
+    "integer units) of ASCII letters, digits, spaces, and non-ASCII "
+    "codepoints — the encoding-noise audit that catches mojibake, "
+    "double-encoded UTF-8, and mislabeled languages BEFORE tokenizer "
+    "training bakes them into the vocab (a non-ASCII share that "
+    "disagrees with the language label is the classic crawl-pipeline "
+    "smell). Counting is regexp_replace-strip length deltas — per-row "
+    "codegen'd, zero shuffle until the |langs|-row agg; shares by "
+    "integer division of summed counts, no per-doc float ratios to "
+    "re-average wrongly (the ratio-of-sums vs sum-of-ratios trap). "
+    "Character classes are codepoint-range based so both engines "
+    "count identical quantities on identical UTF-8.",
+)
+def ta_charset_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    per_doc = docs.select(
+        "lang",
+        F.length("text").alias("n_chars"),
+        F.length(F.regexp_replace("text", "[^a-zA-Z]", "")).alias("n_alpha"),
+        F.length(F.regexp_replace("text", "[^0-9]", "")).alias("n_digit"),
+        F.length(F.regexp_replace("text", "[^ ]", "")).alias("n_space"),
+        (
+            F.length("text")
+            - F.length(F.regexp_replace("text", "[^\x00-\x7F]", ""))
+        ).alias("n_nonascii"),
+    )
+    agg = per_doc.groupBy("lang").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("n_chars"),
+        F.sum("n_alpha").alias("_a"),
+        F.sum("n_digit").alias("_d"),
+        F.sum("n_space").alias("_s"),
+        F.sum("n_nonascii").alias("_n"),
+    )
+    return agg.select(
+        "lang",
+        "n_docs",
+        "n_chars",
+        F.expr("CAST(_a * 1000000 div n_chars AS BIGINT)").alias("alpha_u6"),
+        F.expr("CAST(_d * 1000000 div n_chars AS BIGINT)").alias("digit_u6"),
+        F.expr("CAST(_s * 1000000 div n_chars AS BIGINT)").alias("space_u6"),
+        F.expr("CAST(_n * 1000000 div n_chars AS BIGINT)").alias(
+            "nonascii_u6"
+        ),
+    ).orderBy("lang")

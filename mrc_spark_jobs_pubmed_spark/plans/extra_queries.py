@@ -2947,33 +2947,16 @@ ORDER BY day
     "copy it maintains is exactly the `bits` input here.",
 )
 def rel_rolling_distinct_bitmap(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from mrc_spark_jobs_pubmed_spark.streaming.jobs import bitmap_words
+    # one shared sketch-build + rollup with the streaming maintainer
+    # (streaming/jobs.py run_rolling_distinct_to_files), so the replay
+    # test proves stream == batch on the identical code path
+    from mrc_spark_jobs_pubmed_spark.streaming.jobs import (
+        bitmap_words,
+        rolling_distinct_rollup,
+    )
 
     ev = load_table(spark, "events", sf_dir)
-    bits = bitmap_words(ev)
-    days = bits.select("day").distinct()
-    spread = (
-        bits.select(
-            F.explode(
-                F.sequence(F.col("day"), F.col("day") + (ROLL_DAYS - 1))
-            ).alias("tday"),
-            "word_id",
-            "bm",
-        )
-        .groupBy("tday", "word_id")
-        .agg(F.expr("bit_or(bm)").alias("bm7"))
-    )
-    return (
-        spread.join(days, spread.tday == days.day, "left_semi")
-        .groupBy("tday")
-        .agg(
-            F.sum(F.expr("bit_count(bm7)"))
-            .cast("long")
-            .alias(f"n_users_{ROLL_DAYS}d")
-        )
-        .select(F.col("tday").cast("long").alias("day"), f"n_users_{ROLL_DAYS}d")
-        .orderBy("day")
-    )
+    return rolling_distinct_rollup(bitmap_words(ev))
 
 
 # --- 2-D skyline (Pareto-dominance frontier) ----------------------------------

@@ -2787,3 +2787,68 @@ def emb_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("anchor")
     )
+
+
+# --- reciprocal nearest neighbors ---------------------------------------------
+
+
+@register(
+    "sim_reciprocal_nn",
+    oracle=f"""
+WITH b AS (
+  SELECT vec_id, embedding, {S.bucket_id_sql('embedding')} AS bucket
+  FROM embeddings
+),
+cand AS (
+  SELECT a.vec_id AS vec_id, c.vec_id AS neighbor_id,
+         round({S.cosine_sql('a.embedding', 'c.embedding')}, 6) AS cosine
+  FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id <> c.vec_id
+),
+nn1 AS (
+  SELECT vec_id, neighbor_id, cosine
+  FROM (
+    SELECT vec_id, neighbor_id, cosine,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY cosine DESC, neighbor_id) AS rn
+    FROM cand
+  ) WHERE rn = 1
+)
+SELECT a.vec_id AS vec_a, a.neighbor_id AS vec_b, a.cosine
+FROM nn1 a JOIN nn1 b
+  ON a.neighbor_id = b.vec_id AND b.neighbor_id = a.vec_id
+WHERE a.vec_id < a.neighbor_id
+ORDER BY vec_a
+""",
+    doc="Reciprocal nearest-neighbor pairs: (a, b) where a's single "
+    "nearest neighbor is b AND b's is a — the high-precision match "
+    "signal entity-resolution and cross-lingual mining stacks use "
+    "(mutual-NN filtering is the standard bitext-mining gate) because "
+    "one-directional NN is asymmetric and noisy near cluster "
+    "boundaries. Built on the same bucket-confined kNN join as "
+    "sim_knn_join (BLAS per bucket, never n^2), then a self-join of "
+    "the rank-1 table on the reversed key — |V| rows each side, "
+    "uniform hash keys. Cosines compared on the 6dp grid with "
+    "neighbor-id tie-breaks, so the rank-1 choice and therefore the "
+    "mutual set is engine- and partitioning-exact.",
+)
+def sim_reciprocal_nn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, "embeddings", sf_dir)
+    nn1 = (
+        S.knn_join_bucketed(emb, k=1)
+        .select("vec_id", "neighbor_id", F.round("cosine", 6).alias("cosine"))
+    )
+    a, b = nn1.alias("a"), nn1.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.neighbor_id") == F.col("b.vec_id"))
+            & (F.col("b.neighbor_id") == F.col("a.vec_id")),
+        )
+        .where(F.col("a.vec_id") < F.col("a.neighbor_id"))
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("a.neighbor_id").alias("vec_b"),
+            F.col("a.cosine").alias("cosine"),
+        )
+        .orderBy("vec_a")
+    )

@@ -1738,3 +1738,95 @@ def rel_seasonality_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# --- duplicate-fire (rapid-repeat) detection ---------------------------------
+
+DOUBLE_FIRE_S = 300  # same user+type within 300 s = suspected double fire
+
+
+@register(
+    "rel_double_fire_events",
+    oracle=f"""
+WITH seq AS (
+  SELECT user_id, event_type,
+         CAST(round(value * 10000) AS BIGINT) AS v_u4,
+         epoch_us(ts) AS t_us,
+         event_id,
+         lag(epoch_us(ts)) OVER (
+           PARTITION BY user_id, event_type ORDER BY epoch_us(ts), event_id
+         ) AS prev_us,
+         lag(event_id) OVER (
+           PARTITION BY user_id, event_type ORDER BY epoch_us(ts), event_id
+         ) AS prev_event,
+         lag(CAST(round(value * 10000) AS BIGINT)) OVER (
+           PARTITION BY user_id, event_type ORDER BY epoch_us(ts), event_id
+         ) AS prev_v_u4
+  FROM events
+)
+SELECT user_id, event_type,
+       prev_event AS first_event, event_id AS dup_event,
+       CAST((t_us - prev_us) // 1000 AS BIGINT) AS gap_ms,
+       CAST(CASE WHEN v_u4 = prev_v_u4 THEN 1 ELSE 0 END AS BIGINT)
+         AS same_value
+FROM seq
+WHERE prev_us IS NOT NULL
+  AND t_us - prev_us <= CAST({DOUBLE_FIRE_S} AS BIGINT) * 1000000
+ORDER BY user_id, event_type, dup_event
+""",
+    doc="Rapid-repeat / double-fire detection: consecutive events from "
+    "the same (user, type) landing within "
+    f"{DOUBLE_FIRE_S} s — the double-click/retry-without-idempotency-"
+    "key signature that inflates metrics and poisons training labels. "
+    "Emits (first_event, dup_event, gap_ms, same_value) so the "
+    "consumer separates true double-submits (same exact 1e-4-unit "
+    "value) from rapid distinct actions. One window over the "
+    "(user, type) key — narrow sort key, small partitions even for "
+    "power users; (t_us, event_id) total-orders ties, making pair "
+    "identity exact on any engine or partitioning. Scale: one shuffle "
+    "on the composite key with uniform hash distribution; the CDC/LSN "
+    "machinery (stream_cdc_apply) consumes the exclusion list as "
+    "delete ops.",
+)
+def rel_double_fire_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    base = ev.select(
+        "user_id",
+        "event_type",
+        F.expr("CAST(round(value * 10000) AS BIGINT)").alias("v_u4"),
+        F.expr("unix_micros(ts)").alias("t_us"),
+        "event_id",
+    )
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        "t_us", "event_id"
+    )
+    seq = base.select(
+        "user_id",
+        "event_type",
+        "v_u4",
+        "t_us",
+        "event_id",
+        F.lag("t_us").over(w).alias("prev_us"),
+        F.lag("event_id").over(w).alias("prev_event"),
+        F.lag("v_u4").over(w).alias("prev_v_u4"),
+    )
+    return (
+        seq.where(
+            F.col("prev_us").isNotNull()
+            & (F.col("t_us") - F.col("prev_us") <= DOUBLE_FIRE_S * 1_000_000)
+        )
+        .select(
+            "user_id",
+            "event_type",
+            F.col("prev_event").alias("first_event"),
+            F.col("event_id").alias("dup_event"),
+            F.expr("CAST((t_us - prev_us) div 1000 AS BIGINT)").alias(
+                "gap_ms"
+            ),
+            F.when(F.col("v_u4") == F.col("prev_v_u4"), 1)
+            .otherwise(0)
+            .cast("long")
+            .alias("same_value"),
+        )
+        .orderBy("user_id", "event_type", "dup_event")
+    )

@@ -953,3 +953,78 @@ def stateful_ewma(events: DataFrame) -> DataFrame:
     return src.groupBy("user_id").applyInPandasWithState(
         update, out_schema, state_schema, "update", "NoTimeout"
     )
+
+
+ROLL_DAYS = 7  # mirror of plans.extra_queries.ROLL_DAYS
+
+
+def rolling_distinct_rollup(words: DataFrame) -> DataFrame:
+    """(day, n_users_7d): trailing-ROLL_DAYS exact distinct users from
+    (day, word_id, bm) bitmap words — each word fans out to the days it
+    covers, OR-collapses per (target day, word), popcount-sums. Output
+    days restricted to days present in the input. Shared by
+    rel_rolling_distinct_bitmap (batch) and
+    run_rolling_distinct_to_files (streaming serving copy)."""
+    days = words.select("day").distinct()
+    spread = (
+        words.select(
+            F.explode(
+                F.sequence(F.col("day"), F.col("day") + (ROLL_DAYS - 1))
+            ).alias("tday"),
+            "word_id",
+            "bm",
+        )
+        .groupBy("tday", "word_id")
+        .agg(F.expr("bit_or(bm)").alias("bm7"))
+    )
+    return (
+        spread.join(days, spread.tday == days.day, "left_semi")
+        .groupBy("tday")
+        .agg(
+            F.sum(F.expr("bit_count(bm7)"))
+            .cast("long")
+            .alias(f"n_users_{ROLL_DAYS}d")
+        )
+        .select(
+            F.col("tday").cast("long").alias("day"),
+            f"n_users_{ROLL_DAYS}d",
+        )
+        .orderBy("day")
+    )
+
+
+def run_rolling_distinct_to_files(
+    events_stream: DataFrame, path: str, checkpoint: str
+):
+    """Streaming rolling-WAU dashboard via foreachBatch bitmap merge:
+    maintain the per-day bitmap-word state exactly as
+    run_bitmap_distinct_to_files does (idempotent OR into versioned
+    crash-safe state), but publish the trailing-window rollup — the
+    rel_rolling_distinct_bitmap contract served incrementally. The
+    rollup recomputes from sketch state (|days| x active-words rows),
+    never from events, so per-batch publish cost is sketch-sized and a
+    full replay equals the batch query exactly (OR idempotence)."""
+    state_dir = path + "_state"
+
+    def _merge(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        batch = bitmap_words(batch_df).localCheckpoint(eager=True)
+        state = read_state(spark, state_dir, batch_id)
+        if state is None:  # true first batch
+            merged = batch
+        else:
+            merged = (
+                state.unionByName(batch)
+                .groupBy("day", "word_id")
+                .agg(F.expr("bit_or(bm)").alias("bm"))
+            )
+        merged = merged.localCheckpoint(eager=True)
+        write_state(merged, state_dir, batch_id)
+        rolling_distinct_rollup(merged).write.mode("overwrite").parquet(path)
+
+    return (
+        events_stream.writeStream.outputMode("append")
+        .foreachBatch(_merge)
+        .option("checkpointLocation", checkpoint)
+        .start()
+    )

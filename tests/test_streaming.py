@@ -589,3 +589,33 @@ def test_versioned_state_survives_partial_write(spark, tmp_path):
 
     # a version NEWER than the replaying batch id is never served
     assert J.read_state(spark, state_dir, 0) is None
+
+
+def test_rolling_distinct_stream_equals_batch(spark, tmp_path):
+    """The streaming rolling-WAU maintainer must serve exactly the
+    batch rel_rolling_distinct_bitmap rollup after a full replay, for
+    any micro-batch split (bitmap OR is associative, commutative, and
+    idempotent; the rollup recomputes from sketch state)."""
+    src = str(tmp_path / "rd_src")
+    _batch_events(spark).repartition(3, "event_id").write.parquet(src)
+    stream = (
+        spark.readStream.schema(_batch_events(spark).schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    out = str(tmp_path / "rd_serving")
+    q = J.run_rolling_distinct_to_files(
+        stream, out, str(tmp_path / "rd_ckpt")
+    )
+    _drain(q)
+    got = {
+        r.day: r[f"n_users_{J.ROLL_DAYS}d"]
+        for r in spark.read.parquet(out).collect()
+    }
+    want = {
+        r.day: r[f"n_users_{J.ROLL_DAYS}d"]
+        for r in J.rolling_distinct_rollup(
+            J.bitmap_words(_batch_events(spark))
+        ).collect()
+    }
+    assert got == want and len(got) > 0
