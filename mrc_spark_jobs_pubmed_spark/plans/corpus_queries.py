@@ -2085,3 +2085,83 @@ def corpus_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("min_nll_u6")
     )
+
+
+# --- weighted sampling without replacement (Efraimidis–Spirakis) --------------
+
+AES_K = 100  # sample size
+
+
+def _register_aes_sample() -> None:
+    from mrc_spark_jobs_pubmed_spark.operators.dedup import _hex2long
+
+    h2l = _hex2long("md5(CAST(doc_id AS VARCHAR))", 1)
+
+    @register(
+        "corpus_aes_weighted_sample",
+        oracle=f"""
+WITH keyed AS (
+  SELECT doc_id, source, CAST(n_chars AS BIGINT) AS n_chars,
+         ln(({h2l} + 0.5) / 4294967296.0) / n_chars AS k
+  FROM documents WHERE n_chars > 0
+)
+SELECT CAST(row_number() OVER (ORDER BY k DESC, doc_id) AS BIGINT) AS rank,
+       doc_id, source, n_chars,
+       CAST(round(k * 1000000000) AS BIGINT) AS key_n9
+FROM keyed
+ORDER BY k DESC, doc_id
+LIMIT {AES_K}
+""",
+        doc="Weighted sampling WITHOUT replacement (Efraimidis–Spirakis "
+        f"A-ES): top-{AES_K} docs by key ln(u)/w with w = n_chars and "
+        "u a (0,1) uniform derived from md5(doc_id) — equivalent to "
+        "ranking u^(1/w), so inclusion probability tracks size "
+        "exactly like true weighted draw-without-replacement. Zero "
+        "RNG state: the hash-uniform makes the sample a pure function "
+        "of the data, reproducible on any engine or partitioning "
+        "(both engines evaluate ln on the bit-identical double and "
+        "divide by the same integer, so the sort keys are "
+        "bit-identical; doc_id breaks impossible-in-practice ties). "
+        "Complements corpus_pps_sample (systematic, needs a global "
+        "cumsum window): A-ES is embarrassingly parallel — per-row "
+        "key + ONE TakeOrdered top-k, no window, no total — the shape "
+        "that wins when the corpus is unsorted and 100 TB wide. "
+        "key_n9 is a display of the 1e-9-scaled key (round of "
+        "identical doubles).",
+    )
+    def corpus_aes_weighted_sample(
+        spark: SparkSession, sf_dir: str
+    ) -> DataFrame:
+        from pyspark.sql import Window
+
+        docs = load_table(spark, "documents", sf_dir)
+        keyed = docs.where(F.col("n_chars") > 0).select(
+            "doc_id",
+            "source",
+            F.col("n_chars").cast("long").alias("n_chars"),
+            (
+                F.log(
+                    (
+                        F.expr(h2l.replace("VARCHAR", "STRING"))
+                        + F.lit(0.5)
+                    )
+                    / F.lit(4294967296.0)
+                )
+                / F.col("n_chars")
+            ).alias("k"),
+        )
+        # TakeOrderedAndProject cuts to AES_K rows FIRST (no global
+        # sort, no single-partition window over the corpus); the rank
+        # window then runs on the 100-row result.
+        top = keyed.orderBy(F.desc("k"), F.asc("doc_id")).limit(AES_K)
+        w = Window.orderBy(F.desc("k"), F.asc("doc_id"))
+        return top.select(
+            F.row_number().over(w).cast("long").alias("rank"),
+            "doc_id",
+            "source",
+            "n_chars",
+            F.round(F.col("k") * 1e9).cast("long").alias("key_n9"),
+        ).orderBy("rank")
+
+
+_register_aes_sample()

@@ -3024,3 +3024,226 @@ def rel_skyline_dominance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("p_partkey", "price_c2", "p_size")
         .orderBy("price_c2", "p_size", "p_partkey")
     )
+
+
+# --- bitmap segment-overlap matrix --------------------------------------------
+
+
+@register(
+    "rel_bitmap_segment_overlap",
+    oracle="""
+WITH ut AS (SELECT DISTINCT event_type, user_id FROM events),
+tc AS (SELECT event_type, count(*) AS n FROM ut GROUP BY 1),
+ix AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b,
+         count(*) AS n_both
+  FROM ut a JOIN ut b
+    ON a.user_id = b.user_id AND a.event_type < b.event_type
+  GROUP BY 1, 2
+)
+SELECT type_a, type_b,
+       CAST(n_both AS BIGINT) AS n_both,
+       CAST(ca.n AS BIGINT) AS n_a,
+       CAST(cb.n AS BIGINT) AS n_b,
+       CAST(n_both * 1000000 // (ca.n + cb.n - n_both) AS BIGINT)
+         AS jaccard_u6
+FROM ix
+JOIN tc ca ON ca.event_type = ix.type_a
+JOIN tc cb ON cb.event_type = ix.type_b
+ORDER BY type_a, type_b
+""",
+    doc="Audience/segment overlap matrix via BITMAP INTERSECTION: for "
+    "every pair of event types, the exact count of users in BOTH "
+    "segments plus the Jaccard similarity (exact 1e-6 integer units) — "
+    "the ad-tech/audience-builder primitive ('how much does segment A "
+    "overlap segment B'). The companion to rel_bitmap_distinct's OR-"
+    "rollup: users bucket into 64-bit words (word = id div 64), each "
+    "(type, word) OR-accumulates a bitmap, and the intersection is "
+    "sum(bit_count(bm_a AND bm_b)) over an EQUI-join on word_id — the "
+    "segments never materialize as id lists and never re-scan events. "
+    "The oracle computes the same matrix definitionally (distinct "
+    "user-type pairs self-joined). Zero-overlap pairs are absent from "
+    "both outputs by contract (inner semantics). Scale shape: one "
+    "partial-aggregating shuffle on (type, word) — 8 bytes per 64 "
+    "users — then a word-aligned equi-join whose fan-out is "
+    "|type-pairs| x |words|, linear in the user-id range with a tiny "
+    "type-pair constant; per-type totals broadcast back. At 100 TB "
+    "this is how audience-overlap dashboards stay interactive: the "
+    "word-bitmap table is the re-aggregable sketch, built once, "
+    "AND/OR-composable for any segment algebra.",
+)
+def rel_bitmap_segment_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    words = (
+        ev.select(
+            "event_type",
+            F.expr("user_id div 64").alias("word_id"),
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(user_id % 64 AS INT))").alias(
+                "bit"
+            ),
+        )
+        .groupBy("event_type", "word_id")
+        .agg(F.expr("bit_or(bit)").alias("bm"))
+    )
+    a = words.alias("a")
+    b = words.alias("b")
+    inter = (
+        a.join(
+            b,
+            on=[
+                F.col("a.word_id") == F.col("b.word_id"),
+                F.col("a.event_type") < F.col("b.event_type"),
+            ],
+        )
+        .select(
+            F.col("a.event_type").alias("type_a"),
+            F.col("b.event_type").alias("type_b"),
+            F.expr("bit_count(a.bm & b.bm)").alias("n_word"),
+        )
+        .groupBy("type_a", "type_b")
+        .agg(F.sum("n_word").cast("long").alias("n_both"))
+        .where(F.col("n_both") > 0)
+    )
+    totals = words.groupBy("event_type").agg(
+        F.sum(F.expr("bit_count(bm)")).cast("long").alias("n")
+    )
+    return (
+        inter.join(
+            F.broadcast(totals.withColumnRenamed("event_type", "type_a")).withColumnRenamed(
+                "n", "n_a"
+            ),
+            "type_a",
+        )
+        .join(
+            F.broadcast(
+                totals.withColumnRenamed("event_type", "type_b")
+            ).withColumnRenamed("n", "n_b"),
+            "type_b",
+        )
+        .select(
+            "type_a",
+            "type_b",
+            "n_both",
+            "n_a",
+            "n_b",
+            F.expr(
+                "CAST((n_both * 1000000) div (n_a + n_b - n_both) AS BIGINT)"
+            ).alias("jaccard_u6"),
+        )
+        .orderBy("type_a", "type_b")
+    )
+
+
+# --- zone-map pruning audit ----------------------------------------------------
+
+ZM_KEY_CHUNK = 4096  # ~rows per key-range chunk (orderkey div)
+ZM_DAY_LO = 9282  # 1995-06-01 as epoch days
+ZM_DAY_HI = 9374  # 1995-09-01 (exclusive)
+
+
+@register(
+    "rel_zone_map_pruning",
+    oracle=f"""
+WITH rows_ AS (
+  SELECT l_orderkey // {ZM_KEY_CHUNK} AS key_chunk,
+         epoch_us(l_shipdate) // 86400000000 AS ship_day
+  FROM lineitem
+),
+layouts AS (
+  SELECT 'keyrange' AS layout, key_chunk AS chunk, ship_day FROM rows_
+  UNION ALL
+  SELECT 'datepart' AS layout, ship_day // 7 AS chunk, ship_day FROM rows_
+),
+zones AS (
+  SELECT layout, chunk,
+         count(*) AS n_rows,
+         min(ship_day) AS d_min,
+         max(ship_day) AS d_max,
+         count(*) FILTER (
+           ship_day >= {ZM_DAY_LO} AND ship_day < {ZM_DAY_HI}
+         ) AS n_match
+  FROM layouts GROUP BY 1, 2
+)
+SELECT layout,
+       CAST(count(*) AS BIGINT) AS n_chunks,
+       CAST(count(*) FILTER (
+         d_max >= {ZM_DAY_LO} AND d_min < {ZM_DAY_HI}
+       ) AS BIGINT) AS n_chunks_scanned,
+       CAST(sum(n_rows) AS BIGINT) AS rows_total,
+       CAST(sum(n_rows) FILTER (
+         d_max >= {ZM_DAY_LO} AND d_min < {ZM_DAY_HI}
+       ) AS BIGINT) AS rows_scanned,
+       CAST(sum(n_match) AS BIGINT) AS rows_matching,
+       CAST(sum(n_rows) FILTER (
+         d_max >= {ZM_DAY_LO} AND d_min < {ZM_DAY_HI}
+       ) * 1000000 // sum(n_rows) AS BIGINT) AS scan_pct_u6
+FROM zones
+GROUP BY layout
+ORDER BY layout
+""",
+    doc="Zone-map (min/max statistics) pruning audit: simulates file-"
+    "level data skipping for a 3-month ship-date predicate under two "
+    "physical layouts — 'keyrange' (files chunked by orderkey, the "
+    "insertion-order proxy: dates are scattered, so min/max spans are "
+    "wide and almost nothing prunes) vs 'datepart' (files clustered "
+    "by week: the predicate prunes all but the matching weeks). "
+    "Reports, per layout, chunks and rows that a zone-map-aware scan "
+    "must read vs the rows actually matching — the measured "
+    "why-layout-matters number that justifies rel_zorder_layout's "
+    "clustering at 100 TB, where scan_pct IS the query bill. All "
+    "integer arithmetic (epoch days, exact 1e-6 scan share). Scale "
+    "shape: one pass computes both chunk keys, a union fans rows to "
+    "the two layout labels (bounded 2x), one (layout, chunk) hash-agg "
+    "with map-side partials builds the zone maps, then a 2-row "
+    "rollup; nothing sorts and nothing is quadratic. (Chunks here are "
+    "key-ranges, not exact equal-size row groups — the honest "
+    "approximation that keeps the audit window-free and "
+    "embarrassingly parallel.)",
+)
+def rel_zone_map_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, "lineitem", sf_dir)
+    rows = li.select(
+        F.expr(f"l_orderkey div {ZM_KEY_CHUNK}").alias("key_chunk"),
+        F.expr("unix_micros(l_shipdate) div 86400000000").alias("ship_day"),
+    )
+    layouts = rows.select(
+        F.lit("keyrange").alias("layout"),
+        F.col("key_chunk").alias("chunk"),
+        "ship_day",
+    ).unionAll(
+        rows.select(
+            F.lit("datepart").alias("layout"),
+            F.expr("ship_day div 7").alias("chunk"),
+            "ship_day",
+        )
+    )
+    in_pred = (F.col("ship_day") >= ZM_DAY_LO) & (
+        F.col("ship_day") < ZM_DAY_HI
+    )
+    zones = layouts.groupBy("layout", "chunk").agg(
+        F.count("*").alias("n_rows"),
+        F.min("ship_day").alias("d_min"),
+        F.max("ship_day").alias("d_max"),
+        F.sum(F.when(in_pred, 1).otherwise(0)).alias("n_match"),
+    )
+    scanned = (F.col("d_max") >= ZM_DAY_LO) & (F.col("d_min") < ZM_DAY_HI)
+    return (
+        zones.groupBy("layout")
+        .agg(
+            F.count("*").alias("n_chunks"),
+            F.sum(F.when(scanned, 1).otherwise(0))
+            .cast("long")
+            .alias("n_chunks_scanned"),
+            F.sum("n_rows").cast("long").alias("rows_total"),
+            F.sum(F.when(scanned, F.col("n_rows")).otherwise(0))
+            .cast("long")
+            .alias("rows_scanned"),
+            F.sum("n_match").cast("long").alias("rows_matching"),
+            F.expr(
+                f"CAST(sum(CASE WHEN d_max >= {ZM_DAY_LO} AND "
+                f"d_min < {ZM_DAY_HI} THEN n_rows ELSE 0 END) "
+                "* 1000000 div sum(n_rows) AS BIGINT)"
+            ).alias("scan_pct_u6"),
+        )
+        .orderBy("layout")
+    )

@@ -1788,7 +1788,9 @@ ORDER BY user_id, event_type, dup_event
     "machinery (stream_cdc_apply) consumes the exclusion list as "
     "delete ops.",
 )
-def rel_double_fire_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+def rel_double_fire_events(
+    spark: SparkSession, sf_dir: str, gap_s: int = DOUBLE_FIRE_S
+) -> DataFrame:
     ev = load_table(spark, "events", sf_dir)
     base = ev.select(
         "user_id",
@@ -1813,7 +1815,7 @@ def rel_double_fire_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         seq.where(
             F.col("prev_us").isNotNull()
-            & (F.col("t_us") - F.col("prev_us") <= DOUBLE_FIRE_S * 1_000_000)
+            & (F.col("t_us") - F.col("prev_us") <= gap_s * 1_000_000)
         )
         .select(
             "user_id",
@@ -1830,3 +1832,273 @@ def rel_double_fire_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "event_type", "dup_event")
     )
+
+
+# --- interval overlap join (binned, non-quadratic) ---------------------------
+
+OVL_VIEW_S = 43200  # each view opens a 12 h attention interval
+OVL_CLICK_S = 14400  # each click opens a 4 h action interval
+OVL_CHUNK_US = OVL_VIEW_S * 1_000_000  # bin width >= max duration => fanout <= 2
+OVL_TOPK = 100
+
+
+@register(
+    "rel_interval_overlap_join",
+    oracle=f"""
+WITH v AS (
+  SELECT user_id, event_id,
+         epoch_us(ts) AS s,
+         epoch_us(ts) + CAST({OVL_VIEW_S} AS BIGINT) * 1000000 AS e
+  FROM events WHERE event_type = 'view'
+),
+c AS (
+  SELECT user_id, event_id,
+         epoch_us(ts) AS s,
+         epoch_us(ts) + CAST({OVL_CLICK_S} AS BIGINT) * 1000000 AS e
+  FROM events WHERE event_type = 'click'
+),
+pairs AS (
+  SELECT v.user_id,
+         (least(v.e, c.e) - greatest(v.s, c.s)) // 1000 AS ovl_ms
+  FROM v JOIN c ON v.user_id = c.user_id
+  WHERE v.s < c.e AND c.s < v.e
+)
+SELECT user_id,
+       CAST(count(*) AS BIGINT) AS n_pairs,
+       CAST(sum(ovl_ms) AS BIGINT) AS overlap_ms,
+       CAST(max(ovl_ms) AS BIGINT) AS max_overlap_ms
+FROM pairs
+GROUP BY user_id
+ORDER BY n_pairs DESC, overlap_ms DESC, user_id
+LIMIT {OVL_TOPK}
+""",
+    doc="Interval OVERLAP join (the temporal-join primitive behind "
+    "ad-attribution, on-call/incident overlap, and session-vs-campaign "
+    "analysis): every view opens a 12 h interval, every click a 4 h "
+    "interval, and the join finds all (view, click) interval pairs per "
+    "user that truly overlap, reporting pair count and exact overlap "
+    "milliseconds per user. The ORACLE is the definitional quadratic "
+    "per-user theta-join; the Spark plan is the BINNED rewrite that "
+    "survives 100 TB: time is cut into chunks of width >= the longer "
+    "duration, each interval fans out to the <= 2 chunks it touches "
+    "(bounded explode, linear), the join runs as an EQUI-join on "
+    "(user_id, chunk) — hash-partitionable, no range-join blowup — "
+    "and each overlapping pair is counted EXACTLY once by the "
+    "chunk-of-overlap-start rule (the chunk containing "
+    "greatest(a.s, b.s) claims the pair), so no post-join dedup "
+    "and no double counting across chunks. All arithmetic is integer "
+    "microseconds. Scale shape: one bounded fan-out projection per "
+    "side, one equi-join shuffle on a uniform composite key, one "
+    "user-keyed agg with map-side partials, TakeOrdered top-"
+    f"{OVL_TOPK}.",
+)
+def rel_interval_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+
+    def intervals(etype: str, dur_s: int) -> DataFrame:
+        base = ev.where(F.col("event_type") == etype).select(
+            "user_id",
+            F.unix_micros("ts").alias("s"),
+            (F.unix_micros("ts") + F.lit(dur_s * 1_000_000).cast("long")).alias(
+                "e"
+            ),
+        )
+        # fan out to every chunk the interval touches: floor(s/W) ..
+        # floor((e-1)/W); W >= duration bounds the explode at 2 rows
+        return base.select(
+            "user_id",
+            "s",
+            "e",
+            F.explode(
+                F.sequence(
+                    F.expr(f"s div {OVL_CHUNK_US}"),
+                    F.expr(f"(e - 1) div {OVL_CHUNK_US}"),
+                )
+            ).alias("chunk"),
+        )
+
+    v = intervals("view", OVL_VIEW_S)
+    c = intervals("click", OVL_CLICK_S)
+    pairs = (
+        v.alias("v")
+        .join(
+            c.alias("c"),
+            on=[
+                F.col("v.user_id") == F.col("c.user_id"),
+                F.col("v.chunk") == F.col("c.chunk"),
+                F.col("v.s") < F.col("c.e"),
+                F.col("c.s") < F.col("v.e"),
+                # count the pair only in the chunk where the overlap
+                # starts — exactly-once across chunks, no dedup pass
+                F.expr(
+                    f"greatest(v.s, c.s) div {OVL_CHUNK_US}"
+                )
+                == F.col("v.chunk"),
+            ],
+        )
+        .select(
+            F.col("v.user_id").alias("user_id"),
+            F.expr(
+                "CAST((least(v.e, c.e) - greatest(v.s, c.s)) div 1000"
+                " AS BIGINT)"
+            ).alias("ovl_ms"),
+        )
+    )
+    return (
+        pairs.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_pairs"),
+            F.sum("ovl_ms").cast("long").alias("overlap_ms"),
+            F.max("ovl_ms").cast("long").alias("max_overlap_ms"),
+        )
+        .orderBy(F.desc("n_pairs"), F.desc("overlap_ms"), F.asc("user_id"))
+        .limit(OVL_TOPK)
+    )
+
+
+# --- sliding-window rate-limit audit ------------------------------------------
+
+RATE_WINDOW_S = 43200  # 12 h sliding window
+RATE_LIMIT_K = 2  # allow K events per window per user
+
+
+@register(
+    "rel_rate_limit_audit",
+    oracle=f"""
+WITH seq AS (
+  SELECT event_type, user_id,
+         count(*) OVER (
+           PARTITION BY user_id ORDER BY epoch_us(ts)
+           RANGE BETWEEN {RATE_WINDOW_S * 1_000_000 - 1} PRECEDING
+                     AND CURRENT ROW
+         ) AS win_n
+  FROM events
+)
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(count(*) FILTER (win_n > {RATE_LIMIT_K}) AS BIGINT)
+         AS n_throttled,
+       CAST(count(DISTINCT user_id) FILTER (win_n > {RATE_LIMIT_K})
+         AS BIGINT) AS n_users_throttled,
+       CAST(max(win_n) AS BIGINT) AS peak_window_count
+FROM seq
+GROUP BY event_type
+ORDER BY event_type
+""",
+    doc="Sliding-window rate-limit audit (the API-gateway / abuse-"
+    f"control policy: at most {RATE_LIMIT_K} events per user per "
+    f"trailing {RATE_WINDOW_S // 3600} h): replays the whole event "
+    "log against the limiter and reports, per event type, how many "
+    "events WOULD have been rejected, how many users ever hit the "
+    "limit, and the peak observed window count — the capacity-"
+    "planning readout before enabling enforcement. Sliding-window "
+    "counting (every arrival counts, as in nginx/envoy "
+    "rate limiting) is a pure RANGE-frame window on integer "
+    "microseconds — order-independent at timestamp ties because "
+    "RANGE includes all peers, so the result is partitioning- and "
+    "engine-exact with no sequential token-bucket state needed. "
+    "Scale shape: one shuffle on user_id (the natural limiter key), "
+    "a frame whose state is bounded by the window's own limit "
+    "violations, then a tiny per-type rollup with map-side partials.",
+)
+def rel_rate_limit_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("t_us")
+        .rangeBetween(-(RATE_WINDOW_S * 1_000_000 - 1), 0)
+    )
+    seq = ev.select(
+        "event_type",
+        "user_id",
+        F.unix_micros("ts").alias("t_us"),
+    ).select(
+        "event_type",
+        "user_id",
+        F.count("*").over(w).alias("win_n"),
+    )
+    throttled = F.col("win_n") > RATE_LIMIT_K
+    return (
+        seq.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.when(throttled, 1).otherwise(0))
+            .cast("long")
+            .alias("n_throttled"),
+            F.countDistinct(
+                F.when(throttled, F.col("user_id"))
+            ).alias("n_users_throttled"),
+            F.max("win_n").cast("long").alias("peak_window_count"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# --- rolling exact median (robust smoothing) ----------------------------------
+
+MED_FRAME = 7  # trailing 7 daily points
+
+
+@register(
+    "rel_rolling_median",
+    oracle=f"""
+WITH daily AS (
+  SELECT event_type,
+         epoch_us(ts) // {DAY_US} AS day,
+         CAST(sum(CAST(round(value * 10000) AS BIGINT)) AS BIGINT)
+           AS rev_u4
+  FROM events
+  GROUP BY 1, 2
+)
+SELECT event_type,
+       CAST(day AS BIGINT) AS day,
+       rev_u4,
+       CAST(count(*) OVER w AS BIGINT) AS n_frame,
+       CAST(round(quantile_cont(rev_u4, 0.5) OVER w * 2) AS BIGINT)
+         AS med2x_u4
+FROM daily
+WINDOW w AS (
+  PARTITION BY event_type ORDER BY day
+  ROWS BETWEEN {MED_FRAME - 1} PRECEDING AND CURRENT ROW
+)
+ORDER BY event_type, day
+""",
+    doc=f"Rolling EXACT median over the trailing {MED_FRAME} daily "
+    "revenue points per event type — the robust smoother dashboards "
+    "use where one outlier day would drag an EWMA or moving average "
+    "(rel_ewma_smoothing's L2 twin). Exactness across engines: daily "
+    "revenue is an exact 1e-4 integer; the interpolated median of "
+    "integers is either an integer or an exact .5 — both binary-"
+    "representable — so DOUBLING it (med2x_u4) returns to exact "
+    "BIGINT with no float round-trip (Spark percentile == DuckDB "
+    "quantile_cont on the integer grid). Scale shape: the corpus-"
+    "sized pass is one (type, day) hash-agg with map-side partials; "
+    "the ROWS-frame median then runs on the tiny rollup domain — "
+    "|types| x |days| — so the O(frame log frame) per-row cost never "
+    "touches raw events.",
+)
+def rel_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    daily = (
+        ev.select(
+            "event_type",
+            F.expr(f"unix_micros(ts) div {DAY_US}").alias("day"),
+            F.expr("CAST(round(value * 10000) AS BIGINT)").alias("v_u4"),
+        )
+        .groupBy("event_type", "day")
+        .agg(F.sum("v_u4").cast("long").alias("rev_u4"))
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(-(MED_FRAME - 1), 0)
+    )
+    return daily.select(
+        "event_type",
+        "day",
+        "rev_u4",
+        F.count("*").over(w).cast("long").alias("n_frame"),
+        F.round(F.expr("percentile(rev_u4, 0.5)").over(w) * 2)
+        .cast("long")
+        .alias("med2x_u4"),
+    ).orderBy("event_type", "day")

@@ -1028,3 +1028,110 @@ def run_rolling_distinct_to_files(
         .option("checkpointLocation", checkpoint)
         .start()
     )
+
+
+# --- streaming double-fire detection (arbitrary state) ------------------------
+
+DOUBLE_FIRE_S = 300  # mirror of plans.timeseries_queries.DOUBLE_FIRE_S
+_DF_GAP_US = DOUBLE_FIRE_S * 1_000_000
+
+
+def stateful_double_fire(
+    events: DataFrame, gap_s: int = DOUBLE_FIRE_S
+) -> DataFrame:
+    """Streaming twin of rel_double_fire_events: rapid-repeat detection
+    per (user, type) as an arbitrary-state operator
+    (applyInPandasWithState).
+
+    State is THREE longs per key — the last event's (t_us, event_id,
+    v_u4). Each micro-batch folds its events in (t_us, event_id) order
+    against that carry and emits a row for every consecutive pair
+    within the window; the new last event goes back to state. Same
+    time-ordered replay contract as stateful_heartbeat_gaps: events at
+    or before the carried timestamp are dropped (emitted pairs are
+    final; update mode cannot retract), so a full in-order replay
+    equals the batch query exactly. State is key-domain bounded
+    (24 bytes per ever-seen (user, type))."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    gap_us = gap_s * 1_000_000
+    out_schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("first_event", T.LongType()),
+            T.StructField("dup_event", T.LongType()),
+            T.StructField("gap_ms", T.LongType()),
+            T.StructField("same_value", T.LongType()),
+        ]
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("last_us", T.LongType()),
+            T.StructField("last_event", T.LongType()),
+            T.StructField("last_v4", T.LongType()),
+        ]
+    )
+
+    def update(key, pdfs, state):
+        uid, etype = key
+        rows = pd.concat(list(pdfs), ignore_index=True)
+        if not len(rows):
+            return
+        evs = sorted(
+            (
+                int(t) // 1000,
+                int(e),
+                int(v),
+            )
+            for t, e, v in zip(
+                rows["ts"].astype("int64"),
+                rows["event_id"],
+                (rows["value"] * 10000).round().astype("int64"),
+            )
+        )
+        if state.exists:
+            last_us, last_event, last_v4 = (
+                int(state.get[0]),
+                int(state.get[1]),
+                int(state.get[2]),
+            )
+            evs = [e for e in evs if e[0] > last_us]
+            if not evs:
+                return
+            prev = (last_us, last_event, last_v4)
+        else:
+            prev = None
+        out = []
+        for t_us, eid, v4 in evs:
+            if prev is not None and t_us - prev[0] <= gap_us:
+                out.append(
+                    (
+                        uid,
+                        etype,
+                        prev[1],
+                        eid,
+                        (t_us - prev[0]) // 1000,
+                        1 if v4 == prev[2] else 0,
+                    )
+                )
+            prev = (t_us, eid, v4)
+        state.update((prev[0], prev[1], prev[2]))
+        if out:
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "user_id",
+                    "event_type",
+                    "first_event",
+                    "dup_event",
+                    "gap_ms",
+                    "same_value",
+                ],
+            )
+
+    src = events.withWatermark("ts", WATERMARK)
+    return src.groupBy("user_id", "event_type").applyInPandasWithState(
+        update, out_schema, state_schema, "update", "NoTimeout"
+    )

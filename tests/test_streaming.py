@@ -619,3 +619,54 @@ def test_rolling_distinct_stream_equals_batch(spark, tmp_path):
         ).collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_double_fire_stream_equals_batch(spark, tmp_path):
+    """Streaming double-fire detection (applyInPandasWithState, three
+    longs per (user, type)) must emit exactly the pairs the batch
+    query (rel_double_fire_events, oracle-checked) reports under a
+    time-ordered micro-batch replay."""
+    import os
+    import time
+
+    from mrc_spark_jobs_pubmed_spark.plans.timeseries_queries import (
+        rel_double_fire_events,
+    )
+
+    src = str(tmp_path / "df_src")
+    os.makedirs(src)
+    ev = _batch_events(spark)
+    lo, hi = ev.agg(F.min("ts"), F.max("ts")).collect()[0]
+    cuts = [lo, lo + (hi - lo) / 3, lo + 2 * (hi - lo) / 3, hi]
+    for i in range(3):
+        cond = (F.col("ts") >= F.lit(cuts[i])) & (
+            F.col("ts") <= F.lit(cuts[i + 1])
+            if i == 2
+            else F.col("ts") < F.lit(cuts[i + 1])
+        )
+        ev.where(cond).coalesce(1).write.parquet(f"{src}/t{i}")
+        time.sleep(1.1)
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("recursiveFileLookup", "true")
+        .parquet(src)
+    )
+    q = (
+        J.stateful_double_fire(stream, gap_s=3600)
+        .writeStream.format("memory")
+        .queryName("t_df")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "df_ckpt"))
+        .start()
+    )
+    _drain(q)
+    got = {
+        (r.user_id, r.event_type, r.first_event, r.dup_event, r.gap_ms, r.same_value)
+        for r in spark.sql("SELECT * FROM t_df").collect()
+    }
+    want = {
+        (r.user_id, r.event_type, r.first_event, r.dup_event, r.gap_ms, r.same_value)
+        for r in rel_double_fire_events(spark, SF, gap_s=3600).collect()
+    }
+    assert got == want and len(want) > 0
