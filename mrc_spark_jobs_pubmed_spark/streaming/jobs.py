@@ -1135,3 +1135,109 @@ def stateful_double_fire(
     return src.groupBy("user_id", "event_type").applyInPandasWithState(
         update, out_schema, state_schema, "update", "NoTimeout"
     )
+
+
+# --- streaming sliding-window rate limiter (arbitrary state) -------------------
+
+RATE_WINDOW_S = 43200  # mirror of plans.timeseries_queries.RATE_WINDOW_S
+RATE_LIMIT_K = 2
+
+
+def stateful_rate_limit(
+    events: DataFrame,
+    window_s: int = RATE_WINDOW_S,
+    k: int = RATE_LIMIT_K,
+) -> DataFrame:
+    """Streaming twin of rel_rate_limit_audit: the sliding-window rate
+    limiter as an arbitrary-state operator (applyInPandasWithState),
+    emitting the per-event allow/throttle decision an enforcing
+    gateway would make.
+
+    Semantics match the batch RANGE-frame exactly: an event's window
+    count is the number of arrivals in (t - W, t] for its user, where
+    ALL arrivals at the same microsecond are peers (they share one
+    count — order within an instant never matters, so the decision is
+    partitioning- and engine-independent). State per user is the
+    arrival (timestamp, count) pairs still inside the trailing window
+    — bounded by W x the user's actual rate, which is exactly what
+    the limiter exists to keep small — stored as two parallel long
+    arrays. Same time-ordered replay contract as
+    stateful_heartbeat_gaps / stateful_double_fire: batch events at or
+    before the carried max timestamp are dropped (decisions are final;
+    update mode cannot retract), so an in-order replay equals the
+    batch window bit-for-bit."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    w_us = window_s * 1_000_000
+    out_schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("t_us", T.LongType()),
+            T.StructField("win_n", T.LongType()),
+            T.StructField("throttled", T.LongType()),
+        ]
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("arr_ts", T.ArrayType(T.LongType())),
+            T.StructField("arr_n", T.ArrayType(T.LongType())),
+        ]
+    )
+
+    def update(key, pdfs, state):
+        (uid,) = key
+        rows = pd.concat(list(pdfs), ignore_index=True)
+        if not len(rows):
+            return
+        evs = sorted(
+            (int(t) // 1000, int(e), str(ty))
+            for t, e, ty in zip(
+                rows["ts"].astype("int64"), rows["event_id"], rows["event_type"]
+            )
+        )
+        if state.exists:
+            arr = list(zip(state.get[0], state.get[1]))
+            last_us = arr[-1][0]
+            evs = [e for e in evs if e[0] > last_us]
+            if not evs:
+                return
+        else:
+            arr = []
+        out = []
+        i = 0
+        while i < len(evs):
+            t = evs[i][0]
+            j = i
+            while j < len(evs) and evs[j][0] == t:
+                j += 1
+            # all arrivals at instant t are peers: count them together
+            arr.append((t, j - i))
+            arr = [(ts, n) for ts, n in arr if ts > t - w_us]
+            win_n = sum(n for _, n in arr)
+            for t_us, eid, ty in evs[i:j]:
+                out.append(
+                    (uid, eid, ty, t_us, win_n, 1 if win_n > k else 0)
+                )
+            i = j
+        state.update(
+            ([ts for ts, _ in arr], [n for _, n in arr])
+        )
+        yield pd.DataFrame(
+            out,
+            columns=[
+                "user_id",
+                "event_id",
+                "event_type",
+                "t_us",
+                "win_n",
+                "throttled",
+            ],
+        )
+
+    src = events.withWatermark("ts", WATERMARK)
+    return src.groupBy("user_id").applyInPandasWithState(
+        update, out_schema, state_schema, "update", "NoTimeout"
+    )
