@@ -1385,3 +1385,75 @@ def graph_random_walk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_walks"), "end_node")
         .limit(WALK_TOP)
     )
+
+
+# --- native recursive CTE (Spark 4.x WITH RECURSIVE) --------------------------
+
+
+@register(
+    "graph_recursive_bom",
+    oracle="""
+WITH RECURSIVE edges AS (
+  SELECT p_partkey AS node, p_partkey // 4 AS anc, p_partkey % 3 + 1 AS q
+  FROM part WHERE p_partkey >= 4
+),
+closure AS (
+  SELECT node, anc, q, 1 AS depth FROM edges
+  UNION ALL
+  SELECT c.node, e.anc, c.q * e.q AS q, c.depth + 1 AS depth
+  FROM closure c JOIN edges e ON e.node = c.anc
+)
+SELECT CAST(depth AS BIGINT) AS depth,
+       CAST(count(*) AS BIGINT) AS n_paths,
+       CAST(count(DISTINCT node) AS BIGINT) AS n_nodes,
+       CAST(sum(q) AS BIGINT) AS total_units,
+       CAST(max(q) AS BIGINT) AS max_units
+FROM closure
+GROUP BY depth
+ORDER BY depth
+""",
+    doc="Native recursive CTE (WITH RECURSIVE — new engine surface in "
+    "Spark 4.x): ancestor-closure over the same part-containment tree "
+    "as graph_bom_explosion, traversed by the ENGINE's recursion "
+    "operator instead of the hand-unrolled doubling loop, with "
+    "per-edge quantities multiplying along each path. Both engines "
+    "run the recursion natively (DuckDB WITH RECURSIVE is the "
+    "oracle), so this row certifies the iterative-query execution "
+    "path itself: anchor + self-join step, fixpoint at the tree "
+    "roots, UNION ALL multiplicity (exactly one path per (node, "
+    "ancestor) on a tree — no dedup needed and counts stay exact "
+    "integers, products bounded by 3^depth ~ 4.3e7 at depth 16). "
+    "Depth-profile rollup keeps the output bounded. Scale notes: "
+    "recursion depth is log4(keyspace) (~16 at 100 TB key ranges); "
+    "each round is one equi-join of the frontier against the edge "
+    "projection — the same shuffle shape as the doubling loop's "
+    "rounds but linear in depth rather than log, which is why "
+    "graph_bom_explosion's doubling rewrite remains the scale path "
+    "for DEEP hierarchies while this native form wins on operator "
+    "simplicity and engine-side planning (no driver-side loop, no "
+    "localCheckpoint lineage management).",
+)
+def graph_recursive_bom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.sql(
+        f"""
+WITH RECURSIVE edges AS (
+  SELECT p_partkey AS node, p_partkey div 4 AS anc,
+         CAST(p_partkey % 3 + 1 AS BIGINT) AS q
+  FROM parquet.`{sf_dir}/part.parquet` WHERE p_partkey >= 4
+),
+closure AS (
+  SELECT node, anc, q, 1 AS depth FROM edges
+  UNION ALL
+  SELECT c.node, e.anc, c.q * e.q AS q, c.depth + 1 AS depth
+  FROM closure c JOIN edges e ON e.node = c.anc
+)
+SELECT CAST(depth AS BIGINT) AS depth,
+       CAST(count(*) AS BIGINT) AS n_paths,
+       CAST(count(DISTINCT node) AS BIGINT) AS n_nodes,
+       CAST(sum(q) AS BIGINT) AS total_units,
+       CAST(max(q) AS BIGINT) AS max_units
+FROM closure
+GROUP BY depth
+ORDER BY depth
+"""
+    )

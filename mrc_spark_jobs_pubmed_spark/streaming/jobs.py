@@ -1241,3 +1241,94 @@ def stateful_rate_limit(
     return src.groupBy("user_id").applyInPandasWithState(
         update, out_schema, state_schema, "update", "NoTimeout"
     )
+
+
+# --- streaming burst detection (arbitrary state) -------------------------------
+
+BURST_MULT = 3  # mirrors plans.timeseries_queries.BURST_MULT
+BURST_BASE_H = 24
+_HOUR_US = 3_600_000_000
+
+
+def stateful_burst_detection(
+    events: DataFrame,
+    mult: int = BURST_MULT,
+    base_h: int = BURST_BASE_H,
+) -> DataFrame:
+    """Streaming twin of rel_burst_detection: per event type, flag an
+    hour whose count exceeds `mult`x the trailing-`base_h`-hour average
+    (integer comparison n*base_h > mult*base, silent hours count zero).
+
+    An hour's decision is FINAL only once the hour is CLOSED — a
+    strictly later event for the type has arrived — because until then
+    more events could still raise its count; the currently-open hour
+    stays in state. State per type is the trailing (hour, count) pairs
+    inside the baseline window plus the open hour: at most base_h + 1
+    pairs, trimmed on every fold. Same time-ordered replay contract as
+    the other stateful twins (events at or before the carried max
+    timestamp are dropped; update mode cannot retract), so an in-order
+    replay — with every hour eventually closed by a later event —
+    reproduces the batch query's burst rows exactly."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    out_schema = T.StructType(
+        [
+            T.StructField("event_type", T.StringType()),
+            T.StructField("hour", T.LongType()),
+            T.StructField("n", T.LongType()),
+            T.StructField("base_n", T.LongType()),
+        ]
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("hrs", T.ArrayType(T.LongType())),
+            T.StructField("cnts", T.ArrayType(T.LongType())),
+        ]
+    )
+
+    def update(key, pdfs, state):
+        (etype,) = key
+        rows = pd.concat(list(pdfs), ignore_index=True)
+        if not len(rows):
+            return
+        t_us = sorted(int(t) // 1000 for t in rows["ts"].astype("int64"))
+        if state.exists:
+            arr = list(zip(state.get[0], state.get[1]))
+            last_h = arr[-1][0]
+            # drop pre-carry events: hours before the open hour are
+            # closed and already decided (replay contract)
+            t_us = [t for t in t_us if t // _HOUR_US >= last_h]
+            if not t_us:
+                return
+        else:
+            arr = []
+        out = []
+        for h, n_new in pd.Series(
+            [t // _HOUR_US for t in t_us]
+        ).value_counts().sort_index().items():
+            h, n_new = int(h), int(n_new)
+            if arr and arr[-1][0] == h:
+                arr[-1] = (h, arr[-1][1] + n_new)
+                continue
+            # a strictly later hour arrived: every earlier hour in
+            # state is now closed — decide the newest closed one
+            if arr:
+                ch, cn = arr[-1]
+                base = sum(
+                    n for hh, n in arr[:-1] if ch - base_h <= hh <= ch - 1
+                )
+                if base > 0 and cn * base_h > mult * base:
+                    out.append((etype, ch, cn, base))
+            arr.append((h, n_new))
+            arr = [(hh, n) for hh, n in arr if hh >= h - base_h]
+        state.update(([h for h, _ in arr], [n for _, n in arr]))
+        if out:
+            yield pd.DataFrame(
+                out, columns=["event_type", "hour", "n", "base_n"]
+            )
+
+    src = events.withWatermark("ts", WATERMARK)
+    return src.groupBy("event_type").applyInPandasWithState(
+        update, out_schema, state_schema, "update", "NoTimeout"
+    )

@@ -745,3 +745,72 @@ def test_rate_limit_stream_equals_batch(spark, tmp_path):
     }
     assert got == want and len(want) > 0
     assert any(t[5] == 1 for t in want)  # policy actually throttles
+
+
+def test_burst_detection_stream_equals_batch(spark, tmp_path):
+    """Streaming burst detection (applyInPandasWithState, trailing
+    hourly counts per type) must emit exactly the batch query's burst
+    rows once every real hour is closed by a later event (a sentinel
+    event per type, 48 h after the fixture's end, closes the last open
+    hour without entering any baseline)."""
+    import os
+    import time
+
+    from mrc_spark_jobs_pubmed_spark.plans.timeseries_queries import (
+        rel_burst_detection,
+    )
+
+    src = str(tmp_path / "bd_src")
+    os.makedirs(src)
+    ev = _batch_events(spark)
+    lo, hi = ev.agg(F.min("ts"), F.max("ts")).collect()[0]
+    cuts = [lo, lo + (hi - lo) / 3, lo + 2 * (hi - lo) / 3, hi]
+    for i in range(3):
+        cond = (F.col("ts") >= F.lit(cuts[i])) & (
+            F.col("ts") <= F.lit(cuts[i + 1])
+            if i == 2
+            else F.col("ts") < F.lit(cuts[i + 1])
+        )
+        ev.where(cond).coalesce(1).write.parquet(f"{src}/t{i}")
+        time.sleep(1.1)
+    # sentinel: one event per type, 48 h past the end — closes the last
+    # real hour; its own hour never closes and never emits
+    sent = (
+        ev.groupBy("event_type")
+        .agg(F.max("ts").alias("mx"))
+        .select(
+            F.lit(10**9).cast("long").alias("event_id"),
+            (F.col("mx") + F.expr("INTERVAL 48 HOURS")).alias("ts"),
+            F.lit(0).cast("long").alias("user_id"),
+            "event_type",
+            F.lit(0.0).alias("value"),
+            F.lit("{}").alias("props"),
+        )
+    )
+    sent.select([f.name for f in ev.schema.fields]).coalesce(1).write.parquet(
+        f"{src}/t3"
+    )
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("recursiveFileLookup", "true")
+        .parquet(src)
+    )
+    q = (
+        J.stateful_burst_detection(stream)
+        .writeStream.format("memory")
+        .queryName("t_bd")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "bd_ckpt"))
+        .start()
+    )
+    _drain(q)
+    got = {
+        (r.event_type, r.hour, r.n, r.base_n)
+        for r in spark.sql("SELECT * FROM t_bd").collect()
+    }
+    want = {
+        (r.event_type, r.hour, r.n, r.base_n)
+        for r in rel_burst_detection(spark, SF).collect()
+    }
+    assert got == want and len(want) > 0
