@@ -3247,3 +3247,68 @@ def rel_zone_map_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("layout")
     )
+
+
+# --- l-diversity privacy audit --------------------------------------------------
+
+LDIV_L = 3  # require >= 3 distinct users per released cell
+LDIV_VAL_BUCKET = 200_000  # value bucket width in 1e-4 units (= $20)
+
+
+@register(
+    "rel_l_diversity",
+    oracle=f"""
+WITH cells AS (
+  SELECT event_type,
+         epoch_us(ts) // 86400000000 AS day,
+         CAST(round(value * 10000) AS BIGINT) // {LDIV_VAL_BUCKET}
+           AS val_bucket,
+         count(*) AS n_events,
+         count(DISTINCT user_id) AS n_users,
+         min(user_id) AS sample_user
+  FROM events
+  GROUP BY 1, 2, 3
+)
+SELECT event_type, CAST(day AS BIGINT) AS day,
+       CAST(val_bucket AS BIGINT) AS val_bucket,
+       CAST(n_events AS BIGINT) AS n_events,
+       CAST(n_users AS BIGINT) AS n_users,
+       sample_user
+FROM cells
+WHERE n_users < {LDIV_L}
+ORDER BY event_type, day, val_bucket
+""",
+    doc=f"l-diversity audit (l={LDIV_L}): corpus_k_anonymity's "
+    "companion on the event log — a quasi-identifier cell "
+    "(event_type, day, value bucket) is UNSAFE to release when all "
+    "its events come from fewer than l distinct users, because cell "
+    "membership then links straight back to individuals even though "
+    "the cell may contain many EVENTS (k-anonymity on row count "
+    "passes while the sensitive attribute — who — has no diversity; "
+    "that gap is exactly what l-diversity was introduced to close). "
+    "Flags the cells to suppress or generalize before an event-level "
+    "dataset ships. Pure integer bucketing (exact 1e-4 value units, "
+    "epoch days), one hash-agg with a distinct on the (cell, user) "
+    "domain — partial_count + distinct-partials ship map-side — and "
+    "output bounded by violating cells only. At 100 TB the cell "
+    "domain is |types| x |days| x |buckets|: metadata-sized, so the "
+    "audit is one cheap pass regardless of event volume.",
+)
+def rel_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    return (
+        ev.groupBy(
+            "event_type",
+            F.expr("unix_micros(ts) div 86400000000").alias("day"),
+            F.expr(
+                f"CAST(round(value * 10000) AS BIGINT) div {LDIV_VAL_BUCKET}"
+            ).alias("val_bucket"),
+        )
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.min("user_id").alias("sample_user"),
+        )
+        .where(F.col("n_users") < LDIV_L)
+        .orderBy("event_type", "day", "val_bucket")
+    )
