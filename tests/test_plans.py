@@ -577,3 +577,56 @@ def test_waterfall_bridge_pushes_date_filter(spark):
     plan = _physical(spark, "rel_waterfall_bridge")
     assert "PushedFilters: [IsNotNull(o_orderdate), GreaterThanOrEqual(o_orderdate" in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_interval_overlap_is_equi_join_not_cartesian(spark):
+    """The binned interval join must plan as an equi-join on the
+    composite (user, chunk) key — never a cartesian/BNL range join."""
+    plan = _physical(spark, "rel_interval_overlap_join")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "TakeOrderedAndProject" in plan  # top-k, no global sort
+
+
+def test_rate_limit_single_user_shuffle(spark):
+    """Rate-limit audit: one hash exchange on user_id for the window,
+    then the per-type rollup — distinct-filtered agg adds its expand,
+    but no join, no sort beyond the window."""
+    plan = _physical(spark, "rel_rate_limit_audit")
+    assert "Join" not in plan
+    assert "hashpartitioning(user_id" in plan
+
+
+def test_rolling_median_windows_on_rollup_not_raw(spark):
+    """The median frame must run on the (type, day) rollup: the window
+    sort key is the tiny aggregated domain, preceded by a partial agg."""
+    plan = _physical(spark, "rel_rolling_median")
+    assert "partial_sum" in plan.lower() or "partial" in plan.lower()
+    assert "percentile" in plan.lower()
+
+
+def test_bitmap_overlap_joins_words_not_users(spark):
+    """Segment overlap joins word-bitmaps (8 B per 64 users), never raw
+    id lists: the join key is word_id and totals broadcast back."""
+    plan = _physical(spark, "rel_bitmap_segment_overlap")
+    assert "bit_or" in plan
+    assert plan.count("BroadcastHashJoin") >= 2  # the two totals joins
+    assert "CartesianProduct" not in plan
+
+
+def test_zone_map_pruning_single_pass_no_join(spark):
+    plan = _physical(spark, "rel_zone_map_pruning")
+    assert "Join" not in plan
+    assert "Union" in plan
+
+
+def test_l_diversity_is_one_agg_no_join(spark):
+    plan = _physical(spark, "rel_l_diversity")
+    assert "Join" not in plan
+
+
+def test_aes_sample_is_topk_no_window(spark):
+    """A-ES sampling: TakeOrdered cuts to K rows before the rank
+    window — the global window must not see the corpus."""
+    plan = _physical(spark, "corpus_aes_weighted_sample")
+    assert "TakeOrderedAndProject" in plan
