@@ -1434,6 +1434,12 @@ ORDER BY depth
     "localCheckpoint lineage management).",
 )
 def graph_recursive_bom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The closure has nodes x depth rows; Spark guards recursion with a
+    # 1M-row safety valve (RECURSION_ROW_LIMIT_EXCEEDED at sf5, where
+    # part alone is 1M rows). Scale the guard with the data instead of
+    # capping the operator — the level limit (100) stays untouched and
+    # is the one that bounds runaway recursion here (depth <= log4(key)).
+    spark.conf.set("spark.sql.cteRecursionRowLimit", str(2**31 - 1))
     return spark.sql(
         f"""
 WITH RECURSIVE edges AS (
