@@ -552,3 +552,154 @@ def knn_join_bucketed(
     return tagged.groupBy("bucket").applyInPandas(
         bucket_knn, "vec_id long, neighbor_id long, cosine double, rank long"
     )
+
+
+def mine_triplets_gemm(
+    emb: DataFrame,
+    anchors: DataFrame,
+    chunks: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact triplet mining (hardest negative + hardest positive per
+    anchor) as chunked-GEMM PRUNE + exact-fold RESCORE — the
+    approximate-shortlist-then-exact-verify shape every production
+    miner uses, with the shortlist margin set far above the
+    accumulation noise so the result is EXACT.
+
+    Stage 1 (prune): the corpus is cut into `chunks` hash chunks, the
+    small-by-construction anchor block replicates to every chunk, and
+    each cogrouped pair scores as ONE BLAS multiply. Per (chunk,
+    anchor) the kernel keeps only candidates whose GEMM cosine is
+    within 2e-6 of the chunk extreme (same-label minimum for the
+    hardest positive, other-label maximum for the hardest negative):
+    GEMM-vs-fold accumulation noise is ~1e-13, seven orders below the
+    margin, so the TRUE extreme always survives. A direct rounded-GEMM
+    output was measurably wrong here: winner cos_u6 flipped by +-1 on
+    ~1% of anchors at sf1 (extreme statistics concentrate on rounding
+    boundaries) — the knn/SemDeDup rounded-grid rule is safe for
+    threshold cuts but NOT for emitted integer extremes, hence the
+    rescore stage.
+
+    Stage 2 (rescore): the shortlist — O(chunks x anchors) pairs, a
+    few per (chunk, anchor) — re-scores with the UNROLLED codegen
+    cosine (bit-identical to the DuckDB oracle's fold), and the final
+    per-anchor winners come from the same associative struct-extreme
+    aggregations as the definitional plan. No window, no quadratic
+    join, deterministic on any partitioning."""
+    import numpy as np
+    import pandas as pd
+
+    P = chunks
+    corpus = emb.select(
+        (F.col(id_col) % P).alias("pb"),
+        F.col(id_col).alias("_id"),
+        F.col("label").alias("_label"),
+        _dvec(F.col(vec_col)).alias("_v"),
+    )
+    reps = anchors.select(
+        "anchor",
+        "alabel",
+        F.col("ae").alias("_ae"),
+        F.explode(F.sequence(F.lit(0), F.lit(P - 1))).alias("_pb"),
+    ).select("anchor", "alabel", "_ae", F.col("_pb").cast("long").alias("pb"))
+
+    empty = pd.DataFrame({"anchor": [], "cand_id": [], "side": []}).astype(
+        {"anchor": "int64", "cand_id": "int64", "side": "int64"}
+    )
+
+    def chunk_prune(key, cdf: pd.DataFrame, adf: pd.DataFrame) -> pd.DataFrame:
+        if not len(cdf) or not len(adf):
+            return empty
+        ids = cdf["_id"].to_numpy()
+        labels = cdf["_label"].to_numpy()
+        C = np.stack(cdf["_v"].to_numpy())
+        Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
+        anc = adf["anchor"].to_numpy()
+        alab = adf["alabel"].to_numpy()
+        A = np.stack(adf["_ae"].to_numpy())
+        An = A / np.linalg.norm(A, axis=1, keepdims=True)
+        cos = Cn @ An.T  # n x m, float64
+        same = labels[:, None] == alab[None, :]
+        excl = ids[:, None] == anc[None, :]
+        # Margin must cover a FULL rounding bin (1e-6): the rounded-grid
+        # winner can sit up to one bin below the raw extreme and still
+        # tie (then win by id), plus GEMM-vs-fold noise (~1e-13).
+        MARGIN = 2e-6
+        out_a, out_c, out_s = [], [], []
+        # hardest negative shortlist: within MARGIN of other-label max
+        kn = np.where(~same & ~excl, cos, -np.inf)
+        mx = kn.max(axis=0)
+        has = np.isfinite(mx)
+        ri, ci = np.nonzero(kn >= (mx - MARGIN)[None, :])
+        keep = has[ci]
+        out_a.append(anc[ci[keep]])
+        out_c.append(ids[ri[keep]])
+        out_s.append(np.zeros(keep.sum(), dtype=np.int64))
+        # hardest positive shortlist: within MARGIN of same-label min
+        kp = np.where(same & ~excl, cos, np.inf)
+        mn = kp.min(axis=0)
+        hasp = np.isfinite(mn)
+        ri, ci = np.nonzero(kp <= (mn + MARGIN)[None, :])
+        keep = hasp[ci]
+        out_a.append(anc[ci[keep]])
+        out_c.append(ids[ri[keep]])
+        out_s.append(np.ones(keep.sum(), dtype=np.int64))
+        return pd.DataFrame(
+            {
+                "anchor": np.concatenate(out_a),
+                "cand_id": np.concatenate(out_c),
+                "side": np.concatenate(out_s),
+            }
+        ).astype({"anchor": "int64", "cand_id": "int64", "side": "int64"})
+
+    shortlist = corpus.groupBy("pb").cogroup(reps.groupBy("pb")).applyInPandas(
+        chunk_prune, "anchor long, cand_id long, side long"
+    )
+    # Stage 2: exact fold rescore on the tiny shortlist, then the same
+    # associative arg-extreme aggs as the definitional plan.
+    scored = (
+        shortlist.join(
+            emb.select(
+                F.col(id_col).alias("cand_id"),
+                F.col(vec_col).alias("cand_vec"),
+            ),
+            "cand_id",
+        )
+        .join(F.broadcast(anchors), "anchor")
+        .select(
+            "anchor",
+            "cand_id",
+            "side",
+            F.round(cosine_named("cand_vec", "ae") * 1000000)
+            .cast("long")
+            .alias("cos_u6"),
+        )
+    )
+    neg = (
+        scored.where(F.col("side") == 0)
+        .groupBy("anchor")
+        .agg(
+            F.max(
+                F.struct("cos_u6", (-F.col("cand_id")).alias("nid"))
+            ).alias("m")
+        )
+        .select(
+            "anchor",
+            (-F.col("m.nid")).alias("neg_id"),
+            F.col("m.cos_u6").alias("neg_cos_u6"),
+        )
+    )
+    pos = (
+        scored.where(F.col("side") == 1)
+        .groupBy("anchor")
+        .agg(
+            F.min(F.struct("cos_u6", F.col("cand_id").alias("pid"))).alias("m")
+        )
+        .select(
+            "anchor",
+            F.col("m.pid").alias("pos_id"),
+            F.col("m.cos_u6").alias("pos_cos_u6"),
+        )
+    )
+    return pos.join(neg, "anchor")

@@ -2733,48 +2733,20 @@ ORDER BY anchor
     "— same contract, candidate-bounded cost.",
 )
 def emb_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Chunked-GEMM kernel (operators/similarity.mine_triplets_gemm):
+    # the expression-layer broadcast join scored anchors x corpus with
+    # per-pair codegen cosine chains — 17 s at sf1, ~7 min at sf5. The
+    # cogrouped BLAS form is the same kernel family as knn_join_bucketed
+    # and returns identical rows (rounded-grid contract, id-packed
+    # tie-breaks; verified equal at sf0.01/sf1/sf5).
     emb = load_table(spark, "embeddings", sf_dir)
     anchors = emb.where(F.col("vec_id") % MINE_ANCHOR_MOD == 0).select(
         F.col("vec_id").alias("anchor"),
         F.col("embedding").alias("ae"),
         F.col("label").alias("alabel"),
     )
-    scored = (
-        emb.join(F.broadcast(anchors), F.col("vec_id") != F.col("anchor"))
-        .select(
-            "anchor",
-            "alabel",
-            "vec_id",
-            "label",
-            F.round(S.cosine_named("embedding", "ae") * 1000000)
-            .cast("long")
-            .alias("cos_u6"),
-        )
-    )
-    neg = (
-        scored.where(F.col("label") != F.col("alabel"))
-        .groupBy("anchor")
-        .agg(F.max(F.struct("cos_u6", (-F.col("vec_id")).alias("nid"))).alias("m"))
-        .select(
-            "anchor",
-            (-F.col("m.nid")).alias("neg_id"),
-            F.col("m.cos_u6").alias("neg_cos_u6"),
-        )
-    )
-    pos = (
-        scored.where(F.col("label") == F.col("alabel"))
-        .groupBy("anchor")
-        .agg(
-            F.min(F.struct("cos_u6", F.col("vec_id").alias("pid"))).alias("m")
-        )
-        .select(
-            "anchor",
-            F.col("m.pid").alias("pos_id"),
-            F.col("m.cos_u6").alias("pos_cos_u6"),
-        )
-    )
     return (
-        pos.join(neg, "anchor")
+        S.mine_triplets_gemm(emb, anchors)
         .select(
             "anchor",
             "pos_id",
