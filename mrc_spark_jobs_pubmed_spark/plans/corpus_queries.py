@@ -645,18 +645,30 @@ GROUP BY doc_id
 )
 def corpus_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, "documents", sf_dir)
-    toks = docs.select("doc_id", F.explode(tokens_col(F.col("text"))).alias("tok"))
-    vocab = toks.groupBy("tok").agg(F.count("*").alias("n"))
+    # same one-tokenize-pass / per-doc-count shape as
+    # corpus_perplexity_buckets: the checkpointed (doc, tok, c) table
+    # feeds both the vocab build and the scoring join, and the tok
+    # shuffle ships counts, not the raw token stream
+    doc_tok = (
+        docs.select(
+            "doc_id", F.explode(tokens_col(F.col("text"))).alias("tok")
+        )
+        .groupBy("doc_id", "tok")
+        .agg(F.count("*").alias("c"))
+        .localCheckpoint(eager=True)
+    )
+    vocab = doc_tok.groupBy("tok").agg(F.sum("c").alias("n"))
     tot = vocab.agg(F.sum("n").alias("total"))
     return (
-        toks.join(vocab, "tok")
+        doc_tok.join(vocab, "tok")
         .crossJoin(F.broadcast(tot))
         .groupBy("doc_id")
         .agg(
-            F.count("*").cast("long").alias("n_tok"),
+            F.sum("c").cast("long").alias("n_tok"),
             # exact-int mean of per-token 1e-6-unit logprobs (see oracle)
             F.sum(
-                F.round(
+                F.col("c")
+                * F.round(
                     -F.log(F.col("n").cast("double") / F.col("total")) * 1e6
                 ).cast("long")
             ).alias("_nl6"),
@@ -2044,19 +2056,31 @@ def corpus_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     docs = load_table(spark, "documents", sf_dir)
-    toks = docs.select(
-        "doc_id", F.explode(tokens_col(F.col("text"))).alias("tok")
+    # Tokenize ONCE and collapse to per-doc token counts before any
+    # join: the vocab build and the scoring join both consume the
+    # checkpointed (doc, tok, c) table, so the regex pass runs once and
+    # the tok-keyed shuffle ships distinct (doc, tok) pairs (with the
+    # count as weight) instead of the raw token stream — same exact
+    # integer sum, since NLL per (doc, tok) is c * round(-ln(n/total)*1e6).
+    doc_tok = (
+        docs.select(
+            "doc_id", F.explode(tokens_col(F.col("text"))).alias("tok")
+        )
+        .groupBy("doc_id", "tok")
+        .agg(F.count("*").alias("c"))
+        .localCheckpoint(eager=True)
     )
-    vocab = toks.groupBy("tok").agg(F.count("*").alias("n"))
+    vocab = doc_tok.groupBy("tok").agg(F.sum("c").alias("n"))
     tot = vocab.agg(F.sum("n").alias("total"))
     scored = (
-        toks.join(vocab, "tok")
+        doc_tok.join(vocab, "tok")
         .crossJoin(F.broadcast(tot))
         .groupBy("doc_id")
         .agg(
-            F.count("*").alias("n_tok"),
+            F.sum("c").cast("long").alias("n_tok"),
             F.sum(
-                F.round(
+                F.col("c")
+                * F.round(
                     -F.log(F.col("n").cast("double") / F.col("total")) * 1e6
                 ).cast("long")
             ).alias("_nl6"),
