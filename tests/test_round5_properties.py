@@ -1,0 +1,168 @@
+"""Property tests for the round-5 operator batch: kernel-vs-definitional
+equality for the GEMM triplet miner, exactly-once accounting for the
+binned interval join, and the rate-limit RANGE-peer contract."""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_triplet_gemm_equals_definitional(spark):
+    """mine_triplets_gemm (GEMM prune + exact-fold rescore) must return
+    exactly the rows of the definitional broadcast-join plan — same
+    winner ids AND same cos_u6 integers (the direct rounded-GEMM form
+    failed this at sf1 with +-1 flips; the margin+rescore design is
+    what makes the kernel exact)."""
+    from mrc_spark_jobs_pubmed_spark.operators import similarity as S
+    from mrc_spark_jobs_pubmed_spark.sources.catalog import load_table
+
+    emb = load_table(spark, "embeddings", SF)
+    anchors = emb.where(F.col("vec_id") % 10 == 0).select(
+        F.col("vec_id").alias("anchor"),
+        F.col("embedding").alias("ae"),
+        F.col("label").alias("alabel"),
+    )
+    got = {
+        (r.anchor, r.pos_id, r.pos_cos_u6, r.neg_id, r.neg_cos_u6)
+        for r in S.mine_triplets_gemm(emb, anchors, chunks=8).collect()
+    }
+    scored = (
+        emb.join(F.broadcast(anchors), F.col("vec_id") != F.col("anchor"))
+        .select(
+            "anchor",
+            "alabel",
+            "vec_id",
+            "label",
+            F.round(S.cosine_named("embedding", "ae") * 1000000)
+            .cast("long")
+            .alias("cos_u6"),
+        )
+    )
+    neg = (
+        scored.where(F.col("label") != F.col("alabel"))
+        .groupBy("anchor")
+        .agg(
+            F.max(F.struct("cos_u6", (-F.col("vec_id")).alias("nid"))).alias(
+                "m"
+            )
+        )
+        .select(
+            "anchor",
+            (-F.col("m.nid")).alias("neg_id"),
+            F.col("m.cos_u6").alias("neg_cos_u6"),
+        )
+    )
+    pos = (
+        scored.where(F.col("label") == F.col("alabel"))
+        .groupBy("anchor")
+        .agg(
+            F.min(F.struct("cos_u6", F.col("vec_id").alias("pid"))).alias("m")
+        )
+        .select(
+            "anchor",
+            F.col("m.pid").alias("pos_id"),
+            F.col("m.cos_u6").alias("pos_cos_u6"),
+        )
+    )
+    want = {
+        (r.anchor, r.pos_id, r.pos_cos_u6, r.neg_id, r.neg_cos_u6)
+        for r in pos.join(neg, "anchor").collect()
+    }
+    assert got == want and len(want) > 0
+
+
+def test_interval_overlap_exactly_once_vs_quadratic(spark):
+    """The binned join's chunk-of-overlap-start rule must count every
+    overlapping pair exactly once: compare against the definitional
+    per-user quadratic join."""
+    from mrc_spark_jobs_pubmed_spark.plans.timeseries_queries import (
+        OVL_CLICK_S,
+        OVL_VIEW_S,
+        rel_interval_overlap_join,
+    )
+    from mrc_spark_jobs_pubmed_spark.sources.catalog import load_table
+
+    got = {
+        (r.user_id, r.n_pairs, r.overlap_ms, r.max_overlap_ms)
+        for r in rel_interval_overlap_join(spark, SF).collect()
+    }
+    ev = load_table(spark, "events", SF)
+
+    def side(etype, dur):
+        return ev.where(F.col("event_type") == etype).select(
+            "user_id",
+            F.unix_micros("ts").alias("s"),
+            (F.unix_micros("ts") + dur * 1_000_000).alias("e"),
+        )
+
+    v, c = side("view", OVL_VIEW_S).alias("v"), side(
+        "click", OVL_CLICK_S
+    ).alias("c")
+    quad = (
+        v.join(
+            c,
+            (F.col("v.user_id") == F.col("c.user_id"))
+            & (F.col("v.s") < F.col("c.e"))
+            & (F.col("c.s") < F.col("v.e")),
+        )
+        .select(
+            F.col("v.user_id").alias("user_id"),
+            F.expr(
+                "CAST((least(v.e, c.e) - greatest(v.s, c.s)) div 1000"
+                " AS BIGINT)"
+            ).alias("ovl_ms"),
+        )
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_pairs"),
+            F.sum("ovl_ms").cast("long").alias("overlap_ms"),
+            F.max("ovl_ms").cast("long").alias("max_overlap_ms"),
+        )
+        .orderBy(F.desc("n_pairs"), F.desc("overlap_ms"), F.asc("user_id"))
+        .limit(100)
+    )
+    want = {
+        (r.user_id, r.n_pairs, r.overlap_ms, r.max_overlap_ms)
+        for r in quad.collect()
+    }
+    assert got == want and len(want) > 0
+
+
+def test_rate_limit_peers_share_decision(spark):
+    """All events of a user at one instant must carry the same window
+    count (RANGE-peer semantics): inject timestamp ties and check."""
+    from mrc_spark_jobs_pubmed_spark.plans.timeseries_queries import (
+        RATE_LIMIT_K,
+        RATE_WINDOW_S,
+    )
+
+    rows = [
+        (1, 1000, "a"),
+        (2, 1000, "a"),  # tie with event 1
+        (3, 1000 + RATE_WINDOW_S * 1_000_000, "a"),  # just inside? no: boundary
+        (4, 2000 + RATE_WINDOW_S * 1_000_000, "a"),
+    ]
+    df = spark.createDataFrame(
+        [(e, u, t) for e, t, u in [(r[0], r[1], 7) for r in rows]],
+        "event_id long, user_id long, t_us long",
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("t_us")
+        .rangeBetween(-(RATE_WINDOW_S * 1_000_000 - 1), 0)
+    )
+    out = {
+        r.event_id: r.win_n
+        for r in df.select(
+            "event_id", F.count("*").over(w).alias("win_n")
+        ).collect()
+    }
+    # events 1 and 2 are peers: identical count (both see both)
+    assert out[1] == out[2] == 2
+    # event 3 at t0 + W: the frame starts at t-W+1 so the tie pair has
+    # aged out exactly at the boundary
+    assert out[3] == 1
+    assert RATE_LIMIT_K >= 1
