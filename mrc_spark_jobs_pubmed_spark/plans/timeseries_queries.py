@@ -2102,3 +2102,111 @@ def rel_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("med2x_u4"),
     ).orderBy("event_type", "day")
+
+
+# --- queueing delay via the Lindley running-min identity ------------------------
+
+Q_SVC_PER_U4 = 100  # service microseconds per 1e-4 value unit
+
+
+@register(
+    "rel_queue_wait_lindley",
+    oracle=f"""
+WITH jobs AS (
+  SELECT event_type,
+         epoch_us(ts) AS a_us,
+         CAST(round(value * 10000) AS BIGINT) * {Q_SVC_PER_U4} AS s_us,
+         event_id
+  FROM events
+),
+seq AS (
+  SELECT event_type, s_us,
+         coalesce(sum(s_us) OVER (
+           PARTITION BY event_type ORDER BY a_us, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ), 0) - a_us AS d_n,
+         a_us, event_id
+  FROM jobs
+),
+waits AS (
+  SELECT event_type,
+         greatest(d_n - coalesce(min(d_n) OVER (
+           PARTITION BY event_type ORDER BY a_us, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ), d_n), 0) AS w_us
+  FROM seq
+)
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_jobs,
+       CAST(count(*) FILTER (w_us > 0) AS BIGINT) AS n_delayed,
+       CAST(max(w_us) // 1000 AS BIGINT) AS max_wait_ms,
+       CAST((2 * sum(w_us // 1000) + count(*)) // (2 * count(*))
+         AS BIGINT) AS avg_wait_ms
+FROM waits
+GROUP BY event_type
+ORDER BY event_type
+""",
+    doc="Single-server FIFO queueing delay per event type (each event "
+    "is a job: arrival = its timestamp, service = value-proportional "
+    f"µs at {Q_SVC_PER_U4} µs per 1e-4 unit), computed WITHOUT the "
+    "sequential Lindley recursion W(n+1) = max(0, W(n) + S(n) - dA): "
+    "unrolling gives W(n) = max(0, D(n) - min(k<n) D(k)) with "
+    "D(n) = sum(S(1..n-1)) - A(n) — ONE running sum and ONE running "
+    "min over the same (type, arrival) window. The prefix-extreme "
+    "rewrite family (waterfall, gaps&islands) applied to queueing "
+    "theory, and the reason this computes on a cluster at all: the "
+    "recursion is inherently serial, the prefix form is a window "
+    "scan. All integer microseconds; (a_us, event_id) total-orders "
+    "ties so FIFO order is engine-exact; the first job's empty "
+    "min-frame coalesces to its own D (wait 0) identically on both "
+    "engines. Output: the capacity-planning readout (jobs, delayed "
+    "count, max/avg wait in ms, integer half-up mean) behind SLO "
+    "sizing of ingest workers. Overflow headroom: the service prefix "
+    "sum stays under int64 to ~1.8e10 jobs x 500 s services — "
+    "partition the queue by (server, day) long before that, as real "
+    "ingest does.",
+)
+def rel_queue_wait_lindley(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    jobs = ev.select(
+        "event_type",
+        F.unix_micros("ts").alias("a_us"),
+        (
+            F.expr("CAST(round(value * 10000) AS BIGINT)")
+            * Q_SVC_PER_U4
+        ).alias("s_us"),
+        "event_id",
+    )
+    w = Window.partitionBy("event_type").orderBy("a_us", "event_id")
+    wp = w.rowsBetween(Window.unboundedPreceding, -1)
+    seq = jobs.select(
+        "event_type",
+        "a_us",
+        "event_id",
+        (
+            F.coalesce(F.sum("s_us").over(wp), F.lit(0)) - F.col("a_us")
+        ).alias("d_n"),
+    )
+    waits = seq.select(
+        "event_type",
+        F.greatest(
+            F.col("d_n")
+            - F.coalesce(F.min("d_n").over(wp), F.col("d_n")),
+            F.lit(0),
+        ).alias("w_us"),
+    )
+    return (
+        waits.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_jobs"),
+            F.sum(F.when(F.col("w_us") > 0, 1).otherwise(0))
+            .cast("long")
+            .alias("n_delayed"),
+            F.expr("CAST(max(w_us) div 1000 AS BIGINT)").alias("max_wait_ms"),
+            F.expr(
+                "CAST((2 * sum(w_us div 1000) + count(*)) div (2 * count(*))"
+                " AS BIGINT)"
+            ).alias("avg_wait_ms"),
+        )
+        .orderBy("event_type")
+    )
