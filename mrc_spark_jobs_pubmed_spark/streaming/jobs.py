@@ -1332,3 +1332,86 @@ def stateful_burst_detection(
     return src.groupBy("event_type").applyInPandasWithState(
         update, out_schema, state_schema, "update", "NoTimeout"
     )
+
+
+# --- streaming queueing delay (arbitrary state, O(1) per key) -------------------
+
+Q_SVC_PER_U4 = 100  # mirrors plans.timeseries_queries.Q_SVC_PER_U4
+
+
+def stateful_queue_wait(
+    events: DataFrame, svc_per_u4: int = Q_SVC_PER_U4
+) -> DataFrame:
+    """Streaming twin of rel_queue_wait_lindley: per-event FIFO waiting
+    time with THREE longs of state per event type — the prefix service
+    sum, the running min of D(n) = prefix - A(n), and the last arrival
+    (for the replay-order contract). The batch query's running-min
+    identity is exactly what makes the streaming form O(1): the
+    sequential Lindley recursion would need the same two accumulators,
+    but the identity proves the fold emits the SAME waits as the batch
+    window on any in-order replay. Events at or before the carried
+    arrival are dropped (decisions are final; update mode cannot
+    retract)."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    out_schema = T.StructType(
+        [
+            T.StructField("event_type", T.StringType()),
+            T.StructField("event_id", T.LongType()),
+            T.StructField("a_us", T.LongType()),
+            T.StructField("w_us", T.LongType()),
+        ]
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("pre_sum", T.LongType()),
+            T.StructField("min_d", T.LongType()),
+            T.StructField("last_key", T.ArrayType(T.LongType())),
+        ]
+    )
+
+    def update(key, pdfs, state):
+        (etype,) = key
+        rows = pd.concat(list(pdfs), ignore_index=True)
+        if not len(rows):
+            return
+        evs = sorted(
+            (
+                int(t) // 1000,
+                int(e),
+                int(round(float(v) * 10000)) * svc_per_u4,
+            )
+            for t, e, v in zip(
+                rows["ts"].astype("int64"), rows["event_id"], rows["value"]
+            )
+        )
+        if state.exists:
+            pre_sum, min_d = int(state.get[0]), int(state.get[1])
+            lk = list(state.get[2])
+            evs = [e for e in evs if (e[0], e[1]) > (lk[0], lk[1])]
+            if not evs:
+                return
+            has_min = True
+        else:
+            pre_sum, min_d, has_min = 0, 0, False
+        out = []
+        for a_us, eid, s_us in evs:
+            d = pre_sum - a_us
+            if not has_min:
+                w = 0
+                min_d, has_min = d, True
+            else:
+                w = max(0, d - min_d)
+                min_d = min(min_d, d)
+            pre_sum += s_us
+            out.append((etype, eid, a_us, w))
+        state.update((pre_sum, min_d, [evs[-1][0], evs[-1][1]]))
+        yield pd.DataFrame(
+            out, columns=["event_type", "event_id", "a_us", "w_us"]
+        )
+
+    src = events.withWatermark("ts", WATERMARK)
+    return src.groupBy("event_type").applyInPandasWithState(
+        update, out_schema, state_schema, "update", "NoTimeout"
+    )

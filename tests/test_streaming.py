@@ -814,3 +814,78 @@ def test_burst_detection_stream_equals_batch(spark, tmp_path):
         for r in rel_burst_detection(spark, SF).collect()
     }
     assert got == want and len(want) > 0
+
+
+def test_queue_wait_stream_equals_batch(spark, tmp_path):
+    """Streaming Lindley queue (applyInPandasWithState, three longs per
+    type) must emit the identical per-event waits as the batch
+    running-min window under a time-ordered replay."""
+    import os
+    import time
+
+    from pyspark.sql import Window
+
+    src = str(tmp_path / "qw_src")
+    os.makedirs(src)
+    ev = _batch_events(spark)
+    lo, hi = ev.agg(F.min("ts"), F.max("ts")).collect()[0]
+    cuts = [lo, lo + (hi - lo) / 3, lo + 2 * (hi - lo) / 3, hi]
+    for i in range(3):
+        cond = (F.col("ts") >= F.lit(cuts[i])) & (
+            F.col("ts") <= F.lit(cuts[i + 1])
+            if i == 2
+            else F.col("ts") < F.lit(cuts[i + 1])
+        )
+        ev.where(cond).coalesce(1).write.parquet(f"{src}/t{i}")
+        time.sleep(1.1)
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("recursiveFileLookup", "true")
+        .parquet(src)
+    )
+    q = (
+        J.stateful_queue_wait(stream)
+        .writeStream.format("memory")
+        .queryName("t_qw")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "qw_ckpt"))
+        .start()
+    )
+    _drain(q)
+    got = {
+        (r.event_type, r.event_id, r.a_us, r.w_us)
+        for r in spark.sql("SELECT * FROM t_qw").collect()
+    }
+    jobs = ev.select(
+        "event_type",
+        F.unix_micros("ts").alias("a_us"),
+        (F.expr("CAST(round(value * 10000) AS BIGINT)") * J.Q_SVC_PER_U4).alias(
+            "s_us"
+        ),
+        "event_id",
+    )
+    w = Window.partitionBy("event_type").orderBy("a_us", "event_id")
+    wp = w.rowsBetween(Window.unboundedPreceding, -1)
+    seq = jobs.select(
+        "event_type",
+        "event_id",
+        "a_us",
+        (F.coalesce(F.sum("s_us").over(wp), F.lit(0)) - F.col("a_us")).alias(
+            "d_n"
+        ),
+    )
+    batch = seq.select(
+        "event_type",
+        "event_id",
+        "a_us",
+        F.greatest(
+            F.col("d_n") - F.coalesce(F.min("d_n").over(wp), F.col("d_n")),
+            F.lit(0),
+        ).alias("w_us"),
+    )
+    want = {
+        (r.event_type, r.event_id, r.a_us, r.w_us) for r in batch.collect()
+    }
+    assert got == want and len(want) > 0
+    assert any(t[3] > 0 for t in want)  # queue actually backs up somewhere
