@@ -64,6 +64,13 @@ HEADLINE = (
     # round-4c flagship: perceptual-hash media near-dup — parity at
     # sf0.1, 0.05x at sf5 (PERF.md round-4c section)
     "mm_phash_neardup",
+    # round-5 flagships: GEMM-prune + exact-rescore triplet mining
+    # (0.04x at sf5), the mutual-NN precision gate (0.08x at sf5),
+    # and the within-source boilerplate audit (0.11x at sf5) —
+    # PERF.md round-5 sections
+    "emb_hard_negative_mining",
+    "sim_reciprocal_nn",
+    "corpus_boilerplate_profile",
 )
 
 
