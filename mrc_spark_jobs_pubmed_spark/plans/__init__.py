@@ -156,23 +156,56 @@ _ROTATION_QUEUE: list[str] = [
 ]
 
 
+def _row_is_green(row: object) -> bool:
+    """An official row only counts if it PASSED (VERDICT r5 item 2).
+
+    A red row (mismatch or error) must re-enter the rotation so the
+    driver retests it, rather than silently leaving the window forever.
+    Non-dict rows (malformed artifact) are treated as red for the same
+    reason.
+    """
+    if not isinstance(row, dict):
+        return False
+    return bool(
+        row.get("rows_match")
+        and row.get("schema_match")
+        and row.get("hash_match", True)  # rows-only checks omit hash
+        and not row.get("err")
+    )
+
+
 def _official_rows() -> set[str]:
-    """Names with at least one official CORRECTNESS row (any round)."""
+    """Names with at least one official GREEN CORRECTNESS row (any round)."""
     repo = _os.path.dirname(_os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
     seen: set[str] = set()
     for p in sorted(_glob.glob(_os.path.join(repo, "CORRECTNESS_r*.json"))):
         try:
             with open(p) as f:
-                seen.update(_json.load(f))
+                data = _json.load(f)
         except (OSError, ValueError):  # pragma: no cover - unreadable artifact
             continue
+        if not isinstance(data, dict):
+            continue
+        seen.update(name for name, row in data.items() if _row_is_green(row))
     return seen
+
+
+# Rows the r5 verdict asked to LEAD the r6 window (perf-history carriers:
+# the hard signal should confirm the recorded fixes first).
+_WINDOW_LEAD: list[str] = [
+    "sim_range_search",
+    "emb_hard_negative_mining",
+    "graph_weighted_sssp",
+    "rel_queue_wait_lindley",
+    "dedup_minhash_estimate",
+]
 
 
 def _derive_window() -> list[str]:
     official = _official_rows()
     names = list(all_queries())
-    window = [n for n in _ROTATION_QUEUE if n not in official]
+    window = [n for n in _WINDOW_LEAD if n not in official]
+    window += [n for n in _ROTATION_QUEUE if n not in official and n not in set(window)]
     window += [n for n in names if n not in official and n not in set(window)]
     return window
 
