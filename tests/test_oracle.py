@@ -84,6 +84,50 @@ def test_driver_window_is_derived_from_official_rows():
     assert plans.DRIVER_WINDOW[: len(lead)] == lead
 
 
+def test_survey_rows_all_backed():
+    """VERDICT r5 item 7: every SURVEY.md §2 row must map to >=1 registered
+    query (or an existing pytest file, for sink/source/streaming-twin
+    components whose contract is unit/replay tests). Parsed from SURVEY.md
+    so a new survey row cannot land without its operator, and a renamed
+    query cannot orphan a survey row."""
+    import os
+
+    from mrc_spark_jobs_pubmed_spark.plans.survey_map import SURVEY_MAP
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    lines = open(os.path.join(repo, "SURVEY.md")).read().splitlines()
+    start = next(i for i, l in enumerate(lines) if l.startswith("## 2."))
+    end = next(i for i, l in enumerate(lines) if l.startswith("## 3."))
+    headers = {"#", "Operator", "Op", "Family", "Kind"}
+    rows = []
+    for l in lines[start:end]:
+        if not l.startswith("|"):
+            continue
+        first = l.strip("|").split("|")[0].strip()
+        if not first or first in headers or set(first) <= set("- :"):
+            continue
+        rows.append(first)
+    assert len(rows) >= 242, f"SURVEY §2 shrank? parsed {len(rows)} rows"
+
+    registered = set(plans.all_queries())
+    missing_map = [r for r in rows if r not in SURVEY_MAP]
+    assert not missing_map, f"SURVEY §2 rows with no map entry: {missing_map}"
+    for label, backing in SURVEY_MAP.items():
+        if isinstance(backing, str):
+            assert backing.startswith("pytest:"), f"{label}: bad marker {backing}"
+            path = backing.split(":", 1)[1]
+            assert os.path.exists(os.path.join(repo, path)), (
+                f"{label}: pytest marker file {path} missing"
+            )
+        else:
+            assert backing, f"{label}: empty query list"
+            unknown = [q for q in backing if q not in registered]
+            assert not unknown, f"{label}: unregistered queries {unknown}"
+    # map hygiene: no stale entries for rows that left the survey
+    stale = [k for k in SURVEY_MAP if k not in set(rows)]
+    assert not stale, f"survey_map entries with no SURVEY §2 row: {stale}"
+
+
 def test_official_rows_count_only_green(tmp_path, monkeypatch):
     """VERDICT r5 item 2: a RED official row must NOT count as official —
     the query has to re-enter the rotation for an official retest instead
