@@ -27,8 +27,10 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
+import pandas as pd
 from pyspark.sql import Column
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from mrc_spark_jobs_pubmed_spark.functions.stopwords import MRC_STOPWORDS, STOPWORDS
 
@@ -159,34 +161,46 @@ def lemma_sql(expr: str) -> str:
     return " ".join(parts)
 
 
-def lemmatize_tokens(col: Column, use_nltk: bool = False) -> Column:
+def lemmatize_tokens(col: Column, use_nltk: bool = False, lemmatizer_factory=None) -> Column:
     """Lemmatize an array<string> column, noun-default (A20).
 
     Default backend is the pure-Column rule table (JVM-side, codegen).
     `use_nltk=True` switches to a WordNet pandas_udf when nltk is present —
     the vectorized seam the reference needed but ran row-at-a-time with a
     per-task corpus download (word_count.py:70-71, bug B6).
+    `lemmatizer_factory` injects an alternative lemmatizer backend into
+    that seam (tests use a fake built from the engine's own rule table).
     """
-    if use_nltk:
-        return _nltk_lemmatize_udf()(col)
+    if use_nltk or lemmatizer_factory is not None:
+        return _nltk_lemmatize_udf(lemmatizer_factory)(col)
     return F.transform(col, lemmatize_token_col)
 
 
-def _nltk_lemmatize_udf():
-    import pandas as pd  # noqa: F401
+def _lemmatize_batch(s, lemmatize_word):
+    """Arrow-batch kernel for the plain-lemma seam: one pandas Series of
+    token arrays in, one out, None rows preserved. Factored out of the
+    pandas_udf closure so the seam's batching/schema contract is testable
+    with an injected fake lemmatizer (no nltk in this container)."""
+    return s.map(
+        lambda toks: [lemmatize_word(t) for t in toks] if toks is not None else None
+    )
 
-    try:
-        from nltk.stem import WordNetLemmatizer
-    except ImportError as exc:  # pragma: no cover - nltk absent in this env
-        raise ImportError("nltk not installed; use the rule-table backend") from exc
 
-    import pandas as pd
-    from pyspark.sql import types as T
+def _nltk_lemmatize_udf(lemmatizer_factory=None):
+    """WordNet-lemma pandas_udf. `lemmatizer_factory` is the DI seam: any
+    zero-arg callable returning an object with `.lemmatize(word)` — the
+    default is nltk's WordNetLemmatizer, tests inject a fake."""
+    if lemmatizer_factory is None:
+        try:
+            from nltk.stem import WordNetLemmatizer
+        except ImportError as exc:  # pragma: no cover - nltk absent in this env
+            raise ImportError("nltk not installed; use the rule-table backend") from exc
+        lemmatizer_factory = WordNetLemmatizer
 
     @F.pandas_udf(T.ArrayType(T.StringType()))
-    def _lemmatize(s: pd.Series) -> pd.Series:  # pragma: no cover
-        lem = WordNetLemmatizer()
-        return s.map(lambda toks: [lem.lemmatize(t) for t in toks] if toks is not None else None)
+    def _lemmatize(s: pd.Series) -> pd.Series:
+        lem = lemmatizer_factory()  # once per Arrow batch, not per row
+        return _lemmatize_batch(s, lem.lemmatize)
 
     return _lemmatize
 
@@ -412,46 +426,62 @@ def lemma_pos_sql(expr: str) -> str:
     return " ".join(parts)
 
 
-def lemmatize_tokens_pos(col: Column, use_nltk: bool = False) -> Column:
+def lemmatize_tokens_pos(col: Column, use_nltk: bool = False, backend_factory=None) -> Column:
     """POS-aware lemmatize over an array<string> column (A18+A19+A21).
 
     Default backend is the pure-Column heuristic above. `use_nltk=True`
     swaps in the reference's exact nltk path (pos_tag → Penn→WordNet →
     tagged WordNetLemmatizer) as an Arrow-batched pandas_udf.
+    `backend_factory` injects a fake (pos_tag, lemmatize_tagged) pair
+    into the same seam for tests.
     """
-    if use_nltk:
-        return _nltk_pos_lemmatize_udf()(col)
+    if use_nltk or backend_factory is not None:
+        return _nltk_pos_lemmatize_udf(backend_factory)(col)
     return F.transform(col, lemmatize_token_pos_col)
 
 
-def _nltk_pos_lemmatize_udf():
-    try:
-        import nltk  # noqa: F401
-        from nltk.stem import WordNetLemmatizer  # noqa: F401
-    except ImportError as exc:  # pragma: no cover - nltk absent in this env
-        raise ImportError("nltk not installed; use the rule-table backend") from exc
+def _pos_lemmatize_batch(s, pos_tag, lemmatize_tagged):
+    """Arrow-batch kernel for the POS-aware seam (A18→A19→A21): tag the
+    token list, map Penn→WordNet (words whose Penn tag has no WordNet
+    class pass through UNLEMMATIZED — the reference's branch), lemmatize
+    with the class. Factored out of the pandas_udf closure so tests can
+    inject a fake tagger/lemmatizer and assert the branch parity."""
 
-    import pandas as pd
-    from pyspark.sql import types as T
+    def one(toks):
+        if toks is None:
+            return None
+        tagged = pos_tag(list(toks))
+        out = []
+        for word, penn in tagged:
+            wn = penn_to_wordnet(penn)
+            out.append(word if wn is None else lemmatize_tagged(word, wn))
+        return out
+
+    return s.map(one)
+
+
+def _nltk_pos_lemmatize_udf(backend_factory=None):
+    """pos_tag → Penn→WordNet → tagged-lemma pandas_udf. `backend_factory`
+    is the DI seam: a zero-arg callable returning `(pos_tag_fn,
+    lemmatize_tagged_fn)` — default builds them from nltk, tests inject
+    fakes."""
+    if backend_factory is None:
+        try:
+            import nltk  # noqa: F401
+            from nltk.stem import WordNetLemmatizer  # noqa: F401
+        except ImportError as exc:  # pragma: no cover - nltk absent in this env
+            raise ImportError("nltk not installed; use the rule-table backend") from exc
+
+        def backend_factory():  # pragma: no cover - nltk absent in this env
+            import nltk
+            from nltk.stem import WordNetLemmatizer
+
+            return nltk.pos_tag, WordNetLemmatizer().lemmatize
 
     @F.pandas_udf(T.ArrayType(T.StringType()))
-    def _lemmatize(s: pd.Series) -> pd.Series:  # pragma: no cover
-        import nltk
-        from nltk.stem import WordNetLemmatizer
-
-        lem = WordNetLemmatizer()
-
-        def one(toks):
-            if toks is None:
-                return None
-            tagged = nltk.pos_tag(list(toks))
-            out = []
-            for word, penn in tagged:
-                wn = penn_to_wordnet(penn)
-                out.append(word if wn is None else lem.lemmatize(word, wn))
-            return out
-
-        return s.map(one)
+    def _lemmatize(s: pd.Series) -> pd.Series:
+        pos_tag, lemmatize_tagged = backend_factory()  # once per Arrow batch
+        return _pos_lemmatize_batch(s, pos_tag, lemmatize_tagged)
 
     return _lemmatize
 
