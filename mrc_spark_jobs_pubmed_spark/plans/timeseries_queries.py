@@ -2210,3 +2210,134 @@ def rel_queue_wait_lindley(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "rel_queue_wait_lindley_sharded",
+    oracle=f"""
+WITH jobs AS (
+  SELECT event_type,
+         epoch_us(ts) AS a_us,
+         CAST(round(value * 10000) AS BIGINT) * {Q_SVC_PER_U4} AS s_us,
+         event_id
+  FROM events
+),
+seq AS (
+  SELECT event_type, s_us,
+         coalesce(sum(s_us) OVER (
+           PARTITION BY event_type ORDER BY a_us, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ), 0) - a_us AS d_n,
+         a_us, event_id
+  FROM jobs
+),
+waits AS (
+  SELECT event_type,
+         greatest(d_n - coalesce(min(d_n) OVER (
+           PARTITION BY event_type ORDER BY a_us, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ), d_n), 0) AS w_us
+  FROM seq
+)
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_jobs,
+       CAST(count(*) FILTER (w_us > 0) AS BIGINT) AS n_delayed,
+       CAST(max(w_us) // 1000 AS BIGINT) AS max_wait_ms,
+       CAST((2 * sum(w_us // 1000) + count(*)) // (2 * count(*))
+         AS BIGINT) AS avg_wait_ms
+FROM waits
+GROUP BY event_type
+ORDER BY event_type
+""",
+    doc="rel_queue_wait_lindley on the PRODUCTION key — the same Lindley "
+    "prefix-extreme identity, sharded by (event_type, day) with a "
+    "chunk-carry combine, so window parallelism is |types| x |days| "
+    "instead of |types| (the narrow plan's 5 key-bounded partitions, "
+    "its 3.52x sf5 weakness). Both D(n) = prefix-service - A(n) and "
+    "min(k<n) D(k) are prefix-ASSOCIATIVE, so each day-chunk computes "
+    "its local prefix sum/min in a wide window, a tiny chunk-domain "
+    "table (|types| x |days| rows) running-sums the per-chunk service "
+    "totals (c_prev) and running-mins the per-chunk global-D minima "
+    "(m_prev), and a broadcast join stitches the carries back: "
+    "global D = c_prev + local_d, prior-min = least(m_prev, c_prev + "
+    "local running min) — exactly the chunked-carry idiom "
+    "rel_concurrency_sweep documents for its 100 TB posture. The "
+    "oracle runs the DEFINITIONAL single-window Lindley, so the "
+    "driver gate proves the sharded carries reproduce the serial "
+    "queue bit-for-bit; tests/test_plans.py additionally pins this "
+    "plan == the narrow plan. All arithmetic stays the narrow plan's "
+    "exact integer microseconds.",
+)
+def rel_queue_wait_lindley_sharded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    jobs = ev.select(
+        "event_type",
+        F.unix_micros("ts").alias("a_us"),
+        (
+            F.expr("CAST(round(value * 10000) AS BIGINT)")
+            * Q_SVC_PER_U4
+        ).alias("s_us"),
+        "event_id",
+    ).withColumn("day", F.expr(f"a_us div {DAY_US}"))
+
+    # Stage 1 — local prefix ops inside each (type, day) shard.
+    wl = Window.partitionBy("event_type", "day").orderBy("a_us", "event_id")
+    wlp = wl.rowsBetween(Window.unboundedPreceding, -1)
+    local = jobs.select(
+        "event_type",
+        "day",
+        "a_us",
+        "event_id",
+        "s_us",
+        F.coalesce(F.sum("s_us").over(wlp), F.lit(0)).alias("p_excl"),
+    ).withColumn("local_d", F.col("p_excl") - F.col("a_us"))
+    local = local.withColumn("m_excl", F.min("local_d").over(wlp))
+
+    # Stage 2 — chunk-domain carries (|types| x |days| rows, broadcastable).
+    wc = Window.partitionBy("event_type").orderBy("day")
+    wcp = wc.rowsBetween(Window.unboundedPreceding, -1)
+    chunks = (
+        local.groupBy("event_type", "day")
+        .agg(
+            F.sum("s_us").alias("c_sum"),
+            F.min("local_d").alias("c_min_local"),
+        )
+        .select(
+            "event_type",
+            "day",
+            F.coalesce(F.sum("c_sum").over(wcp), F.lit(0)).alias("c_prev"),
+            "c_min_local",
+        )
+        .withColumn("g_chunk_min", F.col("c_prev") + F.col("c_min_local"))
+        .withColumn("m_prev", F.min("g_chunk_min").over(wcp))
+        .select("event_type", "day", "c_prev", "m_prev")
+    )
+
+    # Stage 3 — stitch: global D and the global prior-min per row.
+    # F.least skips NULLs (first chunk / first row in chunk); a job with
+    # no predecessor anywhere coalesces to its own D (wait 0), as the
+    # narrow plan does.
+    stitched = local.join(F.broadcast(chunks), ["event_type", "day"])
+    d_g = F.col("c_prev") + F.col("local_d")
+    prior_min = F.least(
+        F.col("m_prev"), F.col("c_prev") + F.col("m_excl")
+    )
+    waits = stitched.select(
+        "event_type",
+        F.greatest(d_g - F.coalesce(prior_min, d_g), F.lit(0)).alias("w_us"),
+    )
+    return (
+        waits.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_jobs"),
+            F.sum(F.when(F.col("w_us") > 0, 1).otherwise(0))
+            .cast("long")
+            .alias("n_delayed"),
+            F.expr("CAST(max(w_us) div 1000 AS BIGINT)").alias("max_wait_ms"),
+            F.expr(
+                "CAST((2 * sum(w_us div 1000) + count(*)) div (2 * count(*))"
+                " AS BIGINT)"
+            ).alias("avg_wait_ms"),
+        )
+        .orderBy("event_type")
+    )

@@ -630,3 +630,16 @@ def test_aes_sample_is_topk_no_window(spark):
     window — the global window must not see the corpus."""
     plan = _physical(spark, "corpus_aes_weighted_sample")
     assert "TakeOrderedAndProject" in plan
+
+
+def test_lindley_sharded_equals_narrow_and_broadcasts_carries(spark):
+    """The (type, day)-sharded Lindley must reproduce the serial queue's
+    readout exactly (prefix sum/min are associative — the chunk-carry
+    identity), and the chunk-domain carry table must come back as a
+    broadcast join, not a shuffle."""
+    narrow = plans.get("rel_queue_wait_lindley").fn(spark, SF)
+    sharded = plans.get("rel_queue_wait_lindley_sharded").fn(spark, SF)
+    assert sorted(map(tuple, narrow.collect())) == sorted(map(tuple, sharded.collect()))
+    plan = _physical(spark, "rel_queue_wait_lindley_sharded")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
