@@ -27,6 +27,16 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 # One representative per operator family (scan/agg, star join, window,
 # as-of, text pipeline, dedup x2, similarity, sessionization, quality).
+#
+# GROWTH POLICY (r5 verdict item 8): the headline is CAPPED at 30
+# queries. The first SHARED_N entries are the frozen round-over-round
+# comparison set — never reordered, never removed — and the output
+# reports their subtotal separately (`shared_subtotal`) so BENCH_r{N}
+# files stay comparable even as flagships rotate in. New flagships may
+# only be appended while len(HEADLINE) <= 30; beyond that, adding one
+# means retiring the newest non-shared entry (rotation), never a shared
+# one.
+SHARED_N = 25  # the r1–r4 set; BENCH_r04/r05 both carry all 25
 HEADLINE = (
     "rel_q1_pricing_summary",
     "rel_q3_shipping_priority",
@@ -71,7 +81,11 @@ HEADLINE = (
     "emb_hard_negative_mining",
     "sim_reciprocal_nn",
     "corpus_boilerplate_profile",
+    # round-6 flagship: the Lindley production-key plan — closes the r5
+    # weak-perf row (4.03x -> 1.76x at sf5; PERF.md round-6 section)
+    "rel_queue_wait_lindley_sharded",
 )
+assert len(HEADLINE) <= 30, "headline cap exceeded — rotate, don't grow"
 
 
 def main() -> None:
@@ -119,6 +133,7 @@ def main() -> None:
 
     m = re.search(r"sf([0-9.]+)", SF_DIR)
     sf = float(m.group(1)) if m else None
+    shared = [n for n in HEADLINE[:SHARED_N]]
     print(
         json.dumps(
             {
@@ -127,6 +142,8 @@ def main() -> None:
                 "unit": "sec",
                 "queries": times,
                 "sf": sf,
+                "shared_subtotal": round(sum(times[n] for n in shared), 3),
+                "shared_n": SHARED_N,
             }
         )
     )
