@@ -722,3 +722,100 @@ def ta_charset_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             "nonascii_u6"
         ),
     ).orderBy("lang")
+
+
+# --- bigram conditional entropy (predictability rate) per source -------------
+
+
+@register(
+    "ta_bigram_entropy",
+    oracle="""
+WITH bg AS (
+  SELECT source, t.b AS b
+  FROM (SELECT source,
+               list_transform(range(1, length(text)), i -> substr(text, i, 2))
+                 AS bs
+        FROM documents),
+       unnest(bs) AS t(b)
+),
+pair AS (
+  SELECT source, b, count(*) AS c_xy FROM bg GROUP BY source, b
+),
+cond AS (
+  SELECT source, b, c_xy,
+         sum(c_xy) OVER (PARTITION BY source, substr(b, 1, 1)) AS c_x,
+         sum(c_xy) OVER (PARTITION BY source) AS tot
+  FROM pair
+)
+SELECT source,
+       CAST(min(tot) AS BIGINT) AS n_bigrams,
+       CAST(count(*) AS BIGINT) AS n_distinct_bigrams,
+       CAST(sum(c_xy * CAST(round(
+             ln(CAST(c_x AS DOUBLE) / CAST(c_xy AS DOUBLE)) * 1000000)
+           AS BIGINT)) // min(tot) AS BIGINT) AS h_cond_u6
+FROM cond
+GROUP BY source
+ORDER BY source
+""",
+    doc="Character-bigram conditional entropy H(next char | char) per "
+    "source, in exact 1e-6-nat integer units — the predictability rate "
+    "that separates natural prose (low, ~1-2 nats) from encoded or "
+    "shuffled noise (high) and from templated boilerplate (very low); "
+    "the sequential companion to ta_char_entropy's unigram signal. "
+    "Exact-integer discipline (the unigram-LM pattern): each bigram's "
+    "term is c_xy * round(ln(c_x/c_xy)*1e6) — ln of a ratio of exact "
+    "BIGINTs, rounded per term BEFORE the sum — so the aggregate is "
+    "order-independent and the close is one integer division by the "
+    "bigram total. Scale shape: the bigram explode never shuffles raw "
+    "text — the (source, bigram) hash-agg's map-side partial collapses "
+    "each partition to <=|charset|^2 rows before the exchange; the "
+    "conditional and total sums are windows over that bounded domain.",
+)
+def ta_bigram_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, "documents", sf_dir)
+    pair = (
+        docs.select(
+            "source",
+            # guard: Spark's sequence(1, 0) DESCENDS ([1, 0]) where
+            # DuckDB's range(1, 1) is empty — a <2-char doc must emit
+            # zero bigrams on both engines
+            F.explode(
+                F.expr(
+                    "CASE WHEN length(text) >= 2 THEN "
+                    "transform(sequence(1, length(text) - 1), i -> substring(text, i, 2)) "
+                    "ELSE CAST(array() AS array<string>) END"
+                )
+            ).alias("b"),
+        )
+        .groupBy("source", "b")
+        .agg(F.count("*").alias("c_xy"))
+    )
+    wx = Window.partitionBy("source", F.substring("b", 1, 1))
+    ws = Window.partitionBy("source")
+    cond = pair.select(
+        "source",
+        "b",
+        "c_xy",
+        F.sum("c_xy").over(wx).alias("c_x"),
+        F.sum("c_xy").over(ws).alias("tot"),
+    )
+    term = F.col("c_xy") * F.round(
+        F.log(F.col("c_x").cast("double") / F.col("c_xy").cast("double")) * 1e6
+    ).cast("long")
+    return (
+        cond.groupBy("source")
+        .agg(
+            F.min("tot").cast("long").alias("n_bigrams"),
+            F.count("*").cast("long").alias("n_distinct_bigrams"),
+            F.sum(term).alias("_t"),
+        )
+        .select(
+            "source",
+            "n_bigrams",
+            "n_distinct_bigrams",
+            F.expr("CAST(_t div n_bigrams AS BIGINT)").alias("h_cond_u6"),
+        )
+        .orderBy("source")
+    )

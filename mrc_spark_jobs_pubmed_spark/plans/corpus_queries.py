@@ -2189,3 +2189,148 @@ LIMIT {AES_K}
 
 
 _register_aes_sample()
+
+
+# --- packing efficiency audit (fill rate, boundary splits) ------------------
+
+
+@register(
+    "corpus_packing_efficiency",
+    oracle=f"""
+WITH base AS (
+  SELECT lang, doc_id, len({_TOKS_SQL}) AS n_tok FROM documents
+),
+cum AS (
+  SELECT lang, doc_id, n_tok,
+         SUM(n_tok) OVER (PARTITION BY lang ORDER BY doc_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS c
+  FROM base
+)
+SELECT lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tok) AS BIGINT) AS total_tokens,
+       CAST(max((c - 1) // {PACK_BUDGET}) + 1 AS BIGINT) AS n_seqs,
+       CAST(sum(n_tok) * 1000000
+            // ((max((c - 1) // {PACK_BUDGET}) + 1) * {PACK_BUDGET})
+         AS BIGINT) AS fill_u6,
+       CAST(count(*) FILTER (
+           n_tok > 0 AND (c - n_tok) // {PACK_BUDGET} <> (c - 1) // {PACK_BUDGET}
+         ) AS BIGINT) AS n_split_docs
+FROM cum
+GROUP BY lang
+ORDER BY lang
+""",
+    doc="Packing-efficiency audit of corpus_pack_greedy's concat-and-split "
+    f"plan (budget {PACK_BUDGET} tokens): per language stream, the "
+    "sequence count, the fill rate (tokens / capacity, exact 1e-6 "
+    "integer units — only the final partial sequence leaves slack in "
+    "the concat-split model), and the number of documents SPLIT across "
+    "a sequence boundary (their start and end offsets land in "
+    "different budget windows) — the two numbers a trainer cares "
+    "about: wasted compute per batch, and how many examples lose "
+    "context at a cut. Same single window shuffle on lang as the "
+    "packer itself; the audit adds only integer arithmetic per row "
+    "and a lang-domain agg. Exactness: cumulative offsets are BIGINT "
+    "token counts; every division is integer.",
+)
+def corpus_packing_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    base = docs.select(
+        "lang", "doc_id", F.size(tokens_col(F.col("text"))).cast("long").alias("n_tok")
+    )
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = base.withColumn("c", F.sum("n_tok").over(w))
+    split = (F.col("n_tok") > 0) & (
+        F.expr(f"(c - n_tok) div {PACK_BUDGET}") != F.expr(f"(c - 1) div {PACK_BUDGET}")
+    )
+    return (
+        cum.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tok").cast("long").alias("total_tokens"),
+            (F.max(F.expr(f"(c - 1) div {PACK_BUDGET}")) + 1)
+            .cast("long")
+            .alias("n_seqs"),
+            F.sum(F.when(split, 1).otherwise(0)).cast("long").alias("_n_split"),
+        )
+        .select(
+            "lang",
+            "n_docs",
+            "total_tokens",
+            "n_seqs",
+            F.expr(f"CAST(total_tokens * 1000000 div (n_seqs * {PACK_BUDGET}) AS BIGINT)").alias(
+                "fill_u6"
+            ),
+            F.col("_n_split").alias("n_split_docs"),
+        )
+        .orderBy("lang")
+    )
+
+
+# --- token-mass concentration (Gini) per source ------------------------------
+
+
+@register(
+    "corpus_source_gini",
+    oracle=f"""
+WITH base AS (
+  SELECT source, doc_id, len({_TOKS_SQL}) AS x FROM documents
+),
+ranked AS (
+  SELECT source, x,
+         row_number() OVER (PARTITION BY source ORDER BY x, doc_id) AS i
+  FROM base
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(x) AS BIGINT) AS total_tokens,
+       CAST((2 * sum(i * x) - (count(*) + 1) * sum(x)) * 1000000
+            // (count(*) * sum(x)) AS BIGINT) AS gini_u6
+FROM ranked
+GROUP BY source
+ORDER BY source
+""",
+    doc="Token-mass concentration (Gini coefficient) of documents within "
+    "each source: 0 = every doc the same length, ->1 = a few giant "
+    "docs carry the mass — the mixture diagnostic that tells a corpus "
+    "builder whether a source's token budget is really spread across "
+    "its documents or hiding in a handful (which skews packing, "
+    "sampling, and dedup cost). Computed by the sorted-identity "
+    "G = (2*sum(i*x_i) - (n+1)*sum(x)) / (n*sum(x)) over docs ranked "
+    "ascending by (tokens, doc_id) — every term exact BIGINT, emitted "
+    "in 1e-6 units via integer division. Scale shape: one shuffle on "
+    "source for the ranking window, then a source-domain agg; "
+    "sum(i*x) <= n^2 * max_tok stays in int64 to ~100M docs/source x "
+    "1k tokens — beyond that run the same identity in DECIMAL(38,0) "
+    "partials (the two-step headroom rule).",
+)
+def corpus_source_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    base = docs.select(
+        "source", "doc_id", F.size(tokens_col(F.col("text"))).cast("long").alias("x")
+    )
+    w = Window.partitionBy("source").orderBy("x", "doc_id")
+    ranked = base.withColumn("i", F.row_number().over(w).cast("long"))
+    return (
+        ranked.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("x").cast("long").alias("total_tokens"),
+            F.sum(F.col("i") * F.col("x")).cast("long").alias("_ix"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "total_tokens",
+            F.expr(
+                "CAST((2 * _ix - (n_docs + 1) * total_tokens) * 1000000"
+                " div (n_docs * total_tokens) AS BIGINT)"
+            ).alias("gini_u6"),
+        )
+        .orderBy("source")
+    )

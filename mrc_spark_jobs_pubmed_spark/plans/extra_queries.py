@@ -3312,3 +3312,174 @@ def rel_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("n_users") < LDIV_L)
         .orderBy("event_type", "day", "val_bucket")
     )
+
+
+# --- distribution window functions: percent_rank / cume_dist ----------------
+
+
+@register(
+    "rel_window_distribution",
+    oracle="""
+SELECT o_orderkey,
+       o_orderpriority,
+       round(percent_rank() OVER w, 6) AS pct_rank,
+       round(cume_dist() OVER w, 6) AS cume_d
+FROM orders
+WINDOW w AS (PARTITION BY o_orderpriority
+             ORDER BY CAST(round(o_totalprice * 100) AS BIGINT))
+""",
+    doc="Distribution window functions — percent_rank and cume_dist of "
+    "each order's price inside its priority class, the remaining "
+    "ranking-window surface beyond rel_window_rank_suite's row_number/"
+    "rank/dense_rank/ntile: 'this order is more expensive than X% of "
+    "its class' without materializing a histogram. Both functions are "
+    "pure rank arithmetic over exact-cents BIGINT ordering ((rank-1)/"
+    "(n-1) and peers/n — single IEEE divisions of integers, bit-"
+    "identical cross-engine; ties share a rank so the values are "
+    "partitioning-independent). Scale shape: one shuffle on the "
+    "partition key, one sort per partition — identical cost to any "
+    "ranking window; nothing extra materializes.",
+)
+def rel_window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, "orders", sf_dir)
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    w = Window.partitionBy("o_orderpriority").orderBy(cents)
+    return orders.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume_d"),
+    )
+
+
+# --- weighted median (cumulative-weight window, exact) ----------------------
+
+
+@register(
+    "rel_weighted_median",
+    oracle="""
+WITH t AS (
+  SELECT l_returnflag,
+         CAST(round(l_extendedprice * 100) AS BIGINT) AS cents,
+         CAST(l_quantity AS BIGINT) AS w
+  FROM lineitem
+),
+cum AS (
+  SELECT l_returnflag, cents, w,
+         sum(w) OVER (PARTITION BY l_returnflag ORDER BY cents
+                      RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cw,
+         sum(w) OVER (PARTITION BY l_returnflag) AS tw
+  FROM t
+)
+SELECT l_returnflag,
+       CAST(min(cents) AS BIGINT) AS wmedian_cents,
+       CAST(min(tw) AS BIGINT) AS total_weight
+FROM cum
+WHERE 2 * cw >= tw
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+""",
+    doc="Weighted median: the smallest price whose cumulative quantity "
+    "weight reaches half the group's total — the inventory-weighted "
+    "'typical price' that an unweighted median misstates when cheap "
+    "items ship in bulk. Exactness: the lower weighted median over "
+    "exact cents needs NO interpolation, and the cumulative window "
+    "uses a RANGE frame so price-tied rows aggregate as peers — cw at "
+    "any cents value is tie-order-independent, hence engine- and "
+    "partitioning-exact (the ROWS-frame version would not be). Scale "
+    "shape: one shuffle on the group key, one sort per group, a "
+    "filter + min close — the same cost envelope as any percentile "
+    "window; at 100 TB pre-aggregate to (flag, cents, sum w) first "
+    "(bounded price grid) so the window runs on the collapsed domain.",
+)
+def rel_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, "lineitem", sf_dir)
+    t = li.select(
+        "l_returnflag",
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("cents"),
+        F.col("l_quantity").cast("long").alias("w"),
+    )
+    wcum = (
+        Window.partitionBy("l_returnflag")
+        .orderBy("cents")
+        .rangeBetween(Window.unboundedPreceding, 0)
+    )
+    wall = Window.partitionBy("l_returnflag")
+    cum = t.select(
+        "l_returnflag",
+        "cents",
+        F.sum("w").over(wcum).alias("cw"),
+        F.sum("w").over(wall).alias("tw"),
+    )
+    return (
+        cum.where(2 * F.col("cw") >= F.col("tw"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.min("cents").cast("long").alias("wmedian_cents"),
+            F.min("tw").cast("long").alias("total_weight"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+# --- exact mode with deterministic tie-break --------------------------------
+
+
+@register(
+    "rel_mode_stats",
+    oracle="""
+WITH counts AS (
+  SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS qty,
+         count(*) AS n
+  FROM lineitem GROUP BY 1, 2
+),
+ranked AS (
+  SELECT l_returnflag, qty, n,
+         row_number() OVER (PARTITION BY l_returnflag
+                            ORDER BY n DESC, qty ASC) AS rn
+  FROM counts
+)
+SELECT l_returnflag,
+       CAST(qty AS BIGINT) AS mode_qty,
+       CAST(n AS BIGINT) AS mode_count,
+       CAST((SELECT count(*) FROM counts c
+             WHERE c.l_returnflag = ranked.l_returnflag) AS BIGINT)
+         AS n_distinct_qty
+FROM ranked WHERE rn = 1
+ORDER BY l_returnflag
+""",
+    doc="Exact statistical mode per group with a DETERMINISTIC tie-break "
+    "(max count, then smallest value) — engines' built-in mode() leaves "
+    "ties implementation-defined, which is exactly the kind of silent "
+    "nondeterminism the registry exists to exclude; this plan makes the "
+    "tie rule part of the contract. Scale shape: one (group, value) "
+    "hash-agg with map-side partials collapses the corpus to the "
+    "bounded value domain, then the ranking window and the distinct "
+    "count run on that collapsed table — constant in row count, the "
+    "ta_char_entropy shape. The mode is the discrete companion to "
+    "rel_weighted_median in the robust-statistics family.",
+)
+def rel_mode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, "lineitem", sf_dir)
+    counts = (
+        li.select("l_returnflag", F.col("l_quantity").cast("long").alias("qty"))
+        .groupBy("l_returnflag", "qty")
+        .agg(F.count("*").alias("n"))
+    )
+    w = Window.partitionBy("l_returnflag").orderBy(F.desc("n"), F.asc("qty"))
+    ranked = counts.withColumn("rn", F.row_number().over(w))
+    ndist = counts.groupBy("l_returnflag").agg(
+        F.count("*").cast("long").alias("n_distinct_qty")
+    )
+    return (
+        ranked.where(F.col("rn") == 1)
+        .join(F.broadcast(ndist), "l_returnflag")
+        .select(
+            "l_returnflag",
+            F.col("qty").cast("long").alias("mode_qty"),
+            F.col("n").cast("long").alias("mode_count"),
+            "n_distinct_qty",
+        )
+        .orderBy("l_returnflag")
+    )

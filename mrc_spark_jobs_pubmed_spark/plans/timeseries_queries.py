@@ -2341,3 +2341,192 @@ def rel_queue_wait_lindley_sharded(spark: SparkSession, sf_dir: str) -> DataFram
         )
         .orderBy("event_type")
     )
+
+
+# --- interval coalescing (merge overlapping intervals) ----------------------
+
+
+@register(
+    "rel_interval_coalesce",
+    oracle=f"""
+WITH iv AS (
+  SELECT user_id,
+         epoch_us(ts) AS a_us,
+         epoch_us(ts) + CAST(round(value * 10000) AS BIGINT) * {Q_SVC_PER_U4}
+           AS e_us,
+         event_id
+  FROM events
+),
+flagged AS (
+  SELECT user_id, a_us, e_us,
+         CASE WHEN a_us <= coalesce(max(e_us) OVER (
+                PARTITION BY user_id ORDER BY a_us, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+              ), -1) THEN 0 ELSE 1 END AS new_island
+  FROM iv
+),
+islands AS (
+  SELECT user_id, a_us, e_us,
+         sum(new_island) OVER (
+           PARTITION BY user_id ORDER BY a_us, e_us
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS island_id
+  FROM flagged
+),
+merged AS (
+  SELECT user_id, island_id,
+         max(e_us) - min(a_us) AS covered_us
+  FROM islands GROUP BY user_id, island_id
+)
+SELECT user_id,
+       CAST(count(*) AS BIGINT) AS n_islands,
+       CAST(sum(covered_us) AS BIGINT) AS covered_us,
+       CAST(max(covered_us) AS BIGINT) AS longest_us
+FROM merged
+GROUP BY user_id
+ORDER BY user_id
+""",
+    doc="Interval coalescing (merge overlapping intervals) per user: each "
+    "event opens a service interval [ts, ts + value-proportional µs) "
+    "(the Lindley job model), overlapping-or-touching intervals merge "
+    "into islands, and the readout is islands / total covered time / "
+    "longest island per user — the time-coverage dedup behind billable-"
+    "hours, uptime, and session-coverage metrics, where summing raw "
+    "durations double-counts overlaps. The classic sweep: a running "
+    "max(end) over prior rows flags island starts (start > every prior "
+    "end), a running sum of flags numbers islands. All integer µs; "
+    "(a_us, event_id) total-orders the sweep so island ids are engine-"
+    "exact. Scale shape: ONE shuffle on user_id serves the flag window, "
+    "the island agg, and the user agg (same-key exchanges reuse the "
+    "partitioning); per-user state is the user's own event count — the "
+    "same bounded-window argument as rel_double_fire_events. At 100 TB "
+    "shard the sweep by (user, day) with the boundary-carry identity "
+    "rel_queue_wait_lindley_sharded demonstrates.",
+)
+def rel_interval_coalesce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    iv = ev.select(
+        "user_id",
+        F.unix_micros("ts").alias("a_us"),
+        (
+            F.unix_micros("ts")
+            + F.expr("CAST(round(value * 10000) AS BIGINT)") * Q_SVC_PER_U4
+        ).alias("e_us"),
+        "event_id",
+    )
+    w = Window.partitionBy("user_id").orderBy("a_us", "event_id")
+    wp = w.rowsBetween(Window.unboundedPreceding, -1)
+    flagged = iv.select(
+        "user_id",
+        "a_us",
+        "e_us",
+        F.when(
+            F.col("a_us") <= F.coalesce(F.max("e_us").over(wp), F.lit(-1)),
+            F.lit(0),
+        )
+        .otherwise(F.lit(1))
+        .alias("new_island"),
+    )
+    wi = (
+        Window.partitionBy("user_id")
+        .orderBy("a_us", "e_us")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    islands = flagged.select(
+        "user_id",
+        "a_us",
+        "e_us",
+        F.sum("new_island").over(wi).alias("island_id"),
+    )
+    merged = islands.groupBy("user_id", "island_id").agg(
+        (F.max("e_us") - F.min("a_us")).alias("covered_us")
+    )
+    return (
+        merged.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_islands"),
+            F.sum("covered_us").cast("long").alias("covered_us"),
+            F.max("covered_us").cast("long").alias("longest_us"),
+        )
+        .orderBy("user_id")
+    )
+
+
+# --- time-decayed engagement score (exact dyadic half-life) -----------------
+
+DECAY_HL_US = 7 * DAY_US  # half-life: one week
+DECAY_K = 20  # ages beyond K half-lives contribute 0 weight
+DECAY_TOPK = 100
+
+
+@register(
+    "rel_decayed_engagement",
+    oracle=f"""
+WITH jobs AS (
+  SELECT user_id, epoch_us(ts) AS a_us,
+         CAST(round(value * 10000) AS BIGINT) AS v_u4
+  FROM events
+),
+ref AS (SELECT max(a_us) AS t_ref FROM jobs),
+weighted AS (
+  SELECT user_id,
+         v_u4 * (CAST(1 AS BIGINT) << ({DECAY_K} - CAST(least(
+             {DECAY_K}, (t_ref - a_us) // {DECAY_HL_US}) AS INTEGER)))
+           AS num
+  FROM jobs, ref
+)
+SELECT user_id,
+       CAST(sum(num) AS BIGINT) AS score_num,
+       CAST(sum(num) // (CAST(1 AS BIGINT) << {DECAY_K}) AS BIGINT)
+         AS score_u4
+FROM weighted
+GROUP BY user_id
+ORDER BY score_num DESC, user_id
+LIMIT {DECAY_TOPK}
+""",
+    doc="Time-decayed engagement score per user with a one-week half-life "
+    "— the recency-weighted ranking behind 'active user' leaderboards "
+    "and churn-risk ordering, computed with ZERO float accumulation: "
+    "ages bucket into whole half-lives k (integer µs division against "
+    "the corpus max timestamp, a 1-row broadcast), the weight is the "
+    f"exact dyadic 2^({DECAY_K}-k) (ages past {DECAY_K} half-lives "
+    "contribute 0), so the score numerator is a pure BIGINT sum — "
+    "order-independent, bit-identical on any engine or partitioning, "
+    "the rel_ewma_smoothing discipline applied to the decayed-counter "
+    "serving pattern. Top-100 by (numerator, user) is fully "
+    "deterministic. Scale shape: one scalar broadcast, one user-keyed "
+    "hash-agg with map-side partials, one TakeOrdered — no window, no "
+    "sort of the corpus. Overflow headroom: |v_u4| <= 1e7 x 2^20 x "
+    "events/user — int64-safe to ~8e5 events per user; beyond that "
+    "split the sum by age bucket (the weight is constant within one, "
+    "so partials stay exact).",
+)
+def rel_decayed_engagement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    jobs = ev.select(
+        "user_id",
+        F.unix_micros("ts").alias("a_us"),
+        F.expr("CAST(round(value * 10000) AS BIGINT)").alias("v_u4"),
+    )
+    ref = jobs.agg(F.max("a_us").alias("t_ref"))
+    k = F.least(
+        F.lit(DECAY_K),
+        F.expr(f"(t_ref - a_us) div {DECAY_HL_US}"),
+    ).cast("int")
+    num = F.col("v_u4") * F.expr(f"shiftleft(CAST(1 AS BIGINT), {DECAY_K} - _k)")
+    return (
+        jobs.join(F.broadcast(ref))
+        .withColumn("_k", k)
+        .withColumn("num", num)
+        .groupBy("user_id")
+        .agg(F.sum("num").cast("long").alias("score_num"))
+        .select(
+            "user_id",
+            "score_num",
+            F.expr(f"CAST(score_num div shiftleft(CAST(1 AS BIGINT), {DECAY_K}) AS BIGINT)").alias(
+                "score_u4"
+            ),
+        )
+        .orderBy(F.desc("score_num"), "user_id")
+        .limit(DECAY_TOPK)
+    )
