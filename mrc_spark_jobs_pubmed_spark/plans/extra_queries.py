@@ -3383,38 +3383,68 @@ ORDER BY l_returnflag
     doc="Weighted median: the smallest price whose cumulative quantity "
     "weight reaches half the group's total — the inventory-weighted "
     "'typical price' that an unweighted median misstates when cheap "
-    "items ship in bulk. Exactness: the lower weighted median over "
-    "exact cents needs NO interpolation, and the cumulative window "
-    "uses a RANGE frame so price-tied rows aggregate as peers — cw at "
-    "any cents value is tie-order-independent, hence engine- and "
-    "partitioning-exact (the ROWS-frame version would not be). Scale "
-    "shape: one shuffle on the group key, one sort per group, a "
-    "filter + min close — the same cost envelope as any percentile "
-    "window; at 100 TB pre-aggregate to (flag, cents, sum w) first "
-    "(bounded price grid) so the window runs on the collapsed domain.",
+    "items ship in bulk. The lower weighted median over exact cents "
+    "needs NO interpolation, so every step is integer. The ORACLE runs "
+    "the definitional RANGE-frame cumulative window; the engine plan "
+    "deliberately does NOT (a per-flag window is key-bounded to "
+    "|flags|=3 partitions — measured 32 s at sf5, the narrow-key trap) "
+    "and instead runs the classic DISTRIBUTED two-pass selection: "
+    "(1) weight totals per flag (broadcast); (2) a (flag, price-"
+    "bucket) hash-agg with map-side partials + a cumulative window on "
+    "the tiny bucket domain locates the single bucket containing the "
+    "median crossing (unique: first bucket with 2·cum ≥ total); "
+    "(3) only rows in that bucket re-aggregate per exact cents, and a "
+    "window on the in-bucket cents domain (≤ bucket width) closes "
+    "with the carry weight from below. Every corpus-sized pass is an "
+    "embarrassingly parallel hash-agg; no window ever sees more than "
+    "the bucket-domain rows. Ties aggregate per cents BEFORE any "
+    "cumulative, so the cut is tie-order- and partitioning-exact.",
 )
 def rel_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    BUCKET = 100_000  # $1k price buckets; in-bucket cents domain <= 1e5
     li = load_table(spark, "lineitem", sf_dir)
     t = li.select(
         "l_returnflag",
         F.round(F.col("l_extendedprice") * 100).cast("long").alias("cents"),
         F.col("l_quantity").cast("long").alias("w"),
+    ).withColumn("bucket", F.expr(f"cents div {BUCKET}"))
+
+    tot = t.groupBy("l_returnflag").agg(F.sum("w").alias("tw"))
+
+    wb = (
+        Window.partitionBy("l_returnflag")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, 0)
     )
-    wcum = (
+    bcum = (
+        t.groupBy("l_returnflag", "bucket")
+        .agg(F.sum("w").alias("bw"))
+        .withColumn("cumb", F.sum("bw").over(wb))
+        .join(F.broadcast(tot), "l_returnflag")
+    )
+    target = bcum.where(
+        (2 * F.col("cumb") >= F.col("tw")) & (2 * (F.col("cumb") - F.col("bw")) < F.col("tw"))
+    ).select(
+        "l_returnflag",
+        "bucket",
+        (F.col("cumb") - F.col("bw")).alias("below"),
+        "tw",
+    )
+
+    cand = t.join(F.broadcast(target), ["l_returnflag", "bucket"])
+    wc = (
         Window.partitionBy("l_returnflag")
         .orderBy("cents")
-        .rangeBetween(Window.unboundedPreceding, 0)
+        .rowsBetween(Window.unboundedPreceding, 0)
     )
-    wall = Window.partitionBy("l_returnflag")
-    cum = t.select(
-        "l_returnflag",
-        "cents",
-        F.sum("w").over(wcum).alias("cw"),
-        F.sum("w").over(wall).alias("tw"),
+    sel = (
+        cand.groupBy("l_returnflag", "cents", "below", "tw")
+        .agg(F.sum("w").alias("cw0"))
+        .withColumn("cum", F.col("below") + F.sum("cw0").over(wc))
+        .where(2 * F.col("cum") >= F.col("tw"))
     )
     return (
-        cum.where(2 * F.col("cw") >= F.col("tw"))
-        .groupBy("l_returnflag")
+        sel.groupBy("l_returnflag")
         .agg(
             F.min("cents").cast("long").alias("wmedian_cents"),
             F.min("tw").cast("long").alias("total_weight"),
