@@ -643,3 +643,51 @@ def test_lindley_sharded_equals_narrow_and_broadcasts_carries(spark):
     plan = _physical(spark, "rel_queue_wait_lindley_sharded")
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_r6_batch_plan_shapes(spark):
+    """Round-6 batch: no cartesians anywhere; the specific shape claims
+    each docstring makes are pinned here (counts are from the formatted
+    explain, which lists each node twice — tree + details)."""
+    # interval coalescing: one user_id partitioning serves both windows
+    # and both aggs — no join, no cartesian
+    p = _physical(spark, "rel_interval_coalesce")
+    assert "CartesianProduct" not in p and "Join" not in p
+    assert p.count("Exchange") <= 4  # <=2 real, all hashpartitioning(user_id)
+    assert "hashpartitioning(user_id" in p
+
+    # decayed engagement: no window at all — scalar broadcast + hash-agg
+    # + TakeOrdered (the 1-row max-ts broadcast is the only BNLJ)
+    p = _physical(spark, "rel_decayed_engagement")
+    assert "TakeOrderedAndProject" in p
+    assert p.count("Window") == 0
+    assert "CartesianProduct" not in p
+
+    # percent_rank/cume_dist: exactly one real exchange (the window key)
+    p = _physical(spark, "rel_window_distribution")
+    assert p.count("Exchange") <= 2 and "Window" in p
+
+    # weighted median: distributed selection — broadcast joins for the
+    # totals/target-bucket, never a corpus-sized flag-keyed window
+    p = _physical(spark, "rel_weighted_median")
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
+
+    # mode: value domain collapses before the ranking window; the
+    # distinct-count joins back as a broadcast
+    p = _physical(spark, "rel_mode_stats")
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
+
+    # gini / packing efficiency: one key shuffle (+ the tiny ordered
+    # output's range partitioning), map-side partials
+    for name in ("corpus_source_gini", "corpus_packing_efficiency"):
+        p = _physical(spark, name)
+        assert "CartesianProduct" not in p and "Join" not in p
+        assert p.count("Exchange") <= 6
+
+    # bigram entropy: the (source, bigram) agg ships partial counts —
+    # raw exploded bigrams never cross an exchange
+    p = _physical(spark, "ta_bigram_entropy")
+    assert "partial_count" in p or "partial" in p.lower()
+    assert "CartesianProduct" not in p
