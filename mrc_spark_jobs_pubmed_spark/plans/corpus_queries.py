@@ -2334,3 +2334,82 @@ def corpus_source_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# --- shard skew audit (straggler detection before training) ------------------
+
+
+def _register_shard_skew_audit() -> None:
+    from mrc_spark_jobs_pubmed_spark.operators.dedup import _hex2long
+
+    oracle = f"""
+WITH assigned AS (
+  SELECT doc_id,
+         {_hex2long("md5(CAST(doc_id AS VARCHAR))", 1)} % {N_SHARDS} AS shard,
+         len({_TOKS_SQL}) AS n_tok
+  FROM documents
+),
+per AS (
+  SELECT shard, count(*) AS n_docs, sum(n_tok) AS toks
+  FROM assigned GROUP BY shard
+)
+SELECT shard,
+       CAST(n_docs AS BIGINT) AS n_docs,
+       CAST(toks AS BIGINT) AS shard_tokens,
+       CAST(toks * 1000000 // (SELECT sum(toks) FROM per) AS BIGINT)
+         AS token_share_u6,
+       CAST(toks * {N_SHARDS} * 1000000 // (SELECT sum(toks) FROM per)
+            - 1000000 AS BIGINT) AS skew_u6
+FROM per
+ORDER BY shard
+"""
+
+    @register(
+        "corpus_shard_skew_audit",
+        oracle=oracle,
+        doc="Shard-skew audit of the corpus_shuffle_shards layout: per "
+        "shard, the doc count, token mass, token share (1e-6 units), "
+        "and the skew vs the ideal uniform share (share·N − 1, signed "
+        "1e-6 units) — the straggler check a trainer runs BEFORE an "
+        "epoch, because one hot shard sets the step time of every "
+        "data-parallel worker (the same reason the engine salts "
+        "skewed join keys). md5 assignment makes skew purely "
+        "statistical; the audit turns that assumption into a measured "
+        "number. Scale shape: one (shard) hash-agg with map-side "
+        "partials — token counting is per-row codegen — then an "
+        f"{N_SHARDS}-row domain close with a 1-row total broadcast. "
+        "All integer; signed skew uses BIGINT division truncation "
+        "identically on both engines only for non-negative shares, so "
+        "the subtraction runs AFTER the non-negative division.",
+    )
+    def corpus_shard_skew_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+        docs = load_table(spark, "documents", sf_dir)
+        h = F.md5(F.col("doc_id").cast("string"))
+        assigned = docs.select(
+            (F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % N_SHARDS).alias(
+                "shard"
+            ),
+            F.size(tokens_col(F.col("text"))).cast("long").alias("n_tok"),
+        )
+        per = assigned.groupBy("shard").agg(
+            F.count("*").alias("n_docs"), F.sum("n_tok").alias("toks")
+        )
+        tot = per.agg(F.sum("toks").alias("tot"))
+        return (
+            per.join(F.broadcast(tot))
+            .select(
+                "shard",
+                F.col("n_docs").cast("long").alias("n_docs"),
+                F.col("toks").cast("long").alias("shard_tokens"),
+                F.expr("CAST(toks * 1000000 div tot AS BIGINT)").alias(
+                    "token_share_u6"
+                ),
+                F.expr(
+                    f"CAST(toks * {N_SHARDS} * 1000000 div tot - 1000000 AS BIGINT)"
+                ).alias("skew_u6"),
+            )
+            .orderBy("shard")
+        )
+
+
+_register_shard_skew_audit()

@@ -574,3 +574,85 @@ def mm_aspect_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("ar_u6").cast("long").alias("min_ar_u6"),
         F.max("ar_u6").cast("long").alias("max_ar_u6"),
     )
+
+
+# --- multimodal token-budget accounting --------------------------------------
+
+PATCH = 14  # ViT-style patch edge; tokens = ceil(w/14) * ceil(h/14)
+MS_PER_AUDIO_TOKEN = 80  # 12.5 audio tokens per second
+
+
+@register(
+    "mm_token_budget",
+    oracle=f"""
+WITH decoded AS (
+  SELECT doc_id,
+         16 + CAST('0x' || substr(md5(text), 1, 2) AS INTEGER) AS w,
+         16 + CAST('0x' || substr(md5(text), 3, 2) AS INTEGER) AS h,
+         250 * (doc_id % 8 + 1) AS duration_ms
+  FROM documents
+),
+grid AS (
+  SELECT (w + {PATCH - 1}) // {PATCH} AS gw,
+         (h + {PATCH - 1}) // {PATCH} AS gh,
+         duration_ms
+  FROM decoded
+)
+SELECT CAST(gw AS BIGINT) AS gw,
+       CAST(gh AS BIGINT) AS gh,
+       CAST(count(*) AS BIGINT) AS n_items,
+       CAST(sum(gw * gh) AS BIGINT) AS vision_tokens,
+       CAST(sum(duration_ms // {MS_PER_AUDIO_TOKEN}) AS BIGINT)
+         AS audio_tokens,
+       CAST(sum(gw * gh) + sum(duration_ms // {MS_PER_AUDIO_TOKEN})
+         AS BIGINT) AS total_tokens
+FROM grid
+GROUP BY gw, gh
+ORDER BY gw, gh
+""",
+    doc="Multimodal token-budget accounting: each media item's decoded "
+    f"resolution (the md5-derived stub decode of mm_decode_features) "
+    f"maps to a ViT patch grid (ceil(w/{PATCH}) x ceil(h/{PATCH}) "
+    "vision tokens) and its duration to audio tokens "
+    f"({MS_PER_AUDIO_TOKEN} ms each), aggregated per patch-grid bucket "
+    "— the compute-budget table a multimodal trainer needs to size "
+    "batches and balance resolution buckets (the token-cost companion "
+    "to mm_aspect_bucket's shape binning). All integer: ceil division "
+    "is (x+k-1) div k on both engines, durations are exact ms. Scale "
+    "shape: per-row codegen arithmetic + one bounded-domain hash-agg "
+    "(grid dims <= 20x20) with map-side partials — one corpus scan, "
+    "one tiny exchange; the real decode stays behind the same "
+    "metadata-first contract (never decode to count tokens).",
+)
+def mm_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = _media(spark, sf_dir)
+    h = F.md5(F.decode(F.col("content"), "utf-8"))
+    decoded = media.select(
+        (16 + F.conv(F.substring(h, 1, 2), 16, 10).cast("int")).alias("w"),
+        (16 + F.conv(F.substring(h, 3, 2), 16, 10).cast("int")).alias("h"),
+        F.col("meta.duration_ms").alias("duration_ms"),
+    )
+    grid = decoded.select(
+        F.expr(f"CAST((w + {PATCH - 1}) div {PATCH} AS BIGINT)").alias("gw"),
+        F.expr(f"CAST((h + {PATCH - 1}) div {PATCH} AS BIGINT)").alias("gh"),
+        "duration_ms",
+    )
+    return (
+        grid.groupBy("gw", "gh")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.sum(F.col("gw") * F.col("gh")).cast("long").alias("vision_tokens"),
+            F.sum(F.expr(f"duration_ms div {MS_PER_AUDIO_TOKEN}"))
+            .cast("long")
+            .alias("audio_tokens"),
+        )
+        .select(
+            "gw",
+            "gh",
+            "n_items",
+            "vision_tokens",
+            "audio_tokens",
+            (F.col("vision_tokens") + F.col("audio_tokens")).alias("total_tokens"),
+        )
+        .orderBy("gw", "gh")
+    )
