@@ -1415,3 +1415,81 @@ def stateful_queue_wait(
     return src.groupBy("event_type").applyInPandasWithState(
         update, out_schema, state_schema, "update", "NoTimeout"
     )
+
+
+def stateful_interval_coalesce(
+    events: DataFrame, svc_per_u4: int = Q_SVC_PER_U4
+) -> DataFrame:
+    """Streaming twin of rel_interval_coalesce: merge-overlapping-intervals
+    per user with TWO longs of open-island state (start, max end) plus the
+    replay cursor. Each event opens [a_us, a_us + s_us); an arrival at or
+    under the carried max end EXTENDS the open island, an arrival beyond
+    it CLOSES the island (emit) and opens a new one — the sweep-line flag
+    of the batch window, folded. Emitted islands are final (update mode
+    cannot retract); the currently-open island emits only when a later
+    event closes it, so a sentinel event per user drains the tail in
+    replay tests, exactly the burst-detection contract."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    out_schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("start_us", T.LongType()),
+            T.StructField("end_us", T.LongType()),
+            T.StructField("covered_us", T.LongType()),
+        ]
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("open_start", T.LongType()),
+            T.StructField("open_end", T.LongType()),
+            T.StructField("last_key", T.ArrayType(T.LongType())),
+        ]
+    )
+
+    def update(key, pdfs, state):
+        (user,) = key
+        rows = pd.concat(list(pdfs), ignore_index=True)
+        if not len(rows):
+            return
+        evs = sorted(
+            (
+                int(t) // 1000,
+                int(e),
+                int(round(float(v) * 10000)) * svc_per_u4,
+            )
+            for t, e, v in zip(
+                rows["ts"].astype("int64"), rows["event_id"], rows["value"]
+            )
+        )
+        if state.exists:
+            o_start, o_end = int(state.get[0]), int(state.get[1])
+            lk = list(state.get[2])
+            evs = [e for e in evs if (e[0], e[1]) > (lk[0], lk[1])]
+            if not evs:
+                return
+            has_open = True
+        else:
+            o_start = o_end = 0
+            has_open = False
+        out = []
+        for a_us, eid, s_us in evs:
+            e_us = a_us + s_us
+            if not has_open:
+                o_start, o_end, has_open = a_us, e_us, True
+            elif a_us <= o_end:
+                o_end = max(o_end, e_us)
+            else:
+                out.append((user, o_start, o_end, o_end - o_start))
+                o_start, o_end = a_us, e_us
+        state.update((o_start, o_end, [evs[-1][0], evs[-1][1]]))
+        if out:
+            yield pd.DataFrame(
+                out, columns=["user_id", "start_us", "end_us", "covered_us"]
+            )
+
+    src = events.withWatermark("ts", WATERMARK)
+    return src.groupBy("user_id").applyInPandasWithState(
+        update, out_schema, state_schema, "update", "NoTimeout"
+    )

@@ -889,3 +889,76 @@ def test_queue_wait_stream_equals_batch(spark, tmp_path):
     }
     assert got == want and len(want) > 0
     assert any(t[3] > 0 for t in want)  # queue actually backs up somewhere
+
+
+def test_interval_coalesce_stream_equals_batch(spark, tmp_path):
+    """Streaming interval coalescing (applyInPandasWithState, two longs
+    of open-island state per user) must emit exactly the batch query's
+    merged islands once a later arrival closes each one — a sentinel
+    event per user, far past the end, drains the final open islands;
+    the sentinel's own island never emits."""
+    import os
+    import time
+
+    from mrc_spark_jobs_pubmed_spark.plans.timeseries_queries import (
+        rel_interval_coalesce,
+    )
+
+    src = str(tmp_path / "ic_src")
+    os.makedirs(src)
+    ev = _batch_events(spark)
+    lo, hi = ev.agg(F.min("ts"), F.max("ts")).collect()[0]
+    cuts = [lo, lo + (hi - lo) / 3, lo + 2 * (hi - lo) / 3, hi]
+    for i in range(3):
+        cond = (F.col("ts") >= F.lit(cuts[i])) & (
+            F.col("ts") <= F.lit(cuts[i + 1])
+            if i == 2
+            else F.col("ts") < F.lit(cuts[i + 1])
+        )
+        ev.where(cond).coalesce(1).write.parquet(f"{src}/t{i}")
+        time.sleep(1.1)
+    # sentinel: one zero-length event per user, 30 days past the end —
+    # beyond any open island's max end, so it closes the last real island
+    sent = (
+        ev.groupBy("user_id")
+        .agg(F.max("ts").alias("mx"))
+        .select(
+            F.lit(10**9).cast("long").alias("event_id"),
+            (F.col("mx") + F.expr("INTERVAL 30 DAYS")).alias("ts"),
+            "user_id",
+            F.lit("view").alias("event_type"),
+            F.lit(0.0).alias("value"),
+            F.lit("{}").alias("props"),
+        )
+    )
+    sent.select([f.name for f in ev.schema.fields]).coalesce(1).write.parquet(
+        f"{src}/t3"
+    )
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("recursiveFileLookup", "true")
+        .parquet(src)
+    )
+    q = (
+        J.stateful_interval_coalesce(stream)
+        .writeStream.format("memory")
+        .queryName("t_ic")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ic_ckpt"))
+        .start()
+    )
+    _drain(q)
+    got = {
+        (r.user_id, r.n_islands, r.covered_us, r.longest_us)
+        for r in spark.sql(
+            "SELECT user_id, count(*) AS n_islands,"
+            " sum(covered_us) AS covered_us, max(covered_us) AS longest_us"
+            " FROM t_ic GROUP BY user_id"
+        ).collect()
+    }
+    want = {
+        (r.user_id, r.n_islands, r.covered_us, r.longest_us)
+        for r in rel_interval_coalesce(spark, SF).collect()
+    }
+    assert got == want and len(want) > 0
