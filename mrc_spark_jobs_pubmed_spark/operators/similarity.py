@@ -557,7 +557,7 @@ def knn_join_bucketed(
 def mine_triplets_gemm(
     emb: DataFrame,
     anchors: DataFrame,
-    chunks: int = 64,
+    chunks: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
@@ -590,7 +590,19 @@ def mine_triplets_gemm(
     import numpy as np
     import pandas as pd
 
-    P = chunks
+    if chunks is None:
+        # Adaptive chunk count: the per-task GEMM result is
+        # (corpus/P) x anchors float64 — at a FIXED P it grows
+        # quadratically with corpus size and thrashed the allocator at
+        # sf20 (6250 x 8000 x 8 B = 400 MB per matrix, ~4 live
+        # temporaries, 32 concurrent tasks). Size P so the cosine
+        # matrix stays ~64 MB: two cheap count jobs, paid once per
+        # invocation, keep the kernel memory-flat at any scale.
+        TARGET_BYTES = 64 * 1024 * 1024
+        nc = emb.count()
+        na = anchors.count()
+        chunks = max(64, -(-(nc * max(na, 1) * 8) // TARGET_BYTES))
+    P = int(chunks)
     corpus = emb.select(
         (F.col(id_col) % P).alias("pb"),
         F.col(id_col).alias("_id"),
@@ -622,13 +634,18 @@ def mine_triplets_gemm(
         cos = Cn @ An.T  # n x m, float64
         same = labels[:, None] == alab[None, :]
         excl = ids[:, None] == anc[None, :]
+        same &= ~excl  # same-label candidates, anchor itself excluded
         # Margin must cover a FULL rounding bin (1e-6): the rounded-grid
         # winner can sit up to one bin below the raw extreme and still
         # tie (then win by id), plus GEMM-vs-fold noise (~1e-13).
         MARGIN = 2e-6
         out_a, out_c, out_s = [], [], []
-        # hardest negative shortlist: within MARGIN of other-label max
-        kn = np.where(~same & ~excl, cos, -np.inf)
+        # hardest negative shortlist: within MARGIN of other-label max.
+        # In-place masking: one n x m temp (kn) instead of np.where's
+        # mask + result allocations — the per-task live set is what
+        # bounds concurrency at scale.
+        kn = cos.copy()
+        kn[same | excl] = -np.inf
         mx = kn.max(axis=0)
         has = np.isfinite(mx)
         ri, ci = np.nonzero(kn >= (mx - MARGIN)[None, :])
@@ -636,11 +653,13 @@ def mine_triplets_gemm(
         out_a.append(anc[ci[keep]])
         out_c.append(ids[ri[keep]])
         out_s.append(np.zeros(keep.sum(), dtype=np.int64))
-        # hardest positive shortlist: within MARGIN of same-label min
-        kp = np.where(same & ~excl, cos, np.inf)
-        mn = kp.min(axis=0)
+        del kn
+        # hardest positive shortlist: within MARGIN of same-label min —
+        # reuses the cos buffer (last consumer of the raw matrix)
+        cos[~same] = np.inf
+        mn = cos.min(axis=0)
         hasp = np.isfinite(mn)
-        ri, ci = np.nonzero(kp <= (mn + MARGIN)[None, :])
+        ri, ci = np.nonzero(cos <= (mn + MARGIN)[None, :])
         keep = hasp[ci]
         out_a.append(anc[ci[keep]])
         out_c.append(ids[ri[keep]])
