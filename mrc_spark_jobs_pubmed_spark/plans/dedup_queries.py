@@ -1199,3 +1199,88 @@ def dedup_suffix_prefix_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("prev_doc", "next_doc")
     )
+
+
+# --- dedup survivorship matrix (which sources lose mass) ----------------------
+
+
+@register(
+    "dedup_survivorship_matrix",
+    oracle=f"""
+WITH RECURSIVE {D.minhash_ctes_sql()},
+pairs AS (
+  SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
+  FROM bands a JOIN bands b
+    ON a.band_id = b.band_id AND a.band_key = b.band_key
+   AND a.doc_id < b.doc_id
+),
+edges AS (SELECT a, b FROM pairs UNION SELECT b, a FROM pairs),
+cc AS (
+  SELECT doc_id AS node, doc_id AS label FROM documents
+  UNION
+  SELECT e.b AS node, cc.label AS label
+  FROM cc JOIN edges e ON e.a = cc.node
+  WHERE cc.label < e.b
+),
+comp AS (SELECT node AS doc_id, min(label) AS component FROM cc GROUP BY node),
+ranked AS (
+  SELECT c.component, d.doc_id, d.source, d.n_chars,
+         row_number() OVER (PARTITION BY c.component
+                            ORDER BY d.n_chars DESC, d.doc_id) AS rn
+  FROM comp c JOIN documents d USING (doc_id)
+),
+winner AS (SELECT component, source AS win_source FROM ranked WHERE rn = 1)
+SELECT w.win_source, r.source AS member_source,
+       CAST(count(*) AS BIGINT) AS n_members,
+       CAST(sum(CASE WHEN r.rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+       CAST(sum(CASE WHEN r.rn > 1 THEN r.n_chars ELSE 0 END) AS BIGINT)
+         AS dropped_chars
+FROM ranked r JOIN winner w USING (component)
+GROUP BY 1, 2
+ORDER BY 1, 2
+""",
+    doc="Dedup survivorship matrix — the provenance audit after fuzzy "
+    "dedup: for every (winning source, member source) pair, how many "
+    "documents the keep-best rule kept vs dropped and how much text "
+    "mass each source LOSES to clusters won by another source. This "
+    "is the question a corpus owner actually asks after dedup ('did "
+    "the wiki mirror eat my curated set?'), and the asymmetry matrix "
+    "that catches a boilerplate-heavy source winning clusters it "
+    "shouldn't. Same MinHash-LSH → connected-components → keep-best "
+    "chain as dedup_fuzzy_keep_best (bucketed candidate pairs, never "
+    "all-pairs; Pregel-lite min-label CC over the tiny candidate "
+    "graph), plus one (win_source, member_source) hash-agg on the "
+    "|sources|^2-bounded domain. Exact integers throughout.",
+)
+def dedup_survivorship_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, "documents", sf_dir)
+    pairs = D.lsh_candidate_pairs(
+        D.minhash_band_keys(D.shingle_rows(docs, distinct=False))
+    ).select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
+    comp = D.connected_components(docs, pairs)
+    joined = comp.join(docs.select("doc_id", "source", "n_chars"), "doc_id")
+    w = Window.partitionBy("component").orderBy(
+        F.desc("n_chars"), F.asc("doc_id")
+    )
+    ranked = joined.select(
+        "component", "doc_id", "source", "n_chars", F.row_number().over(w).alias("rn")
+    )
+    winner = ranked.where(F.col("rn") == 1).select(
+        "component", F.col("source").alias("win_source")
+    )
+    return (
+        ranked.join(winner, "component")
+        .groupBy("win_source", F.col("source").alias("member_source"))
+        .agg(
+            F.count("*").cast("long").alias("n_members"),
+            F.sum(F.when(F.col("rn") > 1, 1).otherwise(0))
+            .cast("long")
+            .alias("n_dropped"),
+            F.sum(F.when(F.col("rn") > 1, F.col("n_chars")).otherwise(0))
+            .cast("long")
+            .alias("dropped_chars"),
+        )
+        .orderBy("win_source", "member_source")
+    )
