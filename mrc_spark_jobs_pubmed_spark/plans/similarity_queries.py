@@ -2824,3 +2824,102 @@ def sim_reciprocal_nn(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("vec_a")
     )
+
+
+# --- deterministic farthest-point (k-means++-style) center init --------------
+
+KPP_K = 6
+
+
+def _kpp_sql() -> str:
+    ctes = [
+        "p AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v"
+        " FROM embeddings)",
+        "c1 AS MATERIALIZED (SELECT vec_id AS cid, v AS cv, 1 AS rank,"
+        " CAST(0 AS BIGINT) AS d_u6 FROM p ORDER BY vec_id LIMIT 1)",
+    ]
+    prev = "c1"
+    for r in range(2, KPP_K + 1):
+        ctes.append(
+            f"""m{r} AS MATERIALIZED (
+  SELECT p.vec_id, p.v,
+         min(CAST(round(list_distance(p.v, c.cv) * 1000000) AS BIGINT)) AS d
+  FROM p CROSS JOIN {prev} c GROUP BY p.vec_id, p.v
+)"""
+        )
+        ctes.append(
+            f"""c{r} AS MATERIALIZED (
+  SELECT cid, cv, rank, d_u6 FROM {prev}
+  UNION ALL
+  SELECT vec_id AS cid, v AS cv, {r} AS rank, d AS d_u6
+  FROM m{r} ORDER BY rank, d DESC, cid LIMIT {r}
+)"""
+        )
+        prev = f"c{r}"
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+SELECT rank, cid AS vec_id, d_u6 FROM {prev} ORDER BY rank
+"""
+    )
+
+
+@register(
+    "emb_kmeanspp_init",
+    oracle=_kpp_sql(),
+    doc=f"Deterministic farthest-point center initialization (the "
+    "k-center / deterministic k-means++ variant): seed with the "
+    f"lowest-id vector, then {KPP_K - 1} rounds of 'next center = the "
+    "point farthest from every chosen center' (max of per-point min "
+    "distance, 1e-6-unit integer grid, vec_id tie-break) — the "
+    "RNG-free init that gives Lloyd's algorithm (sim_kmeans_ivf uses "
+    "lowest-id init) a spread, reproducible starting set; each round "
+    "also emits the selection distance, the coverage-radius curve "
+    "k-center uses as its quality certificate. Exactness: distances "
+    "are the bit-identical sequential fold both engines share "
+    "(l2dist == list_distance), rounded per pair BEFORE the min/"
+    "argmax, so the emitted winners are grid-exact with id "
+    "tie-breaks — no GEMM, so the rounded-emitted-extreme hazard "
+    "doesn't apply. Scale shape: each round is one broadcast of "
+    "<= K tiny centers into a corpus scan + an associative "
+    "struct-max — K linear passes, no shuffle of vectors, exactly "
+    "how a production quantizer seeds at 100 TB (K ~ sqrt(n) passes "
+    "amortized by sampling the train slice, as sim_kmeans_ivf does).",
+)
+def emb_kmeanspp_init(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, "embeddings", sf_dir)
+    pts = emb.select("vec_id", S._dvec(F.col("embedding")).alias("v"))
+    seed_id = pts.agg(F.min("vec_id").alias("cid"))
+    centers = (
+        pts.join(F.broadcast(seed_id), pts.vec_id == seed_id.cid)
+        .select(
+            "cid",
+            F.col("v").alias("cv"),
+            F.lit(1).alias("rank"),
+            F.lit(0).cast("long").alias("d_u6"),
+        )
+    )
+    for r in range(2, KPP_K + 1):
+        d_to = pts.crossJoin(F.broadcast(centers.select("cv"))).select(
+            "vec_id",
+            "v",
+            F.round(S.l2dist(F.col("v"), F.col("cv"), dim=64) * 1e6)
+            .cast("long")
+            .alias("d1"),
+        )
+        mind = d_to.groupBy("vec_id").agg(F.min("d1").alias("d"))
+        nxt = (
+            mind.agg(
+                F.max(F.struct(F.col("d"), (-F.col("vec_id")).alias("nid"))).alias("m")
+            )
+            .select(
+                (-F.col("m.nid")).alias("cid"),
+                F.col("m.d").alias("d_u6"),
+                F.lit(r).alias("rank"),
+            )
+            .join(pts.select(F.col("vec_id").alias("cid"), F.col("v").alias("cv")), "cid")
+            .select("cid", "cv", "rank", "d_u6")
+        )
+        centers = centers.unionByName(nxt).localCheckpoint()
+    return centers.select("rank", F.col("cid").alias("vec_id"), "d_u6").orderBy("rank")
