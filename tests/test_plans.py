@@ -691,3 +691,15 @@ def test_r6_batch_plan_shapes(spark):
     p = _physical(spark, "ta_bigram_entropy")
     assert "partial_count" in p or "partial" in p.lower()
     assert "CartesianProduct" not in p
+
+
+def test_interval_coalesce_sharded_equals_narrow(spark):
+    """(user, day)-sharded island merge must reproduce the single-window
+    sweep exactly — prefix-max and flag prefix-sum are associative, the
+    chunk carries stitch them back (the Lindley-sharded recipe)."""
+    narrow = plans.get("rel_interval_coalesce").fn(spark, SF)
+    sharded = plans.get("rel_interval_coalesce_sharded").fn(spark, SF)
+    assert sorted(map(tuple, narrow.collect())) == sorted(map(tuple, sharded.collect()))
+    plan = _physical(spark, "rel_interval_coalesce_sharded")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
