@@ -560,6 +560,8 @@ def mine_triplets_gemm(
     chunks: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    n_corpus: int | None = None,
+    n_anchors: int | None = None,
 ) -> DataFrame:
     """Exact triplet mining (hardest negative + hardest positive per
     anchor) as chunked-GEMM PRUNE + exact-fold RESCORE — the
@@ -586,7 +588,16 @@ def mine_triplets_gemm(
     cosine (bit-identical to the DuckDB oracle's fold), and the final
     per-anchor winners come from the same associative struct-extreme
     aggregations as the definitional plan. No window, no quadratic
-    join, deterministic on any partitioning."""
+    join, deterministic on any partitioning.
+
+    Adaptive-sizing caveat (r6 ADVICE): when `chunks` is None the
+    default runs TWO count actions on `emb`/`anchors` before the GEMM
+    job. Counts on a parquet scan are near-free, but if either input
+    carries an expensive uncached lineage (a tokenizer pipeline, a
+    prior join) those counts recompute it end-to-end. Callers with
+    derived inputs should either cache()/localCheckpoint() them first,
+    or pass the already-known sizes via `n_corpus`/`n_anchors` (or an
+    explicit `chunks`) so no extra action runs."""
     import numpy as np
     import pandas as pd
 
@@ -596,11 +607,12 @@ def mine_triplets_gemm(
         # quadratically with corpus size and thrashed the allocator at
         # sf20 (6250 x 8000 x 8 B = 400 MB per matrix, ~4 live
         # temporaries, 32 concurrent tasks). Size P so the cosine
-        # matrix stays ~64 MB: two cheap count jobs, paid once per
+        # matrix stays ~64 MB: two cheap count jobs (skipped when the
+        # caller supplies n_corpus/n_anchors), paid once per
         # invocation, keep the kernel memory-flat at any scale.
         TARGET_BYTES = 64 * 1024 * 1024
-        nc = emb.count()
-        na = anchors.count()
+        nc = n_corpus if n_corpus is not None else emb.count()
+        na = n_anchors if n_anchors is not None else anchors.count()
         chunks = max(64, -(-(nc * max(na, 1) * 8) // TARGET_BYTES))
     P = int(chunks)
     corpus = emb.select(

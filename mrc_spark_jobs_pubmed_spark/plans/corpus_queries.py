@@ -2210,9 +2210,9 @@ cum AS (
 SELECT lang,
        CAST(count(*) AS BIGINT) AS n_docs,
        CAST(sum(n_tok) AS BIGINT) AS total_tokens,
-       CAST(max((c - 1) // {PACK_BUDGET}) + 1 AS BIGINT) AS n_seqs,
+       CAST(max(greatest(c - 1, 0) // {PACK_BUDGET}) + 1 AS BIGINT) AS n_seqs,
        CAST(sum(n_tok) * 1000000
-            // ((max((c - 1) // {PACK_BUDGET}) + 1) * {PACK_BUDGET})
+            // ((max(greatest(c - 1, 0) // {PACK_BUDGET}) + 1) * {PACK_BUDGET})
          AS BIGINT) AS fill_u6,
        CAST(count(*) FILTER (
            n_tok > 0 AND (c - n_tok) // {PACK_BUDGET} <> (c - 1) // {PACK_BUDGET}
@@ -2232,7 +2232,11 @@ ORDER BY lang
     "context at a cut. Same single window shuffle on lang as the "
     "packer itself; the audit adds only integer arithmetic per row "
     "and a lang-domain agg. Exactness: cumulative offsets are BIGINT "
-    "token counts; every division is integer.",
+    "token counts; every division is integer. Degenerate guard (r6 "
+    "ADVICE): a lang whose docs ALL tokenize to zero tokens has "
+    "max(c-1) = -1, where Spark div truncates (0) but DuckDB // floors "
+    "(-1) — greatest(c-1, 0) on both sides pins n_seqs=1/fill=0 for "
+    "the empty stream and keeps the engines aligned.",
 )
 def corpus_packing_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, "documents", sf_dir)
@@ -2253,7 +2257,7 @@ def corpus_packing_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count("*").alias("n_docs"),
             F.sum("n_tok").cast("long").alias("total_tokens"),
-            (F.max(F.expr(f"(c - 1) div {PACK_BUDGET}")) + 1)
+            (F.max(F.expr(f"greatest(c - 1, 0L) div {PACK_BUDGET}")) + 1)
             .cast("long")
             .alias("n_seqs"),
             F.sum(F.when(split, 1).otherwise(0)).cast("long").alias("_n_split"),

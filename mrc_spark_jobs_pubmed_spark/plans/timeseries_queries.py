@@ -2396,12 +2396,27 @@ ORDER BY user_id
     "max(end) over prior rows flags island starts (start > every prior "
     "end), a running sum of flags numbers islands. All integer µs; "
     "(a_us, event_id) total-orders the sweep so island ids are engine-"
-    "exact. Scale shape: ONE shuffle on user_id serves the flag window, "
-    "the island agg, and the user agg (same-key exchanges reuse the "
-    "partitioning); per-user state is the user's own event count — the "
-    "same bounded-window argument as rel_double_fire_events. At 100 TB "
-    "shard the sweep by (user, day) with the boundary-carry identity "
-    "rel_queue_wait_lindley_sharded demonstrates.",
+    "exact. The r7 plan collapses the classic three-pass form (flag "
+    "window -> island-id window -> island groupBy -> user groupBy) to "
+    "ONE window pass + ONE user agg via closed-form identities: when a "
+    "flag row fires, the island it CLOSES has end exactly m_excl (the "
+    "open island always owns the running prefix-max of ends, because a "
+    "new island's end necessarily exceeds every prior end) and start "
+    "prev_flag_a (the latest prior flagged a_us — a prefix max, since "
+    "starts are nondecreasing). So each closing row knows its closed "
+    "island's LENGTH m_excl - prev_flag_a, and covered = sum(closed "
+    "lengths) + (max(e) - last start) for the tail, n_islands = "
+    "sum(flag), longest = max of the same lengths — every term a "
+    "plain conditional aggregate, no island-domain groupBy of "
+    "corpus-sized data. Summing lengths (differences), never "
+    "epoch-scale absolutes, is load-bearing: sum(starts) overflows "
+    "int64 once one user exceeds ~5400 islands. Scale "
+    "shape: ONE shuffle on user_id, two stacked Window nodes sharing "
+    "the exchange and sort, then a user-domain hash agg on the same "
+    "partitioning; per-user state is the user's own event count. At "
+    "100 TB a pathological single user bounds the sort run — "
+    "rel_interval_coalesce_sharded is the skew-proof range-sharded "
+    "form of the same identities.",
 )
 def rel_interval_coalesce(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, "events", sf_dir)
@@ -2420,34 +2435,54 @@ def rel_interval_coalesce(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         "a_us",
         "e_us",
+        "event_id",
+        F.max("e_us").over(wp).alias("m_excl"),
+    ).withColumn(
+        "flag",
         F.when(
-            F.col("a_us") <= F.coalesce(F.max("e_us").over(wp), F.lit(-1)),
-            F.lit(0),
-        )
-        .otherwise(F.lit(1))
-        .alias("new_island"),
+            F.col("a_us") <= F.coalesce("m_excl", F.lit(-1)), F.lit(0)
+        ).otherwise(F.lit(1)),
     )
-    wi = (
-        Window.partitionBy("user_id")
-        .orderBy("a_us", "e_us")
-        .rowsBetween(Window.unboundedPreceding, 0)
+    # second Window node, same partition/order spec: reuses the exchange
+    # AND the sort (the planner stacks it on the same sorted run)
+    starts = flagged.withColumn(
+        "prev_flag_a",
+        F.max(F.when(F.col("flag") == 1, F.col("a_us"))).over(wp),
     )
-    islands = flagged.select(
-        "user_id",
-        "a_us",
-        "e_us",
-        F.sum("new_island").over(wi).alias("island_id"),
-    )
-    merged = islands.groupBy("user_id", "island_id").agg(
-        (F.max("e_us") - F.min("a_us")).alias("covered_us")
-    )
+    is_start = F.col("flag") == 1
+    closes = is_start & F.col("m_excl").isNotNull()
     return (
-        merged.groupBy("user_id")
+        starts.groupBy("user_id")
         .agg(
-            F.count("*").alias("n_islands"),
-            F.sum("covered_us").cast("long").alias("covered_us"),
-            F.max("covered_us").cast("long").alias("longest_us"),
+            F.sum("flag").cast("long").alias("n_islands"),
+            # sum LENGTHS (m_excl - prev_flag_a per closed island), never
+            # epoch-scale absolutes: sum(starts) overflows int64 once a
+            # user exceeds ~5400 islands (epoch-µs ~1.7e15 each) — the
+            # hot-user test caught exactly that
+            (
+                F.coalesce(
+                    F.sum(F.when(closes, F.col("m_excl") - F.col("prev_flag_a"))),
+                    F.lit(0),
+                )
+                + F.max("e_us")
+                - F.max(F.when(is_start, F.col("a_us")))
+            )
+            .cast("long")
+            .alias("covered_us"),
+            F.greatest(
+                F.max(F.when(closes, F.col("m_excl") - F.col("prev_flag_a"))),
+                F.max("e_us") - F.max(F.when(is_start, F.col("a_us"))),
+            )
+            .cast("long")
+            .alias("longest_us"),
         )
+        # The final global sort's range sampling re-executes its child;
+        # without a shuffle boundary here that child is the whole
+        # sort+window+agg chain (the agg reuses the window's
+        # partitioning), doubling the query (1.80 -> 1.52 s at sf5).
+        # A cheap exchange of the compact user-domain result bounds the
+        # sample's recompute to one small shuffle read.
+        .repartition("user_id")
         .orderBy("user_id")
     )
 
@@ -2572,21 +2607,35 @@ FROM merged
 GROUP BY user_id
 ORDER BY user_id
 """,
-    doc="rel_interval_coalesce on the PRODUCTION key — the same "
-    "sweep-line island merge, sharded by (user, day) with chunk "
-    "carries, closing the narrow plan's one-window-per-user "
-    "parallelism bound (2.3-3.3x vs DuckDB at sf5-sf20). BOTH "
-    "quantities the sweep needs are prefix-ASSOCIATIVE: the island "
-    "flag is a_us > prefix-MAX(e_us), the island id is a prefix-SUM "
-    "of flags — so each day-chunk computes local prefix extremes in a "
-    "wide window, the tiny chunk-domain table carries (1) the running "
-    "max of chunk end-times and, after the flags resolve, (2) the "
-    "running sum of per-chunk flag counts, and two broadcast joins "
-    "stitch the carries back: flag = a_us > greatest(m_prev, "
-    "local_max_excl), island_id = f_prev + local flag prefix. The "
-    "oracle is the DEFINITIONAL single-window sweep, so the driver "
-    "gate proves the sharded carries reproduce it bit-for-bit; "
-    "tests/test_plans.py pins sharded == narrow. All integer µs.",
+    doc="rel_interval_coalesce in the SKEW-PROOF range-sharded form — "
+    "the plan that survives a single pathological user owning an "
+    "unbounded share of the corpus. The r6 (user, day) chunk-carry "
+    "design was measured into retirement this round: on the events "
+    "table the (user, day) domain is ~40% of the ROW count (~2.5 "
+    "events per chunk), so its 'tiny' carry tables were 2M-row "
+    "broadcasts — an anti-scale plan. The r7 shape: "
+    "repartitionByRange(N, user, a_us, event_id) slices the corpus "
+    "into N contiguous runs (a user's rows occupy consecutive pids, "
+    "times increasing across them), one (pid, user) window pass "
+    "computes the local sweep (m_excl, flag, island-start prefix), "
+    "and one localCheckpoint pins the pid assignment and the sorted "
+    "partitioning for both consumers. Users wholly inside one pid — "
+    "all but at most N-1 of them, at ANY corpus size — finish with "
+    "the narrow plan's closed-form aggregate identities on their "
+    "chunk stats alone. Only boundary-CROSSING users need stitching, "
+    "and everything stitched is O(N): their carry table (m_prev = "
+    "carried island end = running max of chunk end-maxima; s_prev = "
+    "carried island start = running max of per-chunk last GLOBAL "
+    "island starts) broadcasts at <= 2N rows, and the pass-B window "
+    "re-reads the checkpoint through a broadcast semi-filter, no "
+    "row-domain shuffle. Absorption is exact by the prefix argument: "
+    "a local flag row is a global island start iff its a_us exceeds "
+    "m_prev (the carried prefix-max of ends, which always belongs to "
+    "the open island). The oracle is the DEFINITIONAL single-window "
+    "sweep, so the driver gate proves the decomposition bit-for-bit "
+    "at four scales; tests/test_plans.py pins sharded == narrow and "
+    "a synthetic hot-user test pins the crossing path. All integer "
+    "µs.",
 )
 def rel_interval_coalesce_sharded(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, "events", sf_dir)
@@ -2598,75 +2647,131 @@ def rel_interval_coalesce_sharded(spark: SparkSession, sf_dir: str) -> DataFrame
             + F.expr("CAST(round(value * 10000) AS BIGINT)") * Q_SVC_PER_U4
         ).alias("e_us"),
         "event_id",
-    ).withColumn("day", F.expr(f"a_us div {DAY_US}"))
+    )
+    n_parts = max(spark.sparkContext.defaultParallelism, 2)
 
-    # Stage 1 — local prefix max inside each (user, day) shard.
-    wl = Window.partitionBy("user_id", "day").orderBy("a_us", "event_id")
+    # Stage 1 — range-slice the corpus; pid is the shard key. The ONE
+    # corpus-sized window pass computes the local sweep per (pid, user):
+    # m_excl (prefix max of ends), the flag, and the island-start
+    # prefixes the closed-form identities need. localCheckpoint pins
+    # the sampled pid assignment and preserves partitioning + ordering
+    # for every consumer below.
+    base = iv.repartitionByRange(n_parts, "user_id", "a_us", "event_id").withColumn(
+        "pid", F.spark_partition_id()
+    )
+    wl = Window.partitionBy("pid", "user_id").orderBy("a_us", "event_id")
     wlp = wl.rowsBetween(Window.unboundedPreceding, -1)
-    local = iv.select(
-        "user_id",
-        "day",
-        "a_us",
-        "e_us",
-        "event_id",
-        F.max("e_us").over(wlp).alias("m_excl"),
+    rows = (
+        base.select(
+            "pid",
+            "user_id",
+            "a_us",
+            "e_us",
+            "event_id",
+            F.max("e_us").over(wlp).alias("m_excl"),
+        )
+        .withColumn(
+            "flag",
+            F.when(
+                F.col("a_us") <= F.coalesce("m_excl", F.lit(-1)), F.lit(0)
+            ).otherwise(F.lit(1)),
+        )
+        .withColumn(
+            "pfa", F.max(F.when(F.col("flag") == 1, F.col("a_us"))).over(wlp)
+        )
+        .localCheckpoint()
     )
 
-    # Stage 2 — chunk-domain end-time carry (running max over prior days).
-    wc = Window.partitionBy("user_id").orderBy("day")
-    wcp = wc.rowsBetween(Window.unboundedPreceding, -1)
-    ends = (
-        local.groupBy("user_id", "day")
-        .agg(F.max("e_us").alias("c_max"))
+    # Stage 2 — per-(pid, user) chunk stats (no exchange: the checkpoint
+    # kept the hash(pid, user) partitioning).
+    is_start = F.col("flag") == 1
+    closes = is_start & F.col("m_excl").isNotNull()
+    # lengths (differences), never epoch-scale sums: see the narrow
+    # plan's int64-headroom note
+    chunk = rows.groupBy("pid", "user_id").agg(
+        F.max("e_us").alias("c_max"),
+        F.sum("flag").alias("c_n"),
+        F.sum(F.when(closes, F.col("m_excl") - F.col("pfa"))).alias("c_sum_len"),
+        F.max(F.when(closes, F.col("m_excl") - F.col("pfa"))).alias("c_maxlen"),
+        F.max(F.when(is_start, F.col("a_us"))).alias("c_last_s"),
+    )
+    wcu = Window.partitionBy("user_id")
+    chunk = chunk.withColumn("n_chunks", F.count("*").over(wcu))
+
+    # Stage 3 — single-chunk users (all but <= N-1): the chunk IS the
+    # user; the narrow plan's closed-form identities finish them here.
+    singles = chunk.where(F.col("n_chunks") == 1).select(
+        "user_id",
+        F.col("c_n").cast("long").alias("n_islands"),
+        (F.coalesce("c_sum_len", F.lit(0)) + F.col("c_max") - F.col("c_last_s"))
+        .cast("long")
+        .alias("covered_us"),
+        F.greatest("c_maxlen", F.col("c_max") - F.col("c_last_s"))
+        .cast("long")
+        .alias("longest_us"),
+    )
+
+    # Stage 4 — carries for the <= N-1 crossing users (table <= 2N rows
+    # at ANY scale): m_prev = carried island end, s_prev = its start.
+    wcp = Window.partitionBy("user_id").orderBy("pid").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    cross = (
+        chunk.where(F.col("n_chunks") > 1)
         .withColumn("m_prev", F.max("c_max").over(wcp))
-        .select("user_id", "day", "m_prev")
-    )
-
-    # Stage 3 — resolve the island flag per row with the stitched max.
-    flagged = local.join(F.broadcast(ends), ["user_id", "day"]).select(
-        "user_id",
-        "day",
-        "a_us",
-        "e_us",
-        "event_id",
-        F.when(
-            F.col("a_us")
-            <= F.coalesce(F.greatest("m_prev", "m_excl"), F.lit(-1)),
-            F.lit(0),
+        .withColumn(
+            "g_last_s",
+            F.when(
+                F.col("c_last_s") > F.coalesce("m_prev", F.lit(-1)),
+                F.col("c_last_s"),
+            ),
         )
-        .otherwise(F.lit(1))
-        .alias("flag"),
+        .withColumn("s_prev", F.max("g_last_s").over(wcp))
+    )
+    carr = cross.select("pid", "user_id", "m_prev", "s_prev")
+
+    # Stage 5 — pass B: re-read the checkpoint through a broadcast
+    # filter-join (crossing rows only), resolve GLOBAL flags against
+    # m_prev, and fold the same identities per chunk. gm = the global
+    # prefix max of ends; pgfa = the closed island's start.
+    rowsB = rows.join(F.broadcast(carr), ["pid", "user_id"])
+    gflag = is_start & (F.col("a_us") > F.coalesce("m_prev", F.lit(-1)))
+    gcloses = gflag & (F.col("m_excl").isNotNull() | F.col("m_prev").isNotNull())
+    gm = F.greatest("m_prev", "m_excl")
+    wlb = (
+        Window.partitionBy("pid", "user_id")
+        .orderBy("a_us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    rowsB = rowsB.withColumn(
+        "l_pgfa", F.max(F.when(gflag, F.col("a_us"))).over(wlb)
+    )
+    pgfa = F.greatest("s_prev", "l_pgfa")
+    chb = rowsB.groupBy("pid", "user_id").agg(
+        F.sum(F.when(gflag, 1).otherwise(0)).alias("g_n"),
+        F.sum(F.when(gcloses, gm - pgfa)).alias("g_sum_len"),
+        F.max(F.when(gcloses, gm - pgfa)).alias("g_maxlen"),
+        F.max("e_us").alias("c_max"),
+        F.max(F.when(gflag, F.col("a_us"))).alias("g_last_s"),
+    )
+    crossed = chb.groupBy("user_id").agg(
+        F.sum("g_n").cast("long").alias("n_islands"),
+        (
+            F.coalesce(F.sum("g_sum_len"), F.lit(0))
+            + F.max("c_max")
+            - F.max("g_last_s")
+        )
+        .cast("long")
+        .alias("covered_us"),
+        F.greatest(
+            F.max("g_maxlen"), F.max("c_max") - F.max("g_last_s")
+        )
+        .cast("long")
+        .alias("longest_us"),
     )
 
-    # Stage 4 — chunk-domain flag carry (running sum over prior days).
-    fprev = (
-        flagged.groupBy("user_id", "day")
-        .agg(F.sum("flag").alias("c_flags"))
-        .withColumn("f_prev", F.coalesce(F.sum("c_flags").over(wcp), F.lit(0)))
-        .select("user_id", "day", "f_prev")
-    )
-
-    # Stage 5 — global island ids; same (user, day) partitioning reused.
-    wfl = (
-        Window.partitionBy("user_id", "day")
-        .orderBy("a_us", "e_us")
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    islands = flagged.join(F.broadcast(fprev), ["user_id", "day"]).select(
-        "user_id",
-        "a_us",
-        "e_us",
-        (F.col("f_prev") + F.sum("flag").over(wfl)).alias("island_id"),
-    )
-    merged = islands.groupBy("user_id", "island_id").agg(
-        (F.max("e_us") - F.min("a_us")).alias("covered_us")
-    )
     return (
-        merged.groupBy("user_id")
-        .agg(
-            F.count("*").alias("n_islands"),
-            F.sum("covered_us").cast("long").alias("covered_us"),
-            F.max("covered_us").cast("long").alias("longest_us"),
-        )
+        singles.unionByName(crossed)
+        .repartition("user_id")
         .orderBy("user_id")
     )

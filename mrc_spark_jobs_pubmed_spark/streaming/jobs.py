@@ -1428,7 +1428,18 @@ def stateful_interval_coalesce(
     of the batch window, folded. Emitted islands are final (update mode
     cannot retract); the currently-open island emits only when a later
     event closes it, so a sentinel event per user drains the tail in
-    replay tests, exactly the burst-detection contract."""
+    replay tests, exactly the burst-detection contract.
+
+    INPUT-ORDER CONTRACT (r6 ADVICE): cross-batch events are replayed
+    in nondecreasing (a_us, event_id) order per user. The carried
+    replay cursor drops any arrival at or below the cursor — for the
+    queue-wait twins that is pure idempotent dedup, but for a MERGE a
+    genuinely out-of-order late event (inside the watermark, behind
+    the cursor) could have extended or bridged islands and is lost
+    instead. This is the documented final-decision semantics: emitted
+    islands are immutable, so feeds that can reorder across batches
+    must sort upstream (the replay tests do). test_streaming asserts
+    the contract explicitly."""
     import pandas as pd
     from pyspark.sql import types as T
 

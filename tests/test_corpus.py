@@ -163,3 +163,37 @@ def test_line_dedup_reassembles_and_drops(spark):
     assert strict[2].text_kept == "x y z"
     assert strict[3].text_kept == "p q r"
     assert strict[1].n_lines == 2 and strict[1].n_lines_dropped == 1
+
+
+def test_packing_efficiency_all_zero_token_lang(spark, duck, tmp_path):
+    """r6 ADVICE: a lang whose docs ALL tokenize to zero tokens used to
+    diverge between engines — Spark `(c-1) div B` truncates -1 to 0
+    (n_seqs=1) while DuckDB `//` floors to -1 (n_seqs=0, then a
+    division by zero in fill_u6). The greatest(c-1, 0) guard on BOTH
+    sides must pin the degenerate stream to n_seqs=1 / fill_u6=0."""
+    import os
+
+    rows = [
+        (0, "", "zz", "webA", 0),
+        (1, "   ", "zz", "webA", 3),
+        (2, None, "zz", "webB", 0),
+        (3, "alpha beta gamma", "en", "webA", 16),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    sf_dir = str(tmp_path / "sf_degenerate")
+    docs.coalesce(1).write.parquet(os.path.join(sf_dir, "documents.parquet"))
+
+    q = plans.get("corpus_packing_efficiency")
+    got = {r["lang"]: r.asDict() for r in q.fn(spark, sf_dir).collect()}
+    assert got["zz"]["n_seqs"] == 1 and got["zz"]["fill_u6"] == 0
+
+    duck.execute(
+        "CREATE OR REPLACE VIEW documents AS "
+        f"SELECT * FROM read_parquet('{sf_dir}/documents.parquet/*.parquet')"
+    )
+    want = duck.execute(q.oracle).fetchdf().set_index("lang").to_dict("index")
+    for lang in ("zz", "en"):
+        for k in ("n_docs", "total_tokens", "n_seqs", "fill_u6", "n_split_docs"):
+            assert int(got[lang][k]) == int(want[lang][k]), (lang, k)

@@ -703,3 +703,47 @@ def test_interval_coalesce_sharded_equals_narrow(spark):
     plan = _physical(spark, "rel_interval_coalesce_sharded")
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_interval_coalesce_sharded_hot_user(spark, tmp_path):
+    """Skew contract for the range-sharded island merge: one user owns
+    90% of the corpus (so their rows span MANY range partitions) and
+    carries an island across shard boundaries — including later events
+    wholly absorbed by a carried interval (the all-absorbed-chunk edge).
+    sharded == narrow must hold exactly."""
+    import datetime
+    import os
+
+    T0 = datetime.datetime(2024, 1, 1)
+    rows = []
+    # hot user 1: an opening mega-interval (value 5000 -> 500k s of
+    # service) that absorbs everything for ~6 days, then sparse islands
+    rows.append((0, T0, 1, "view", 5000.0, "{}"))
+    for i in range(1, 9000):
+        # every 60 s; first ~8300 events fall inside the mega-interval
+        rows.append((i, T0 + datetime.timedelta(seconds=60 * i), 1, "view", 0.001, "{}"))
+    # cold users 2..200: a few disjoint events each
+    eid = 10000
+    for u in range(2, 201):
+        for j in range(5):
+            rows.append(
+                (eid, T0 + datetime.timedelta(days=j, seconds=u), u, "view", 0.5, "{}")
+            )
+            eid += 1
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    sf_dir = str(tmp_path / "hot_sf")
+    df.coalesce(4).write.parquet(os.path.join(sf_dir, "events.parquet"))
+
+    narrow = plans.get("rel_interval_coalesce").fn(spark, sf_dir)
+    sharded = plans.get("rel_interval_coalesce_sharded").fn(spark, sf_dir)
+    n = sorted(map(tuple, narrow.collect()))
+    s = sorted(map(tuple, sharded.collect()))
+    assert n == s and len(n) == 200
+    # the hot user genuinely crossed shards: with 9000 of ~10000 rows on
+    # one key and 32 range partitions, their rows cannot fit one pid
+    hot = [r for r in n if r[0] == 1][0]
+    assert hot[1] >= 2  # mega-interval island + at least one later island

@@ -166,3 +166,29 @@ def test_rate_limit_peers_share_decision(spark):
     # aged out exactly at the boundary
     assert out[3] == 1
     assert RATE_LIMIT_K >= 1
+
+
+def test_triplet_gemm_precomputed_counts_skip_count_actions(spark):
+    """r6 ADVICE: the adaptive default runs emb.count()/anchors.count();
+    callers with expensive lineage can pass n_corpus/n_anchors instead.
+    The precomputed-counts path must produce the identical result (same
+    chunk arithmetic, zero count actions on the inputs)."""
+    from unittest.mock import patch
+
+    from mrc_spark_jobs_pubmed_spark.operators import similarity as S
+    from mrc_spark_jobs_pubmed_spark.sources.catalog import load_table
+
+    emb = load_table(spark, "embeddings", SF)
+    anchors = emb.where(F.col("vec_id") % 25 == 0).select(
+        F.col("vec_id").alias("anchor"),
+        F.col("embedding").alias("ae"),
+        F.col("label").alias("alabel"),
+    )
+    nc, na = emb.count(), anchors.count()
+    adaptive = sorted(
+        map(tuple, S.mine_triplets_gemm(emb, anchors).collect())
+    )
+    with patch.object(type(emb), "count", side_effect=AssertionError("count action ran")):
+        pre = S.mine_triplets_gemm(emb, anchors, n_corpus=nc, n_anchors=na)
+        got = sorted(map(tuple, pre.collect()))
+    assert got == adaptive

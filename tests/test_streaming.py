@@ -962,3 +962,62 @@ def test_interval_coalesce_stream_equals_batch(spark, tmp_path):
         for r in rel_interval_coalesce(spark, SF).collect()
     }
     assert got == want and len(want) > 0
+
+
+def test_interval_coalesce_cursor_drops_behind_cursor_late_event(spark, tmp_path):
+    """Input-order contract (r6 ADVICE): an out-of-order cross-batch
+    arrival that sorts at or below the carried replay cursor is DROPPED,
+    even inside the watermark — emitted islands are final and cannot be
+    retracted in update mode. The late event here would have BRIDGED the
+    two islands into one; the contract says it must not."""
+    import datetime
+    import os
+
+    src = str(tmp_path / "icc_src")
+    os.makedirs(src)
+    T0 = datetime.datetime(2024, 1, 1, 12, 0, 0)
+
+    def ev_df(rows):
+        return spark.createDataFrame(
+            [
+                (eid, T0 + datetime.timedelta(seconds=dt), 7, "view", val, "{}")
+                for eid, dt, val in rows
+            ],
+            "event_id long, ts timestamp, user_id long,"
+            " event_type string, value double, props string",
+        )
+
+    # batch 0: island A [0s,10s) closed by the event at 100s (cursor -> 100s)
+    ev_df([(1, 0, 10.0), (2, 100, 10.0)]).coalesce(1).write.parquet(f"{src}/t0")
+    # batch 1: late event at 50s, inside the 10-min watermark but behind
+    # the (100s, 2) cursor; service 200s would bridge A into [0s,250s)
+    ev_df([(3, 50, 200.0)]).coalesce(1).write.parquet(f"{src}/t1")
+    # batch 2: sentinel far past the end drains island B [100s,110s)
+    ev_df([(9, 3000, 0.0)]).coalesce(1).write.parquet(f"{src}/t2")
+
+    stream = (
+        spark.readStream.schema(ev_df([]).schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("recursiveFileLookup", "true")
+        .parquet(src)
+    )
+    q = (
+        J.stateful_interval_coalesce(stream)
+        .writeStream.format("memory")
+        .queryName("t_icc")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "icc_ckpt"))
+        .start()
+    )
+    _drain(q)
+    base = int(T0.timestamp()) * 1_000_000
+    got = {
+        (r.user_id, r.start_us - base, r.end_us - base, r.covered_us)
+        for r in spark.sql("SELECT * FROM t_icc").collect()
+    }
+    # final-decision semantics: two separate 10 s islands; the behind-
+    # cursor bridge event leaves no trace
+    assert got == {
+        (7, 0, 10_000_000, 10_000_000),
+        (7, 100_000_000, 110_000_000, 10_000_000),
+    }
