@@ -1,14 +1,18 @@
 """Scale-pressure probe for the applyInPandasWithState streaming twins
-(VERDICT r6 item 4): replay the sf1 events table through
-stateful_interval_coalesce in K time-ordered micro-batches, record the
-state-store metrics the replay tests never look at (numRowsTotal,
-memoryUsedBytes per batch), and prove replay == batch at this scale.
+(VERDICT r6 item 4): replay the sf1 events table through a stateful
+twin in K time-ordered micro-batches, record the state-store metrics
+the replay tests never look at (numRowsTotal, memoryUsedBytes per
+batch), and prove replay == batch at this scale.
 
-The claim under test: open-island state is TWO longs (+ the replay
-cursor) per user — so numRowsTotal must equal the user-key domain and
-memory-per-key must stay flat as batches accumulate.
+Jobs:
+- interval_coalesce: two longs (+ replay cursor) per USER — state rows
+  must equal the user-key domain and memory per key stay flat across
+  batches. Needs a per-user sentinel to drain the final open islands.
+- queue_wait: three longs per EVENT TYPE — the few-keys regime; state
+  rows must equal |event types| however many events stream through.
+  Emits every event's wait as processed, so no sentinel.
 
-Usage: python scripts/stream_state_probe.py [sf_dir] [n_batches]
+Usage: python scripts/stream_state_probe.py [sf_dir] [n_batches] [job]
 Writes one JSON line to stdout (redirect to the artifact file).
 """
 
@@ -31,13 +35,64 @@ from mrc_spark_jobs_pubmed_spark.sources.catalog import load_table  # noqa: E402
 from mrc_spark_jobs_pubmed_spark.streaming import jobs as J  # noqa: E402
 
 
+def _sentinel(ev):
+    """One zero-length event per user far past the end: drains each
+    user's final open island (interval_coalesce only)."""
+    return (
+        ev.groupBy("user_id")
+        .agg(F.max("ts").alias("mx"))
+        .select(
+            F.lit(10**12).cast("long").alias("event_id"),
+            (F.col("mx") + F.expr("INTERVAL 30 DAYS")).alias("ts"),
+            "user_id",
+            F.lit("view").alias("event_type"),
+            F.lit(0.0).alias("value"),
+            F.lit("{}").alias("props"),
+        )
+        .select([f.name for f in ev.schema.fields])
+    )
+
+
+JOBS = {
+    "interval_coalesce": {
+        "twin": J.stateful_interval_coalesce,
+        "needs_sentinel": True,
+        "key_domain": lambda ev: ev.select("user_id").distinct().count(),
+        # memory-sink rollup that must equal the batch query
+        "rollup_sql": (
+            "SELECT user_id, count(*) AS n_islands,"
+            " sum(covered_us) AS covered_us, max(covered_us) AS longest_us"
+            " FROM {view} GROUP BY user_id"
+        ),
+        "batch_query": "rel_interval_coalesce",
+    },
+    "queue_wait": {
+        "twin": J.stateful_queue_wait,
+        "needs_sentinel": False,
+        "key_domain": lambda ev: ev.select("event_type").distinct().count(),
+        # mirror rel_queue_wait_lindley's exact integer readout
+        "rollup_sql": (
+            "SELECT event_type, count(*) AS n_jobs,"
+            " sum(CASE WHEN w_us > 0 THEN 1 ELSE 0 END) AS n_delayed,"
+            " CAST(max(w_us div 1000) AS BIGINT) AS max_wait_ms,"
+            " CAST((2 * sum(w_us div 1000) + count(*)) div (2 * count(*))"
+            "   AS BIGINT) AS avg_wait_ms"
+            " FROM {view} GROUP BY event_type"
+        ),
+        "batch_query": "rel_queue_wait_lindley",
+    },
+}
+
+
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "testdata/sf1"
     n_batches = int(sys.argv[2]) if len(sys.argv) > 2 else 8
+    job = sys.argv[3] if len(sys.argv) > 3 else "interval_coalesce"
+    spec = JOBS[job]
     spark = get_session(app_name="stream-state-probe", shuffle_partitions=32)
     ev = load_table(spark, "events", sf_dir)
     n_rows = ev.count()
-    n_users = ev.select("user_id").distinct().count()
+    n_keys = spec["key_domain"](ev)
 
     work = tempfile.mkdtemp(prefix="stream_probe_")
     try:
@@ -52,22 +107,10 @@ def main() -> int:
                 else (F.col("ts") < F.lit(lo + (i + 1) * span))
             )
             ev.where(cond).coalesce(1).write.parquet(f"{work}/src/t{i:03d}")
-        # sentinel: one zero-length event per user far past the end
-        # drains each user's final open island
-        sent = (
-            ev.groupBy("user_id")
-            .agg(F.max("ts").alias("mx"))
-            .select(
-                F.lit(10**12).cast("long").alias("event_id"),
-                (F.col("mx") + F.expr("INTERVAL 30 DAYS")).alias("ts"),
-                "user_id",
-                F.lit("view").alias("event_type"),
-                F.lit(0.0).alias("value"),
-                F.lit("{}").alias("props"),
-            )
-            .select([f.name for f in ev.schema.fields])
-        )
-        sent.coalesce(1).write.parquet(f"{work}/src/t{n_batches:03d}")
+        n_fed = n_batches
+        if spec["needs_sentinel"]:
+            _sentinel(ev).coalesce(1).write.parquet(f"{work}/src/t{n_batches:03d}")
+            n_fed += 1
 
         stream = (
             spark.readStream.schema(ev.schema)
@@ -75,11 +118,12 @@ def main() -> int:
             .option("recursiveFileLookup", "true")
             .parquet(f"{work}/src")
         )
+        view = f"probe_{job}"
         t0 = time.time()
         q = (
-            J.stateful_interval_coalesce(stream)
+            spec["twin"](stream)
             .writeStream.format("memory")
-            .queryName("probe_ic")
+            .queryName(view)
             .outputMode("update")
             .option("checkpointLocation", f"{work}/ckpt")
             .start()
@@ -104,31 +148,27 @@ def main() -> int:
         q.stop()
 
         got = {
-            (r.user_id, r.n_islands, r.covered_us, r.longest_us)
-            for r in spark.sql(
-                "SELECT user_id, count(*) AS n_islands,"
-                " sum(covered_us) AS covered_us, max(covered_us) AS longest_us"
-                " FROM probe_ic GROUP BY user_id"
-            ).collect()
+            tuple(r) for r in spark.sql(spec["rollup_sql"].format(view=view)).collect()
         }
         want = {
-            (r.user_id, r.n_islands, r.covered_us, r.longest_us)
-            for r in plans.get("rel_interval_coalesce").fn(spark, sf_dir).collect()
+            tuple(r)
+            for r in plans.get(spec["batch_query"]).fn(spark, sf_dir).collect()
         }
         final = batches[-1] if batches else {}
         out = {
+            "job": job,
             "sf_dir": sf_dir,
             "n_rows": n_rows,
-            "n_users": n_users,
-            "n_batches_fed": n_batches + 1,
+            "n_keys": n_keys,
+            "n_batches_fed": n_fed,
             "wall_sec": round(wall, 2),
             "replay_equals_batch": got == want and len(want) > 0,
             "final_state_rows": final.get("stateRowsTotal"),
-            "state_rows_equals_users": final.get("stateRowsTotal") == n_users,
+            "state_rows_equals_keys": final.get("stateRowsTotal") == n_keys,
             "final_state_mem_bytes": final.get("stateMemBytes"),
             "state_bytes_per_key": (
-                round(final["stateMemBytes"] / n_users, 1)
-                if final.get("stateMemBytes") and n_users
+                round(final["stateMemBytes"] / n_keys, 1)
+                if final.get("stateMemBytes") and n_keys
                 else None
             ),
             "batches": batches,
