@@ -84,6 +84,10 @@ HEADLINE = (
     # round-6 flagship: the Lindley production-key plan — closes the r5
     # weak-perf row (4.03x -> 1.76x at sf5; PERF.md round-6 section)
     "rel_queue_wait_lindley_sharded",
+    # round-7 flagship: the single-pass island-merge identity — closes
+    # the r6 weak-perf row (2.28x -> 1.21x at sf20; PERF.md round-7
+    # section). Fills the 30th slot; growth from here is rotation.
+    "rel_interval_coalesce",
 )
 assert len(HEADLINE) <= 30, "headline cap exceeded — rotate, don't grow"
 

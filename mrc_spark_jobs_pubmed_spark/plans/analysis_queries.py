@@ -817,5 +817,6 @@ def ta_bigram_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_distinct_bigrams",
             F.expr("CAST(_t div n_bigrams AS BIGINT)").alias("h_cond_u6"),
         )
+        .repartition("source")  # bound the sort-sampler recompute (PERF.md r7, measured)
         .orderBy("source")
     )

@@ -2272,6 +2272,7 @@ def corpus_packing_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             F.col("_n_split").alias("n_split_docs"),
         )
+        .repartition("lang")  # bound the sort-sampler recompute (PERF.md r7, measured)
         .orderBy("lang")
     )
 
