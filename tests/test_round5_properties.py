@@ -192,3 +192,76 @@ def test_triplet_gemm_precomputed_counts_skip_count_actions(spark):
         pre = S.mine_triplets_gemm(emb, anchors, n_corpus=nc, n_anchors=na)
         got = sorted(map(tuple, pre.collect()))
     assert got == adaptive
+
+
+def test_interval_coalesce_identities_vs_brute_force(spark, tmp_path):
+    """The r7 single-pass closed-form identities (covered = sum of
+    closed-island lengths + tail; longest = max of the same) must equal
+    brute-force interval merging on adversarial inputs: ties on a_us,
+    zero-length intervals, exact touching (a == prior max end, which
+    MERGES), containment, duplicate spans, and random soups. Each
+    scenario is its own user, so one Spark run covers them all — for
+    BOTH the narrow plan and the range-sharded plan."""
+    import os
+    import random
+
+    rng = random.Random(20260815)
+    scenarios = {
+        1: [(0, 10)],                          # single interval
+        2: [(0, 10), (10, 5)],                 # exact touch -> merge
+        3: [(0, 10), (11, 5)],                 # gap of 1 -> two islands
+        4: [(0, 100), (5, 2), (50, 1)],        # containment
+        5: [(0, 0), (0, 0), (5, 0)],           # zero-length + dup ties
+        6: [(0, 5), (0, 7), (0, 3)],           # same start, diff ends
+        7: [(i * 3, 2) for i in range(200)],   # long alternating chain
+        8: [(i, 2) for i in range(200)],       # one long island
+    }
+    uid = 9
+    for _ in range(40):  # random soups
+        n = rng.randint(1, 60)
+        scenarios[uid] = [
+            (rng.randint(0, 500), rng.randint(0, 40)) for _ in range(n)
+        ]
+        uid += 1
+
+    base_us = 1_704_067_200_000_000  # 2024-01-01, keeps µs in ts range
+    rows, eid = [], 0
+    for user, iv in scenarios.items():
+        for a, ln in iv:
+            # value * 10000 * Q_SVC_PER_U4(=100) µs of service: value=ln -> ln seconds
+            rows.append((eid, (base_us + a * 1_000_000), user, "view", float(ln), "{}"))
+            eid += 1
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts_us long, user_id long, event_type string,"
+        " value double, props string",
+    ).select(
+        "event_id",
+        F.expr("timestamp_micros(ts_us)").alias("ts"),
+        "user_id",
+        "event_type",
+        "value",
+        "props",
+    )
+    sf_dir = str(tmp_path / "prop_sf")
+    df.coalesce(2).write.parquet(os.path.join(sf_dir, "events.parquet"))
+
+    def brute(iv):
+        pts = sorted((base_us + a * 10**6, base_us + a * 10**6 + ln * 10**6) for a, ln in iv)
+        islands = []
+        for s, e in pts:
+            if islands and s <= islands[-1][1]:
+                islands[-1][1] = max(islands[-1][1], e)
+            else:
+                islands.append([s, e])
+        lens = [e - s for s, e in islands]
+        return (len(islands), sum(lens), max(lens))
+
+    expected = {u: brute(iv) for u, iv in scenarios.items()}
+    from mrc_spark_jobs_pubmed_spark import plans
+    for qname in ("rel_interval_coalesce", "rel_interval_coalesce_sharded"):
+        got = {
+            r.user_id: (r.n_islands, r.covered_us, r.longest_us)
+            for r in plans.get(qname).fn(spark, sf_dir).collect()
+        }
+        assert got == expected, qname
