@@ -2418,3 +2418,191 @@ ORDER BY shard
 
 
 _register_shard_skew_audit()
+
+
+# --- crawl-growth dedup monitor (novelty over arrival order) ----------------
+
+GROWTH_BATCH = 50  # docs per arrival batch (doc_id is the arrival order)
+
+
+@register(
+    "corpus_dedup_growth",
+    oracle=f"""
+WITH hashed AS (
+  SELECT doc_id,
+         doc_id // {GROWTH_BATCH} AS batch,
+         min(doc_id) OVER (PARTITION BY md5(coalesce(text, ''))) AS first_id
+  FROM documents
+),
+per_batch AS (
+  SELECT batch,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(count(*) FILTER (doc_id = first_id) AS BIGINT) AS n_new
+  FROM hashed GROUP BY batch
+)
+SELECT batch, n_docs, n_new,
+       CAST((n_docs - n_new) * 1000000 // n_docs AS BIGINT) AS dup_rate_u6,
+       CAST(sum(n_new) OVER (ORDER BY batch
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         AS BIGINT) AS cum_distinct
+FROM per_batch
+ORDER BY batch
+""",
+    doc="Crawl-growth dedup monitor: treat doc_id as arrival order, cut "
+    f"the stream into {GROWTH_BATCH}-doc batches, and report per batch "
+    "how much is NEW — docs whose exact content hash (md5 of the "
+    "NULL-coalesced text) was never seen in any earlier arrival — plus "
+    "the duplicate rate (1e-6 integer units) and the cumulative "
+    "distinct-content growth curve. The saturation diagnostic every "
+    "continuously-crawled corpus needs: when cum_distinct flattens, "
+    "additional crawl budget buys duplicates, not data (the "
+    "exact-hash, over-time companion of corpus_ngram_novelty's "
+    "exact-hash, over-time companion of corpus_ngram_novelty's "
+    "cross-corpus check). Scale shape: ONE hash-keyed window (min "
+    "doc_id per content hash — first-occurrence marking without a "
+    "self-join) over the corpus, then a batch-domain agg and a tiny "
+    "batch-domain cumulative window; nothing quadratic, no driver "
+    "state. Plan-shape bake-off at sf20 (PERF.md r7): this window "
+    "form 4.8 s; a two-agg rewrite that rescanned the 500-byte text "
+    "column 5.7 s; a checkpoint-the-(hash,batch)-agg form 6.9 s — and "
+    "the raw text scan ALONE is 3.6 s, i.e. the query is scan-floor-"
+    "bound (the q1/q5 single-scan constant-factor class), so the "
+    "window's exchange+sort is already within ~1.2 s of the floor. "
+    "Exactness: md5 hex is engine-identical, everything else is "
+    "BIGINT counts and one integer division per batch.",
+)
+def corpus_dedup_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    wh = Window.partitionBy(F.md5(F.coalesce(F.col("text"), F.lit(""))))
+    hashed = docs.select(
+        "doc_id",
+        F.expr(f"doc_id div {GROWTH_BATCH}").alias("batch"),
+        F.min("doc_id").over(wh).alias("first_id"),
+    )
+    per_batch = hashed.groupBy("batch").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum(F.when(F.col("doc_id") == F.col("first_id"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_new"),
+    )
+    wb = Window.orderBy("batch").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        per_batch.select(
+            "batch",
+            "n_docs",
+            "n_new",
+            F.expr("CAST((n_docs - n_new) * 1000000 div n_docs AS BIGINT)").alias(
+                "dup_rate_u6"
+            ),
+            F.sum("n_new").over(wb).cast("long").alias("cum_distinct"),
+        )
+        .orderBy("batch")
+    )
+
+
+# --- budget-constrained source selection (fractional knapsack) --------------
+
+MIX_BUDGET_PPM = 600_000  # spend 60% of the corpus's token mass
+
+
+@register(
+    "corpus_budget_mixture",
+    oracle=f"""
+WITH tok AS (
+  SELECT source, unnest({_TOKS_SQL}) AS t FROM documents
+),
+per_source AS (
+  SELECT source,
+         CAST(count(*) AS BIGINT) AS n_tokens,
+         CAST(count(*) FILTER (t ~ '^[A-Za-z]+$') AS BIGINT) AS n_alpha
+  FROM tok GROUP BY source
+),
+scored AS (
+  SELECT source, n_tokens,
+         CAST(n_alpha * 1000000 // n_tokens AS BIGINT) AS quality_u6
+  FROM per_source
+),
+ranked AS (
+  SELECT *,
+         row_number() OVER (ORDER BY quality_u6 DESC, source) AS rnk,
+         coalesce(sum(n_tokens) OVER (ORDER BY quality_u6 DESC, source
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS cum_prev,
+         (SELECT sum(n_tokens) * {MIX_BUDGET_PPM} // 1000000 FROM scored)
+           AS budget
+  FROM scored
+)
+SELECT source, n_tokens, quality_u6, CAST(rnk AS BIGINT) AS rnk,
+       CAST(CASE
+         WHEN cum_prev + n_tokens <= budget THEN 1000000
+         WHEN cum_prev >= budget THEN 0
+         ELSE (budget - cum_prev) * 1000000 // n_tokens
+       END AS BIGINT) AS take_ppm
+FROM ranked
+ORDER BY rnk
+""",
+    doc="Budget-constrained source selection: rank sources by an exact "
+    "quality score (alpha-token fraction, 1e-6 integer units — the "
+    "boilerplate/noise discriminator of the ta_quality family), then "
+    f"greedily spend a token budget ({MIX_BUDGET_PPM / 1e4:.0f}% of "
+    "total corpus token mass) down the ranking: full take (1e6 ppm) "
+    "while the budget lasts, an exact fractional take on the crossing "
+    "source, zero after — the fractional-knapsack mixture a "
+    "quality-first data recipe starts from before entropy/temperature "
+    "smoothing (corpus_mix_temperature is the smoothed sibling). "
+    "Deterministic: (quality, source) total order; every number is "
+    "BIGINT token counts with integer division at the edges. Scale "
+    "shape: one tokenize pass collapses the corpus to the source "
+    "domain (map-side partials; the regexp runs inside the same "
+    "projection), then ranking/prefix windows + the 1-row total on "
+    "the tiny source table. Nothing corpus-sized crosses a second "
+    "exchange.",
+)
+def corpus_budget_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    tok = docs.select(
+        "source", F.explode(tokens_col(F.col("text"))).alias("t")
+    )
+    per_source = tok.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_tokens"),
+        F.sum(F.when(F.col("t").rlike("^[A-Za-z]+$"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_alpha"),
+    )
+    scored = per_source.select(
+        "source",
+        "n_tokens",
+        F.expr("CAST(n_alpha * 1000000 div n_tokens AS BIGINT)").alias("quality_u6"),
+    )
+    total = scored.agg(
+        F.expr(f"CAST(sum(n_tokens) * {MIX_BUDGET_PPM} div 1000000 AS BIGINT)").alias(
+            "budget"
+        )
+    )
+    wq = Window.orderBy(F.desc("quality_u6"), F.asc("source"))
+    ranked = (
+        scored.join(F.broadcast(total))
+        .withColumn("rnk", F.row_number().over(wq).cast("long"))
+        .withColumn(
+            "cum_prev",
+            F.coalesce(
+                F.sum("n_tokens").over(
+                    wq.rowsBetween(Window.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            ),
+        )
+    )
+    return ranked.select(
+        "source",
+        "n_tokens",
+        "quality_u6",
+        "rnk",
+        F.expr(
+            "CAST(CASE"
+            " WHEN cum_prev + n_tokens <= budget THEN 1000000"
+            " WHEN cum_prev >= budget THEN 0"
+            " ELSE (budget - cum_prev) * 1000000 div n_tokens"
+            " END AS BIGINT)"
+        ).alias("take_ppm"),
+    ).orderBy("rnk")

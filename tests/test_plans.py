@@ -747,3 +747,17 @@ def test_interval_coalesce_sharded_hot_user(spark, tmp_path):
     # one key and 32 range partitions, their rows cannot fit one pid
     hot = [r for r in n if r[0] == 1][0]
     assert hot[1] >= 2  # mega-interval island + at least one later island
+
+
+def test_r7_new_ops_plan_shapes(spark):
+    """Round-7 additions: dedup growth = one hash-keyed window + tiny
+    batch rollups (no self-join, no cartesian); budget mixture = one
+    tokenize pass to the source domain, totals joined as a 1-row
+    broadcast, no corpus-sized second exchange."""
+    p = _physical(spark, "corpus_dedup_growth")
+    assert "Window" in p and "CartesianProduct" not in p
+    assert "SortMergeJoin" not in p  # first-occurrence via window, not self-join
+
+    p = _physical(spark, "corpus_budget_mixture")
+    assert "CartesianProduct" not in p and "SortMergeJoin" not in p
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p  # 1-row total
