@@ -11,6 +11,10 @@ Jobs:
 - queue_wait: three longs per EVENT TYPE — the few-keys regime; state
   rows must equal |event types| however many events stream through.
   Emits every event's wait as processed, so no sentinel.
+- ewma: <= K trailing 1e-4 values per USER; serving row = the user's
+  latest emission (max n_events), which must equal the batch query.
+- burst_detection: trailing (hour, count) pairs per TYPE (<= base_h+1);
+  per-type sentinel 48h out closes every real hour so decisions final.
 
 Usage: python scripts/stream_state_probe.py [sf_dir] [n_batches] [job]
 Writes one JSON line to stdout (redirect to the artifact file).
@@ -35,9 +39,9 @@ from mrc_spark_jobs_pubmed_spark.sources.catalog import load_table  # noqa: E402
 from mrc_spark_jobs_pubmed_spark.streaming import jobs as J  # noqa: E402
 
 
-def _sentinel(ev):
+def _user_sentinel(ev):
     """One zero-length event per user far past the end: drains each
-    user's final open island (interval_coalesce only)."""
+    user's final open island (interval_coalesce)."""
     return (
         ev.groupBy("user_id")
         .agg(F.max("ts").alias("mx"))
@@ -53,10 +57,28 @@ def _sentinel(ev):
     )
 
 
+def _type_sentinel(ev):
+    """One event per type 48h past the end: closes each type's open
+    hour so burst decisions for every real hour become final."""
+    return (
+        ev.groupBy("event_type")
+        .agg(F.max("ts").alias("mx"))
+        .select(
+            F.lit(10**12).cast("long").alias("event_id"),
+            (F.col("mx") + F.expr("INTERVAL 48 HOURS")).alias("ts"),
+            F.lit(0).cast("long").alias("user_id"),
+            "event_type",
+            F.lit(0.0).alias("value"),
+            F.lit("{}").alias("props"),
+        )
+        .select([f.name for f in ev.schema.fields])
+    )
+
+
 JOBS = {
     "interval_coalesce": {
         "twin": J.stateful_interval_coalesce,
-        "needs_sentinel": True,
+        "sentinel": _user_sentinel,
         "key_domain": lambda ev: ev.select("user_id").distinct().count(),
         # memory-sink rollup that must equal the batch query
         "rollup_sql": (
@@ -68,7 +90,7 @@ JOBS = {
     },
     "queue_wait": {
         "twin": J.stateful_queue_wait,
-        "needs_sentinel": False,
+        "sentinel": None,
         "key_domain": lambda ev: ev.select("event_type").distinct().count(),
         # mirror rel_queue_wait_lindley's exact integer readout
         "rollup_sql": (
@@ -80,6 +102,26 @@ JOBS = {
             " FROM {view} GROUP BY event_type"
         ),
         "batch_query": "rel_queue_wait_lindley",
+    },
+    "ewma": {
+        "twin": J.stateful_ewma,
+        "sentinel": None,
+        "key_domain": lambda ev: ev.select("user_id").distinct().count(),
+        # update mode: the user's LATEST emission (max n_events) is the
+        # serving row and must equal the batch query
+        "rollup_sql": (
+            "SELECT user_id, n_events, last_v_u4, ewma_u4 FROM ("
+            " SELECT *, row_number() OVER (PARTITION BY user_id"
+            "   ORDER BY n_events DESC) AS rn FROM {view}) WHERE rn = 1"
+        ),
+        "batch_query": "rel_ewma_smoothing",
+    },
+    "burst_detection": {
+        "twin": J.stateful_burst_detection,
+        "sentinel": _type_sentinel,
+        "key_domain": lambda ev: ev.select("event_type").distinct().count(),
+        "rollup_sql": "SELECT event_type, hour, n, base_n FROM {view}",
+        "batch_query": "rel_burst_detection",
     },
 }
 
@@ -108,8 +150,10 @@ def main() -> int:
             )
             ev.where(cond).coalesce(1).write.parquet(f"{work}/src/t{i:03d}")
         n_fed = n_batches
-        if spec["needs_sentinel"]:
-            _sentinel(ev).coalesce(1).write.parquet(f"{work}/src/t{n_batches:03d}")
+        if spec["sentinel"] is not None:
+            spec["sentinel"](ev).coalesce(1).write.parquet(
+                f"{work}/src/t{n_batches:03d}"
+            )
             n_fed += 1
 
         stream = (
