@@ -491,34 +491,72 @@ def connected_components(
     diameter, which for near-dup clusters (near-cliques) is tiny.
     `localCheckpoint` cuts the growing lineage each round — without it
     the plan doubles per iteration and the driver, not the data, becomes
-    the bottleneck at scale. Driver-side control flow is bounded and
-    data-free: the loop inspects only a change COUNT per round.
+    the bottleneck at scale.
+
+    Two scale properties (r7 replan, A/B in PERF.md):
+
+    * **Only edge endpoints iterate.** In a deduped corpus the vast
+      majority of docs touch no candidate pair; carrying them through
+      every round's shuffle is wasted exchange volume (at 100 TB the
+      singleton majority IS the corpus). The loop runs on the distinct
+      endpoint set; singletons attach at the end as one left join with
+      ``coalesce(label, node)`` — their component is themselves by
+      definition.
+    * **Convergence check is a 1-row agg, not a join.** Labels are
+      min-folded each round so they are monotonically non-increasing;
+      the label SUM strictly decreases iff any label changed. Comparing
+      the sum round-over-round replaces the old join+filter+count change
+      probe with a narrow scan of the just-checkpointed table.
+
+    Driver-side control flow remains bounded and data-free: one int per
+    round.
     """
-    sym = edges.select(F.col("a"), F.col("b")).union(
-        edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    # Materialize the symmetrized edge list ONCE: it is consumed
+    # diameter+1 times (endpoint extraction + every propagation round),
+    # and the caller's lineage is typically the full LSH
+    # shingle->minhash->band pipeline — without the checkpoint each
+    # round re-executes that corpus-sized chain (measured at sf0.1:
+    # the 2-round loop cost ~2.5x the pairs job itself).
+    sym = (
+        edges.select(F.col("a"), F.col("b"))
+        .union(edges.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        .localCheckpoint(eager=True)
     )
-    lab = nodes.select(F.col(id_col).alias("node"), F.col(id_col).alias("label"))
-    lab = lab.localCheckpoint(eager=True)
-    for _ in range(max_iter):
-        prop = (
-            sym.join(lab, sym.a == lab.node)
-            .select(F.col("b").alias("node"), F.col("label"))
+    lab = (
+        sym.select(F.col("a").alias("node"))
+        .distinct()
+        .select("node", F.col("node").alias("label"))
+        .localCheckpoint(eager=True)
+    )
+    # decimal(38,0) sum: id-sums at 1e9+ nodes x 1e9+ ids would overflow
+    # an int64 accumulator; the probe must stay exact at any scale.
+    _probe = F.sum(F.col("label").cast("decimal(38,0)"))
+    prev_sum = lab.agg(_probe).collect()[0][0]
+    if prev_sum is not None:  # empty edge set -> all singletons, skip loop
+        for _ in range(max_iter):
+            prop = (
+                sym.join(lab, sym.a == lab.node)
+                .select(F.col("b").alias("node"), F.col("label"))
+            )
+            new = (
+                lab.unionByName(prop)
+                .groupBy("node")
+                .agg(F.min("label").alias("label"))
+                .localCheckpoint(eager=True)
+            )
+            cur_sum = new.agg(_probe).collect()[0][0]
+            lab = new
+            if cur_sum == prev_sum:
+                break
+            prev_sum = cur_sum
+    return (
+        nodes.select(F.col(id_col).alias("node"))
+        .join(lab, "node", "left")
+        .select(
+            F.col("node").alias(id_col),
+            F.coalesce(F.col("label"), F.col("node")).alias("component"),
         )
-        new = (
-            lab.unionByName(prop)
-            .groupBy("node")
-            .agg(F.min("label").alias("label"))
-            .localCheckpoint(eager=True)
-        )
-        changed = (
-            new.join(lab.withColumnRenamed("label", "old"), "node")
-            .filter(F.col("label") != F.col("old"))
-            .count()
-        )
-        lab = new
-        if changed == 0:
-            break
-    return lab.select(F.col("node").alias(id_col), F.col("label").alias("component"))
+    )
 
 
 # --- line-level dedup (CCNet-style) -----------------------------------------

@@ -613,7 +613,16 @@ def mine_triplets_gemm(
         TARGET_BYTES = 64 * 1024 * 1024
         nc = n_corpus if n_corpus is not None else emb.count()
         na = n_anchors if n_anchors is not None else anchors.count()
-        chunks = max(64, -(-(nc * max(na, 1) * 8) // TARGET_BYTES))
+        # Memory floor (never below: keeps the per-task matrix ~64 MB),
+        # parallelism floor of 64 at scale, BUT capped so a chunk holds
+        # >= 256 corpus rows: on a small corpus 64-way chunking is pure
+        # scheduler overhead (sf0.1: 2000 vectors / 64 chunks = 31-row
+        # GEMMs; A/B median-of-5 1.43 -> 1.11 s at ~8 chunks) while at
+        # >= 16k vectors the cap stops binding and the behavior is
+        # unchanged from the sf20-validated sizing.
+        mem_chunks = -(-(nc * max(na, 1) * 8) // TARGET_BYTES)
+        row_cap = max(1, nc // 256)
+        chunks = max(mem_chunks, min(64, row_cap))
     P = int(chunks)
     corpus = emb.select(
         (F.col(id_col) % P).alias("pb"),
