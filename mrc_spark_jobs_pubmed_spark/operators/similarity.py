@@ -716,30 +716,36 @@ def mine_triplets_gemm(
             .alias("cos_u6"),
         )
     )
-    neg = (
-        scored.where(F.col("side") == 0)
-        .groupBy("anchor")
+    # BOTH arg-extremes in ONE conditional aggregation: splitting into a
+    # side==0 branch and a side==1 branch re-executed the whole cogroup
+    # GEMM subtree per branch (two FlatMapCoGroupsInPandas in the
+    # physical plan, no exchange reuse — the sim_reciprocal_nn class).
+    # max/min ignore the NULLs the off-side rows contribute, so one
+    # groupBy(anchor) yields both winners; anchors missing either side
+    # drop via the null filter exactly as the old inner join dropped
+    # them.
+    both = (
+        scored.groupBy("anchor")
         .agg(
             F.max(
-                F.struct("cos_u6", (-F.col("cand_id")).alias("nid"))
-            ).alias("m")
+                F.when(
+                    F.col("side") == 0,
+                    F.struct("cos_u6", (-F.col("cand_id")).alias("nid")),
+                )
+            ).alias("mn"),
+            F.min(
+                F.when(
+                    F.col("side") == 1,
+                    F.struct("cos_u6", F.col("cand_id").alias("pid")),
+                )
+            ).alias("mp"),
         )
-        .select(
-            "anchor",
-            (-F.col("m.nid")).alias("neg_id"),
-            F.col("m.cos_u6").alias("neg_cos_u6"),
-        )
+        .where(F.col("mn").isNotNull() & F.col("mp").isNotNull())
     )
-    pos = (
-        scored.where(F.col("side") == 1)
-        .groupBy("anchor")
-        .agg(
-            F.min(F.struct("cos_u6", F.col("cand_id").alias("pid"))).alias("m")
-        )
-        .select(
-            "anchor",
-            F.col("m.pid").alias("pos_id"),
-            F.col("m.cos_u6").alias("pos_cos_u6"),
-        )
+    return both.select(
+        "anchor",
+        F.col("mp.pid").alias("pos_id"),
+        F.col("mp.cos_u6").alias("pos_cos_u6"),
+        (-F.col("mn.nid")).alias("neg_id"),
+        F.col("mn.cos_u6").alias("neg_cos_u6"),
     )
-    return pos.join(neg, "anchor")
