@@ -820,3 +820,174 @@ def ta_bigram_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         .repartition("source")  # bound the sort-sampler recompute (PERF.md r7, measured)
         .orderBy("source")
     )
+
+
+# --- vocabulary growth (Heaps' law) -----------------------------------------
+
+HEAPS_BUCKETS = 10
+
+
+@register(
+    "ta_vocab_growth",
+    oracle=f"""
+WITH bounds AS (
+  SELECT min(doc_id) AS lo, max(doc_id) AS hi FROM documents
+),
+d AS (
+  SELECT doc_id,
+         least({HEAPS_BUCKETS - 1},
+               ((doc_id - lo) * {HEAPS_BUCKETS}) // (hi - lo + 1)) AS bucket,
+         {_TOKS_SQL} AS toks
+  FROM documents CROSS JOIN bounds
+),
+ex AS (SELECT bucket, unnest(toks) AS w FROM d),
+tok_b AS (
+  SELECT bucket, CAST(count(*) AS BIGINT) AS n_tok FROM ex GROUP BY bucket
+),
+firsts AS (
+  SELECT w, min(bucket) AS first_bucket FROM ex GROUP BY w
+),
+new_b AS (
+  SELECT first_bucket AS bucket, CAST(count(*) AS BIGINT) AS n_new
+  FROM firsts GROUP BY first_bucket
+),
+curve AS (
+  SELECT t.bucket,
+         CAST(sum(t.n_tok) OVER (ORDER BY t.bucket
+              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens,
+         CAST(sum(coalesce(n.n_new, 0)) OVER (ORDER BY t.bucket
+              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_types
+  FROM tok_b t LEFT JOIN new_b n ON t.bucket = n.bucket
+),
+pts AS (
+  SELECT CAST(round(ln(cum_tokens) * 1e6) AS BIGINT) AS x,
+         CAST(round(ln(cum_types) * 1e6) AS BIGINT) AS y
+  FROM curve
+),
+fit AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n,
+         CAST(sum(x) AS DOUBLE) AS sx, CAST(sum(y) AS DOUBLE) AS sy,
+         CAST(sum(x * x) AS DOUBLE) AS sxx,
+         CAST(sum(x * y) AS DOUBLE) AS sxy
+  FROM pts
+)
+SELECT bucket, cum_tokens, cum_types,
+       round((n * sxy - sx * sy) / nullif(n * sxx - sx * sx, 0), 6)
+         AS heaps_beta,
+       round(exp((sy - ((n * sxy - sx * sy)
+                        / nullif(n * sxx - sx * sx, 0)) * sx)
+             / n / 1e6), 6) AS heaps_k
+FROM curve CROSS JOIN fit
+ORDER BY bucket
+""",
+    doc=f"Vocabulary-growth curve + Heaps'-law fit: the corpus is cut "
+    f"into {HEAPS_BUCKETS} doc-id range buckets (arrival-order proxy; "
+    "no sort, no ntile — the bucket is closed-form from the broadcast "
+    "min/max), and per prefix the curve reports cumulative tokens vs "
+    "cumulative distinct vocabulary (a word counts at the bucket of "
+    "its FIRST doc — one min-agg over the token explode, never a "
+    "per-prefix rescan). The log-log OLS over the curve gives Heaps' "
+    "V = K * n^beta — the tokenizer/vocab-sizing law (natural text: "
+    "beta ~ 0.4-0.6; beta near 0 = saturated/templated vocabulary, "
+    "near 1 = OCR noise or id soup), the companion diagnostic to "
+    "ta_zipf_fit's frequency law and corpus_dedup_growth's doc-level "
+    "novelty curve, at token level where tokenizer decisions live. "
+    "Determinism: the curve is exact integers; ln values quantize to "
+    "1e-6 units per point (the ta_zipf_fit contract) so the "
+    "regression sums are exact BIGINTs and only the closed form runs "
+    "in doubles. Scale shape: ONE corpus pass, literally — the "
+    "per-bucket token count and the per-word first-bucket min share "
+    "one GROUPING SETS aggregation over one explode (Expand doubles "
+    "exploded rows, but scan+tokenize run once and the map-side "
+    "partial bounds the shuffle at buckets + vocab domain), the "
+    f"result re-groups to the {HEAPS_BUCKETS}-row curve which "
+    "localCheckpoints (eager, tiny) so the OLS stitch cannot "
+    "re-execute the corpus lineage; everything after is windows and "
+    f"a broadcast stitch on <= {HEAPS_BUCKETS} rows.",
+)
+def ta_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, "documents", sf_dir)
+    bounds = docs.agg(
+        F.min("doc_id").alias("lo"), F.max("doc_id").alias("hi")
+    )
+    d = docs.crossJoin(F.broadcast(bounds)).select(
+        F.least(
+            F.lit(HEAPS_BUCKETS - 1),
+            F.expr(f"((doc_id - lo) * {HEAPS_BUCKETS}) div (hi - lo + 1)"),
+        ).alias("bucket"),
+        tokens_col(F.col("text")).alias("toks"),
+    )
+    # ONE corpus pass: per-bucket token totals (group set {bucket}) and
+    # per-word first buckets (group set {w}) come out of a single
+    # GROUPING SETS aggregation over a single explode — two separate
+    # groupBys would each re-run the scan+tokenize lineage.
+    ex = d.select("bucket", F.explode("toks").alias("w"))
+    g = ex.groupingSets([["bucket"], ["w"]], "bucket", "w").agg(
+        F.count("*").alias("n"),
+        F.min("bucket").alias("mn"),
+        F.grouping_id().alias("gid"),
+    )
+    combined = (
+        g.groupBy(F.coalesce(F.col("bucket"), F.col("mn")).alias("bucket"))
+        .agg(
+            F.sum(F.when(F.col("gid") == 1, F.col("n")))
+            .cast("long")
+            .alias("n_tok"),
+            F.sum(F.when(F.col("gid") == 2, 1)).cast("long").alias("n_new"),
+        )
+    )
+    w_cum = Window.orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    # the curve is <= HEAPS_BUCKETS rows but its lineage is the corpus;
+    # eager-checkpoint so the OLS fit + final stitch (two consumers)
+    # cannot re-execute the tokenize pass (the connected_components /
+    # minhash_recall rule).
+    curve = (
+        combined.select(
+            "bucket",
+            F.sum(F.coalesce(F.col("n_tok"), F.lit(0)))
+            .over(w_cum)
+            .cast("long")
+            .alias("cum_tokens"),
+            F.sum(F.coalesce(F.col("n_new"), F.lit(0)))
+            .over(w_cum)
+            .cast("long")
+            .alias("cum_types"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    pts = curve.select(
+        F.round(F.log(F.col("cum_tokens")) * 1e6).cast("long").alias("x"),
+        F.round(F.log(F.col("cum_types")) * 1e6).cast("long").alias("y"),
+    )
+    fit = pts.agg(
+        F.count("*").cast("double").alias("n"),
+        F.sum("x").cast("double").alias("sx"),
+        F.sum("y").cast("double").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("double").alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).cast("double").alias("sxy"),
+    )
+    # nullif'd denominator: a degenerate curve (every prefix identical —
+    # e.g. a 1-doc corpus collapsing to one point) has zero x-variance;
+    # the fit is undefined and must surface as NULL on BOTH engines, not
+    # as Spark's ANSI DIVIDE_BY_ZERO abort (single-row fixture gate).
+    den = F.nullif(
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"), F.lit(0.0)
+    )
+    beta = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / den
+    return (
+        curve.crossJoin(F.broadcast(fit))
+        .select(
+            "bucket",
+            "cum_tokens",
+            "cum_types",
+            F.round(beta, 6).alias("heaps_beta"),
+            F.round(
+                F.exp((F.col("sy") - beta * F.col("sx")) / F.col("n") / 1e6), 6
+            ).alias("heaps_k"),
+        )
+        .orderBy("bucket")
+    )

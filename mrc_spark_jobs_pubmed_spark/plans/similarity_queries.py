@@ -2929,3 +2929,128 @@ def emb_kmeanspp_init(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         centers = centers.unionByName(nxt).localCheckpoint()
     return centers.select("rank", F.col("cid").alias("vec_id"), "d_u6").orderBy("rank")
+
+
+# --- centroid silhouette (cluster-quality certificate) ------------------------
+
+SIL_DIM = 64
+
+
+@register(
+    "emb_silhouette",
+    oracle=f"""
+WITH elems AS (
+  SELECT vec_id, label, t.i AS pos,
+         CAST(round(CAST(embedding[t.i] AS DOUBLE) * 1000000) AS BIGINT) AS q
+  FROM embeddings CROSS JOIN range(1, {SIL_DIM + 1}) t(i)
+),
+cent AS (
+  SELECT label AS clabel, pos,
+         CASE WHEN s < 0 THEN -((-s) // n) ELSE s // n END AS m
+  FROM (
+    SELECT label, pos, CAST(sum(q) AS BIGINT) AS s, count(*) AS n
+    FROM elems GROUP BY 1, 2
+  )
+),
+d2 AS (
+  SELECT e.vec_id, e.label, c.clabel,
+         CAST(sum((e.q - c.m) * (e.q - c.m)) AS BIGINT) AS d2
+  FROM elems e JOIN cent c ON e.pos = c.pos
+  GROUP BY 1, 2, 3
+),
+pt AS (
+  SELECT vec_id, label,
+         max(CASE WHEN clabel = label THEN d2 END) AS a,
+         min(CASE WHEN clabel <> label THEN d2 END) AS b
+  FROM d2 GROUP BY 1, 2
+)
+SELECT label,
+       CAST(count(*) AS BIGINT) AS n_pts,
+       CAST(sum(CASE WHEN b > a THEN 1 ELSE 0 END) AS BIGINT) AS n_agree,
+       CAST(sum(CASE WHEN b = a THEN 1 ELSE 0 END) AS BIGINT) AS n_tie,
+       CAST(sum(b - a) AS BIGINT) AS gap_sum,
+       CAST(sum(CASE WHEN a > b THEN a ELSE b END) AS BIGINT) AS den_sum,
+       CAST(sum(b - a) AS DOUBLE) / sum(CASE WHEN a > b THEN a ELSE b END)
+         AS macro_silhouette
+FROM pt GROUP BY label ORDER BY label
+""",
+    doc="Per-label centroid silhouette — the clustering-quality "
+    "certificate for a labeled embedding table (the 'simplified "
+    "silhouette' of Hruschka et al., standard when all-pairs distances "
+    "are infeasible): per point, a = squared L2 to its OWN label "
+    "centroid, b = min squared L2 to any OTHER centroid; per label it "
+    "reports how many points agree with their assignment (b > a), how "
+    "many sit exactly on a boundary (b = a), and the macro silhouette "
+    "sum(b-a)/sum(max(a,b)) in [-1, 1]. This is the eval a curator "
+    "runs before trusting labels for stratified sampling or "
+    "hard-negative mining (emb_hard_negative_mining assumes labels "
+    "mean something; this measures whether they do). Exactness: "
+    "elements quantize to 1e-6-unit BIGINTs, centroids are integer "
+    "sums + sign-aware truncating division (the "
+    "emb_label_centroid_drift contract), every distance is an exact "
+    "integer sum of squared longs (|q| <= ~2e6, dim 64: no overflow), "
+    "all comparisons and sums integer, and the single closing divide "
+    "is one IEEE op over exact integers — deterministic on any "
+    "partitioning/engine, emitted unrounded (the drift rule: round()-"
+    "of-double is the cross-engine edge, one-op closes are not). "
+    "Scale shape: centroid agg bounds at |labels| x dim rows and "
+    "BROADCASTS; the point-side explode pipelines inside codegen into "
+    "a (vec_id, label, clabel) partial agg, so the only shuffle is "
+    "N x |labels| pre-summed distance rows, then the conditional "
+    "arg-extreme one-pass (no per-centroid branch re-executes the "
+    "subtree — the mine_triplets lesson applied at design time).",
+)
+def emb_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, "embeddings", sf_dir)
+    elems = emb.select(
+        "vec_id",
+        "label",
+        F.posexplode("embedding").alias("pos0", "e"),
+    ).select(
+        "vec_id",
+        "label",
+        (F.col("pos0") + 1).alias("pos"),
+        F.round(F.col("e") * 1e6).cast("long").alias("q"),
+    )
+    cent = (
+        elems.groupBy(F.col("label").alias("clabel"), "pos")
+        .agg(F.sum("q").cast("long").alias("s"), F.count("*").alias("n"))
+        .select("clabel", "pos", F.expr("s div n").alias("m"))
+    )
+    d2 = (
+        elems.join(F.broadcast(cent), "pos")
+        .groupBy("vec_id", "label", "clabel")
+        .agg(
+            F.sum((F.col("q") - F.col("m")) * (F.col("q") - F.col("m")))
+            .cast("long")
+            .alias("d2")
+        )
+    )
+    pt = d2.groupBy("vec_id", "label").agg(
+        F.max(F.when(F.col("clabel") == F.col("label"), F.col("d2"))).alias("a"),
+        F.min(F.when(F.col("clabel") != F.col("label"), F.col("d2"))).alias("b"),
+    )
+    return (
+        pt.groupBy("label")
+        .agg(
+            F.count("*").cast("long").alias("n_pts"),
+            F.sum(F.when(F.col("b") > F.col("a"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_agree"),
+            F.sum(F.when(F.col("b") == F.col("a"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_tie"),
+            F.sum(F.col("b") - F.col("a")).cast("long").alias("gap_sum"),
+            F.sum(F.greatest("a", "b")).cast("long").alias("den_sum"),
+        )
+        .select(
+            "label",
+            "n_pts",
+            "n_agree",
+            "n_tie",
+            "gap_sum",
+            "den_sum",
+            (F.col("gap_sum") / F.col("den_sum")).alias("macro_silhouette"),
+        )
+        .orderBy("label")
+    )

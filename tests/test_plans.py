@@ -761,3 +761,56 @@ def test_r7_new_ops_plan_shapes(spark):
     p = _physical(spark, "corpus_budget_mixture")
     assert "CartesianProduct" not in p and "SortMergeJoin" not in p
     assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p  # 1-row total
+
+
+def test_r7b_silhouette_and_vocab_growth_plan_shapes(spark):
+    """Session additions: silhouette = centroid table broadcast into a
+    codegen explode->partial-agg chain (no window, no cartesian, no
+    sort-merge); vocab growth = ONE corpus pass (a single Expand node
+    carries both grouping sets; a second Expand would mean the tokenize
+    lineage runs twice)."""
+    p = _physical(spark, "emb_silhouette")
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p and "SortMergeJoin" not in p
+    assert "Window" not in p
+
+    # vocab growth eager-checkpoints the 10-row curve, so the EMITTED
+    # plan must read only the checkpoint: zero parquet scans — the OLS
+    # stitch + final select can never re-execute the tokenize lineage.
+    # The one-corpus-pass claim (single Expand carrying both grouping
+    # sets) is asserted on the pre-checkpoint subtree via the module's
+    # own builders.
+    p = _physical(spark, "ta_vocab_growth")
+    assert "parquet" not in p.lower()
+    assert "ExistingRDD" in p or "Scan ExistingRDD" in p
+    assert "CartesianProduct" not in p and "SortMergeJoin" not in p
+
+    from pyspark.sql import functions as F
+
+    from mrc_spark_jobs_pubmed_spark.operators.dedup import tokens_col
+    from mrc_spark_jobs_pubmed_spark.plans.analysis_queries import (
+        HEAPS_BUCKETS,
+    )
+    from mrc_spark_jobs_pubmed_spark.sources.catalog import load_table
+
+    docs = load_table(spark, "documents", SF)
+    bounds = docs.agg(F.min("doc_id").alias("lo"), F.max("doc_id").alias("hi"))
+    d = docs.crossJoin(F.broadcast(bounds)).select(
+        F.least(
+            F.lit(HEAPS_BUCKETS - 1),
+            F.expr(f"((doc_id - lo) * {HEAPS_BUCKETS}) div (hi - lo + 1)"),
+        ).alias("bucket"),
+        tokens_col(F.col("text")).alias("toks"),
+    )
+    g = (
+        d.select("bucket", F.explode("toks").alias("w"))
+        .groupingSets([["bucket"], ["w"]], "bucket", "w")
+        .agg(F.count("*").alias("n"))
+    )
+    sub = g._sc._jvm.PythonSQLUtils.explainString(
+        g._jdf.queryExecution(), "formatted"
+    )
+    import re
+
+    assert len(re.findall(r"\(\d+\) Expand\b", sub)) == 1
+    assert sub.count("documents") <= 2  # one scan node (tree + details)
