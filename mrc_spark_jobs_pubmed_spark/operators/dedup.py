@@ -507,6 +507,12 @@ def connected_components(
       the label SUM strictly decreases iff any label changed. Comparing
       the sum round-over-round replaces the old join+filter+count change
       probe with a narrow scan of the just-checkpointed table.
+    * **Pointer jumping bounds rounds at O(log diameter).** Each round
+      also min-folds every node's label's own label, so label chains
+      halve per round and ``max_iter=25`` covers diameter 2^25 —
+      without it, a duplicate chain longer than max_iter links
+      (template families chain exactly this way) would silently ship
+      unconverged component labels. Chain-fixture test pins this.
 
     Driver-side control flow remains bounded and data-free: one int per
     round.
@@ -538,8 +544,31 @@ def connected_components(
                 sym.join(lab, sym.a == lab.node)
                 .select(F.col("b").alias("node"), F.col("label"))
             )
+            # Pointer jump (label-of-label): plain edge propagation
+            # converges in O(diameter) rounds, so a duplicate CHAIN
+            # longer than max_iter links (template families chain this
+            # way) would silently return unconverged labels. Folding
+            # each node's label's OWN label into the same min makes
+            # convergence logarithmic — max_iter=25 then covers
+            # diameter 2^25 — for one extra self-join of the
+            # (checkpointed, endpoint-sized) label table per round.
+            # Every label value IS an endpoint node (labels start as
+            # node ids and min-fold only moves them between endpoint
+            # rows), so the inner join is total.
+            jump = (
+                lab.select(F.col("label").alias("node_l"), "node")
+                .join(
+                    lab.select(
+                        F.col("node").alias("node_l"),
+                        F.col("label").alias("label"),
+                    ),
+                    "node_l",
+                )
+                .select("node", "label")
+            )
             new = (
                 lab.unionByName(prop)
+                .unionByName(jump)
                 .groupBy("node")
                 .agg(F.min("label").alias("label"))
                 .localCheckpoint(eager=True)

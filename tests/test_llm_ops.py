@@ -155,3 +155,25 @@ def test_connected_components_resolves_chains(spark):
         for r in D.connected_components(nodes, edges).collect()
     }
     assert got == {(1, 1), (2, 1), (3, 1), (7, 7), (9, 7)}
+
+
+def test_connected_components_long_chain_converges(spark):
+    """A 400-link duplicate chain (diameter >> max_iter=25) must still
+    resolve to ONE component with the min id as label: plain
+    O(diameter) min-label propagation would silently return
+    unconverged labels here; the pointer-jumping fold makes 25 rounds
+    cover diameter 2^25."""
+    from pyspark.sql import functions as F
+
+    from mrc_spark_jobs_pubmed_spark.operators import dedup as D
+
+    n = 400
+    nodes = spark.range(n).select(F.col("id").alias("doc_id"))
+    edges = (
+        spark.range(n - 1)
+        .select(F.col("id").alias("a"), (F.col("id") + 1).alias("b"))
+    )
+    out = D.connected_components(nodes, edges)
+    labels = {r["doc_id"]: r["component"] for r in out.collect()}
+    assert len(labels) == n
+    assert set(labels.values()) == {0}
