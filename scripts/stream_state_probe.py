@@ -75,7 +75,52 @@ def _type_sentinel(ev):
     )
 
 
+def _sessions_sentinel(ev):
+    """One event per user at a FIXED far timestamp (2030-01-01): the
+    5-min gap closes every user's trailing real session, and the fixed
+    constant lets the rollup exclude the sentinel's own open/reaped
+    session deterministically (WHERE session_start < 2029) with no
+    data-dependent bound."""
+    return (
+        ev.select("user_id")
+        .distinct()
+        .select(
+            F.lit(10**12).cast("long").alias("event_id"),
+            F.lit("2030-01-01 00:00:00").cast("timestamp").alias("ts"),
+            "user_id",
+            F.lit("view").alias("event_type"),
+            F.lit(0.0).alias("value"),
+            F.lit("{}").alias("props"),
+        )
+        .select([f.name for f in ev.schema.fields])
+    )
+
+
 JOBS = {
+    "sessions": {
+        "twin": J.stateful_sessionize,
+        "sentinel": _sessions_sentinel,
+        "key_domain": lambda ev: ev.select("user_id").distinct().count(),
+        # reconstruct the batch contract exactly: session_seq is the
+        # per-user rank by start (sessions are disjoint), epochs floor
+        # to seconds, value sums are exact 1e-4 integers in double.
+        # The fixed-2030 sentinel sessions (open in state, or reaped if
+        # a trailing empty micro-batch fires the timeout) are excluded
+        # by the constant bound — every REAL session starts well below.
+        "rollup_sql": (
+            "SELECT user_id,"
+            " CAST(row_number() OVER (PARTITION BY user_id"
+            "   ORDER BY session_start) AS BIGINT) AS session_seq,"
+            " CAST(unix_micros(session_start) div 1000000 AS BIGINT)"
+            "   AS start_epoch,"
+            " CAST(unix_micros(session_end) div 1000000 AS BIGINT)"
+            "   AS end_epoch,"
+            " n_events, value_sum"
+            " FROM {view}"
+            " WHERE session_start < TIMESTAMP '2029-01-01 00:00:00'"
+        ),
+        "batch_query": "stream_stateful_sessions",
+    },
     "interval_coalesce": {
         "twin": J.stateful_interval_coalesce,
         "sentinel": _user_sentinel,
