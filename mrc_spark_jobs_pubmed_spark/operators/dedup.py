@@ -523,6 +523,23 @@ def connected_components(
     # shingle->minhash->band pipeline — without the checkpoint each
     # round re-executes that corpus-sized chain (measured at sf0.1:
     # the 2-round loop cost ~2.5x the pairs job itself).
+    # The convergence probe below sums labels as decimal(38,0); a
+    # non-numeric id would cast to NULL, the sum would be NULL, and the
+    # `prev_sum is not None` empty-edges guard would silently treat a
+    # NON-empty graph as empty (every node shipped as its own
+    # component). Fail loudly at entry instead: hash string ids to a
+    # numeric surrogate before calling.
+    from pyspark.sql.types import NumericType
+
+    _edge_a_type = edges.schema["a"].dataType
+    if not isinstance(_edge_a_type, NumericType):
+        raise TypeError(
+            "connected_components requires NUMERIC node ids (got "
+            f"{_edge_a_type.simpleString()} for edge column 'a'): the "
+            "decimal(38,0) convergence probe would NULL out on a string "
+            "id and silently report an empty graph. Map string ids to "
+            "e.g. xxhash64 surrogates first."
+        )
     sym = (
         edges.select(F.col("a"), F.col("b"))
         .union(edges.select(F.col("b").alias("a"), F.col("a").alias("b")))

@@ -2818,6 +2818,7 @@ def sim_reciprocal_nn(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         nn1.select(
+            "vec_id",
             F.least("vec_id", "neighbor_id").alias("vec_a"),
             F.greatest("vec_id", "neighbor_id").alias("vec_b"),
             F.when(
@@ -2825,7 +2826,15 @@ def sim_reciprocal_nn(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("cos_lo"),
         )
         .groupBy("vec_a", "vec_b")
-        .agg(F.count("*").alias("n_dir"), F.max("cos_lo").alias("cosine"))
+        # countDistinct, not count: count(*)==2 would accept a DUPLICATE
+        # rank-1 row for one vector (an upstream contract break) as a
+        # "reciprocal" pair — and emit a NULL cosine (max of all-NULL
+        # cos_lo). Requiring two DISTINCT owners means the pair really
+        # was reached from both endpoints.
+        .agg(
+            F.countDistinct("vec_id").alias("n_dir"),
+            F.max("cos_lo").alias("cosine"),
+        )
         .where(F.col("n_dir") == 2)
         .select("vec_a", "vec_b", "cosine")
         .orderBy("vec_a")
@@ -3041,7 +3050,16 @@ def emb_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("long")
             .alias("n_tie"),
             F.sum(F.col("b") - F.col("a")).cast("long").alias("gap_sum"),
-            F.sum(F.greatest("a", "b")).cast("long").alias("den_sum"),
+            # NOT F.greatest: greatest() SKIPS nulls, so a single-label
+            # corpus (b is NULL for every point) would yield den_sum =
+            # sum(a) while the oracle's CASE WHEN a > b THEN a ELSE b END
+            # propagates NULL. when/otherwise mirrors the oracle exactly:
+            # a > NULL is NULL -> otherwise-branch -> b (NULL) -> sum NULL.
+            F.sum(
+                F.when(F.col("a") > F.col("b"), F.col("a")).otherwise(F.col("b"))
+            )
+            .cast("long")
+            .alias("den_sum"),
         )
         .select(
             "label",
