@@ -1,0 +1,112 @@
+"""Incremental Spark-vs-DuckDB sweep for the PERF evidence index.
+
+Same timing contract as scripts/bench_vs_duckdb.py (warm + timed run per
+side, noop sink on the Spark side, fetchall on DuckDB) but built for
+LONG unattended sweeps: results append to a JSONL file as they land
+(crash-safe — a killed run keeps everything measured so far), names
+already present in the JSONL are skipped on restart, and a per-query
+exception is recorded instead of aborting the sweep.
+
+Usage:
+  SPARK_GRAFT_SF_DIR=testdata/sf1 python scripts/bvd_sweep.py OUT.jsonl NAME...
+  python scripts/bvd_sweep.py --merge OUT.jsonl PERF_sf1_r8.json
+
+--merge folds a JSONL into the {"sf": .., "queries": {...}} shape the
+index harvester reads (error rows are dropped — they carry no timing).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+import duckdb
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
+
+from bench import SF_DIR  # noqa: E402
+from mrc_spark_jobs_pubmed_spark import plans  # noqa: E402
+from mrc_spark_jobs_pubmed_spark.session import get_session  # noqa: E402
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings"
+).split()
+
+
+def merge(jsonl: str, out: str) -> None:
+    queries: dict[str, dict] = {}
+    sf = None
+    for line in open(jsonl):
+        rec = json.loads(line)
+        if rec.get("err"):
+            continue
+        sf = rec["sf"]
+        queries[rec["name"]] = {
+            "spark_sec": rec["spark_sec"],
+            "duckdb_sec": rec["duckdb_sec"],
+            "ratio": rec["ratio"],
+        }
+    with open(out, "w") as f:
+        json.dump({"sf": sf, "queries": queries}, f, indent=1, sort_keys=True)
+        f.write("\n")
+    print(f"merged {len(queries)} rows (sf={sf}) -> {out}")
+
+
+def main() -> None:
+    if sys.argv[1] == "--merge":
+        merge(sys.argv[2], sys.argv[3])
+        return
+    out_path = sys.argv[1]
+    names = sys.argv[2:]
+    done = set()
+    if os.path.exists(out_path):
+        for line in open(out_path):
+            done.add(json.loads(line)["name"])
+    todo = [n for n in names if n not in done]
+    print(f"{len(done)} already measured, {len(todo)} to go", flush=True)
+    if not todo:
+        return
+
+    m = re.search(r"sf([0-9.]+)", SF_DIR)
+    sf = float(m.group(1)) if m else None
+    spark = get_session(
+        app_name="bvd-sweep",
+        extra_conf={"spark.sql.adaptive.advisoryPartitionSizeInBytes": "8m"},
+    )
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE OR REPLACE VIEW {t} AS "
+            f"SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
+        )
+    registry = plans.all_queries()
+    with open(out_path, "a") as f:
+        for i, name in enumerate(todo):
+            q = registry[name]
+            rec: dict = {"name": name, "sf": sf}
+            try:
+                q.fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+                t0 = time.time()
+                q.fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+                rec["spark_sec"] = round(time.time() - t0, 3)
+                if q.oracle:
+                    con.execute(q.oracle).fetchall()
+                    t0 = time.time()
+                    con.execute(q.oracle).fetchall()
+                    rec["duckdb_sec"] = round(time.time() - t0, 3)
+                    rec["ratio"] = round(rec["spark_sec"] / rec["duckdb_sec"], 2)
+                else:
+                    rec["duckdb_sec"] = None
+                    rec["ratio"] = None
+            except Exception as e:  # noqa: BLE001 — sweep must survive one bad row
+                rec["err"] = f"{type(e).__name__}: {str(e).splitlines()[0][:160]}"
+            f.write(json.dumps(rec) + "\n")
+            f.flush()
+            print(f"[{i + 1}/{len(todo)}] {name}: {rec}", flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -96,6 +96,27 @@ def _sessions_sentinel(ev):
     )
 
 
+def _max_inwindow_instants(ev):
+    """Analytic hot-key bound for the rate limiter's array state: the
+    max number of distinct arrival instants any one user keeps inside
+    the trailing window at any point in the feed (= that user's state
+    array length high-water mark)."""
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("t_us")
+        .rangeBetween(-(J.RATE_WINDOW_S * 1_000_000 - 1), 0)
+    )
+    return (
+        ev.select("user_id", F.unix_micros("ts").alias("t_us"))
+        .distinct()
+        .select(F.count("*").over(w).alias("cnt"))
+        .agg(F.max("cnt"))
+        .collect()[0][0]
+    )
+
+
 JOBS = {
     "sessions": {
         "twin": J.stateful_sessionize,
@@ -167,6 +188,56 @@ JOBS = {
         "key_domain": lambda ev: ev.select("event_type").distinct().count(),
         "rollup_sql": "SELECT event_type, hour, n, base_n FROM {view}",
         "batch_query": "rel_burst_detection",
+    },
+    "heartbeat_gaps": {
+        "twin": J.stateful_heartbeat_gaps,
+        # gaps are closed by the event that ends them; the trailing open
+        # silence is not a gap in the batch form either — no sentinel
+        "sentinel": None,
+        "key_domain": lambda ev: ev.select("user_id").distinct().count(),
+        "rollup_sql": (
+            "SELECT user_id, gap_start_us, gap_end_us, gap_s FROM {view}"
+        ),
+        "batch_query": "rel_heartbeat_gaps",
+    },
+    "double_fire": {
+        "twin": J.stateful_double_fire,
+        "sentinel": None,
+        "key_domain": lambda ev: (
+            ev.select("user_id", "event_type").distinct().count()
+        ),
+        "rollup_sql": (
+            "SELECT user_id, event_type, first_event, dup_event, gap_ms,"
+            " same_value FROM {view}"
+        ),
+        "batch_query": "rel_double_fire_events",
+    },
+    "rate_limit": {
+        "twin": J.stateful_rate_limit,
+        "sentinel": None,
+        "key_domain": lambda ev: ev.select("user_id").distinct().count(),
+        # the twin emits per-event decisions; the batch query is the
+        # per-type audit rollup — reconstruct it exactly (win_n counts
+        # all same-instant peers on both sides, so the set compare is
+        # engine-exact)
+        "rollup_sql": (
+            "SELECT event_type, count(*) AS n_events,"
+            " CAST(sum(throttled) AS BIGINT) AS n_throttled,"
+            " CAST(count(DISTINCT CASE WHEN throttled = 1 THEN user_id END)"
+            "   AS BIGINT) AS n_users_throttled,"
+            " CAST(max(win_n) AS BIGINT) AS peak_window_count"
+            " FROM {view} GROUP BY event_type"
+        ),
+        "batch_query": "rel_rate_limit_audit",
+        # the ONE twin whose per-key state is not O(1): two parallel
+        # arrays of the user's distinct arrival instants still inside
+        # the trailing window. Report the analytic hot-key bound (max
+        # in-window distinct instants over the whole feed) next to the
+        # state-store bytes so "bounded by W x rate" is a measured
+        # number, not a docstring claim.
+        "extra_metrics": lambda spark, ev: {
+            "max_inwindow_instants_per_key": _max_inwindow_instants(ev)
+        },
     },
 }
 
@@ -262,6 +333,8 @@ def main() -> int:
             ),
             "batches": batches,
         }
+        if spec.get("extra_metrics"):
+            out.update(spec["extra_metrics"](spark, ev))
         print(json.dumps(out))
         return 0 if out["replay_equals_batch"] else 1
     finally:
