@@ -1993,36 +1993,102 @@ ORDER BY event_type
     "limit, and the peak observed window count — the capacity-"
     "planning readout before enabling enforcement. Sliding-window "
     "counting (every arrival counts, as in nginx/envoy "
-    "rate limiting) is a pure RANGE-frame window on integer "
-    "microseconds — order-independent at timestamp ties because "
-    "RANGE includes all peers, so the result is partitioning- and "
-    "engine-exact with no sequential token-bucket state needed. "
-    "Scale shape: one shuffle on user_id (the natural limiter key), "
-    "a frame whose state is bounded by the window's own limit "
-    "violations, then a tiny per-type rollup with map-side partials.",
+    "rate limiting) is counted on integer microseconds with all "
+    "same-instant arrivals as peers, so the result is partitioning- "
+    "and engine-exact with no sequential token-bucket state needed. "
+    "Scale shape — deliberately NOT the definitional bounded RANGE "
+    "frame: Spark's SlidingWindowFunctionFrame re-aggregates the "
+    "whole in-frame buffer for every output row once rows start "
+    "leaving the frame, so a trailing-count window is O(rows x "
+    "in-window rows) on a hot key (a 2.5M-event user on the skew5m "
+    "fixture pinned an executor core for >30 min — jstack receipt in "
+    "PERF.md r8; and a hot key is this query's OPERATING REGIME: "
+    "rate limiters exist because of abusive keys). Instead the count "
+    "is a difference stream: +n at each distinct (user, instant), -n "
+    "at instant + W, win_n = running UNBOUNDED PRECEDING sum read "
+    "out at instant positions — the incremental frame Spark "
+    "evaluates in O(1) per row, keeping every operator linear and "
+    "one sort per user partition, then the same tiny per-type "
+    "rollup with map-side partials. Integer counts, so the running "
+    "+-n sum is exactly the per-frame re-aggregation's value.",
 )
 def rel_rate_limit_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, "events", sf_dir)
-    w = (
-        Window.partitionBy("user_id")
-        .orderBy("t_us")
-        .rangeBetween(-(RATE_WINDOW_S * 1_000_000 - 1), 0)
+    w_us = RATE_WINDOW_S * 1_000_000
+    # per (user, instant, type) event counts — readout granularity
+    te = (
+        ev.select(
+            "user_id",
+            F.unix_micros("ts").alias("t_us"),
+            "event_type",
+        )
+        .groupBy("user_id", "t_us", "event_type")
+        .agg(F.count("*").alias("n_te"))
     )
-    seq = ev.select(
-        "event_type",
-        "user_id",
-        F.unix_micros("ts").alias("t_us"),
-    ).select(
-        "event_type",
-        "user_id",
-        F.count("*").over(w).alias("win_n"),
+    # per (user, instant) totals — the window-count contributions
+    inst = te.groupBy("user_id", "t_us").agg(
+        F.sum("n_te").cast("long").alias("n")
+    )
+    null_ty = F.lit(None).cast("string")
+    null_n = F.lit(None).cast("long")
+    # difference stream, ordered by (tm, pri) per user:
+    #   pri 0 — expiry: an arrival at s leaves the trailing window
+    #           (t - W, t] at decision time s + W, BEFORE that
+    #           instant's own arrivals are counted;
+    #   pri 1 — arrival: +n at the instant;
+    #   pri 2 — readout: zero-contribution row per (instant, type)
+    #           observing the running sum AFTER this instant's adds.
+    diff = (
+        inst.select(
+            "user_id",
+            (F.col("t_us") + w_us).alias("tm"),
+            F.lit(0).alias("pri"),
+            (-F.col("n")).alias("contrib"),
+            null_ty.alias("event_type"),
+            null_n.alias("n_te"),
+        )
+        .unionByName(
+            inst.select(
+                "user_id",
+                F.col("t_us").alias("tm"),
+                F.lit(1).alias("pri"),
+                F.col("n").alias("contrib"),
+                null_ty.alias("event_type"),
+                null_n.alias("n_te"),
+            )
+        )
+        .unionByName(
+            te.select(
+                "user_id",
+                F.col("t_us").alias("tm"),
+                F.lit(2).alias("pri"),
+                F.lit(0).cast("long").alias("contrib"),
+                "event_type",
+                F.col("n_te").cast("long").alias("n_te"),
+            )
+        )
+    )
+    wrun = (
+        Window.partitionBy("user_id")
+        .orderBy("tm", "pri")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    seq = (
+        diff.select(
+            "user_id",
+            "event_type",
+            "n_te",
+            "pri",
+            F.sum("contrib").over(wrun).alias("win_n"),
+        )
+        .where(F.col("pri") == 2)
     )
     throttled = F.col("win_n") > RATE_LIMIT_K
     return (
         seq.groupBy("event_type")
         .agg(
-            F.count("*").alias("n_events"),
-            F.sum(F.when(throttled, 1).otherwise(0))
+            F.sum("n_te").cast("long").alias("n_events"),
+            F.sum(F.when(throttled, F.col("n_te")).otherwise(0))
             .cast("long")
             .alias("n_throttled"),
             F.countDistinct(

@@ -41,14 +41,19 @@ def merge(jsonl: str, out: str) -> None:
     sf = None
     for line in open(jsonl):
         rec = json.loads(line)
-        if rec.get("err"):
-            continue
+        if rec.get("err") and "spark_sec" not in rec:
+            continue  # no timing at all — nothing to index
         sf = rec["sf"]
-        queries[rec["name"]] = {
+        out_rec = {
             "spark_sec": rec["spark_sec"],
-            "duckdb_sec": rec["duckdb_sec"],
-            "ratio": rec["ratio"],
+            "duckdb_sec": rec.get("duckdb_sec"),
+            "ratio": rec.get("ratio"),
         }
+        if rec.get("err"):
+            # spark-only absolute with the comparator's failure recorded:
+            # the index attaches it alongside a comparator-kill adjudication
+            out_rec["comparator_err"] = rec["err"]
+        queries[rec["name"]] = out_rec
     with open(out, "w") as f:
         json.dump({"sf": sf, "queries": queries}, f, indent=1, sort_keys=True)
         f.write("\n")
@@ -77,6 +82,19 @@ def main() -> None:
         extra_conf={"spark.sql.adaptive.advisoryPartitionSizeInBytes": "8m"},
     )
     con = duckdb.connect()
+    # sf20 discipline: a recursive-CTE/spill blowup on the comparator
+    # side must land as an error ROW, not fill the container disk (the
+    # r7 pagerank oracle spilled >60 GB). Caps are env-overridable.
+    tmp = os.environ.get("BVD_DUCK_TMP")
+    if tmp:
+        os.makedirs(tmp, exist_ok=True)
+        con.execute(f"SET temp_directory='{tmp}'")
+        con.execute(
+            "SET max_temp_directory_size="
+            f"'{os.environ.get('BVD_DUCK_TMP_MAX', '30GB')}'"
+        )
+    if os.environ.get("BVD_DUCK_MEM"):
+        con.execute(f"SET memory_limit='{os.environ['BVD_DUCK_MEM']}'")
     for t in TABLES:
         con.execute(
             f"CREATE OR REPLACE VIEW {t} AS "

@@ -100,18 +100,31 @@ def _max_inwindow_instants(ev):
     """Analytic hot-key bound for the rate limiter's array state: the
     max number of distinct arrival instants any one user keeps inside
     the trailing window at any point in the feed (= that user's state
-    array length high-water mark)."""
+    array length high-water mark). Computed as a +1/-1 difference
+    stream with a running unbounded-preceding sum — NOT a bounded
+    RANGE frame, whose per-row frame re-aggregation is O(n x window)
+    on exactly the hot key this probe exists to measure."""
     from pyspark.sql import Window
 
-    w = (
+    w_us = J.RATE_WINDOW_S * 1_000_000
+    inst = ev.select("user_id", F.unix_micros("ts").alias("t_us")).distinct()
+    diff = inst.select(
+        "user_id", (F.col("t_us") + w_us).alias("tm"),
+        F.lit(0).alias("pri"), F.lit(-1).alias("contrib"),
+    ).unionByName(
+        inst.select(
+            "user_id", F.col("t_us").alias("tm"),
+            F.lit(1).alias("pri"), F.lit(1).alias("contrib"),
+        )
+    )
+    wrun = (
         Window.partitionBy("user_id")
-        .orderBy("t_us")
-        .rangeBetween(-(J.RATE_WINDOW_S * 1_000_000 - 1), 0)
+        .orderBy("tm", "pri")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     return (
-        ev.select("user_id", F.unix_micros("ts").alias("t_us"))
-        .distinct()
-        .select(F.count("*").over(w).alias("cnt"))
+        diff.select("pri", F.sum("contrib").over(wrun).alias("cnt"))
+        .where(F.col("pri") == 1)
         .agg(F.max("cnt"))
         .collect()[0][0]
     )
