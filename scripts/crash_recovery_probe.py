@@ -138,11 +138,13 @@ def _batch_rows(spark, sf_dir: str, job: str) -> set:
             tuple(r)
             for r in plans.get("rel_interval_coalesce").fn(spark, sf_dir).collect()
         }
-    ev = load_table(spark, "events", sf_dir)
     # sentinel events participate in the streaming run, so the batch
-    # reference includes them the same way
+    # reference includes them the same way (the feed files live under
+    # src/tNNN/ — recursive lookup, like every other reader here)
     sent_day_words = J.bitmap_words(
-        ev.sparkSession.read.parquet(f"{_WORK['dir']}/src")
+        spark.read.option("recursiveFileLookup", "true").parquet(
+            f"{_WORK['dir']}/src"
+        )
     )
     return {tuple(r) for r in J.bitmap_distinct_rollup(sent_day_words).collect()}
 
