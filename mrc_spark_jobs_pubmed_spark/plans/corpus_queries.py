@@ -2457,33 +2457,47 @@ ORDER BY batch
     "continuously-crawled corpus needs: when cum_distinct flattens, "
     "additional crawl budget buys duplicates, not data (the "
     "exact-hash, over-time companion of corpus_ngram_novelty's "
-    "exact-hash, over-time companion of corpus_ngram_novelty's "
-    "cross-corpus check). Scale shape: ONE hash-keyed window (min "
-    "doc_id per content hash — first-occurrence marking without a "
-    "self-join) over the corpus, then a batch-domain agg and a tiny "
-    "batch-domain cumulative window; nothing quadratic, no driver "
-    "state. Plan-shape bake-off at sf20 (PERF.md r7): this window "
-    "form 4.8 s; a two-agg rewrite that rescanned the 500-byte text "
-    "column 5.7 s; a checkpoint-the-(hash,batch)-agg form 6.9 s — and "
-    "the raw text scan ALONE is 3.6 s, i.e. the query is scan-floor-"
-    "bound (the q1/q5 single-scan constant-factor class), so the "
-    "window's exchange+sort is already within ~1.2 s of the floor. "
+    "cross-corpus check). Scale shape — hash ONCE into a narrow "
+    "(doc_id, batch, hash) projection, eagerly checkpoint it (~40 "
+    "bytes/doc — the text column is read exactly once and never "
+    "shuffles), then TWO plain aggregations: per-batch doc counts, "
+    "and min(doc_id) per content hash re-bucketed to its batch for "
+    "the novelty counts; no window sort over the corpus, no "
+    "self-join, batch-domain close. The r7 window form (min doc_id "
+    "OVER hash partitions) was re-baked in r8 once the scan-floor "
+    "receipt showed the text scan is 1-2% of runtime, not the 75% "
+    "r7 measured cold: the exchange+SORT the window needs is the "
+    "cost, and the agg form drops it — sf20 median-of-3 1.06 s vs "
+    "3.87 s window, value-identical (DEDUP_GROWTH_AB_r8.json shows "
+    "the md5->xxhash64 swap moves nothing on the Spark side: the "
+    "hash was never the cost either). "
     "Exactness: md5 hex is engine-identical, everything else is "
     "BIGINT counts and one integer division per batch.",
 )
 def corpus_dedup_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, "documents", sf_dir)
-    wh = Window.partitionBy(F.md5(F.coalesce(F.col("text"), F.lit(""))))
-    hashed = docs.select(
-        "doc_id",
-        F.expr(f"doc_id div {GROWTH_BATCH}").alias("batch"),
-        F.min("doc_id").over(wh).alias("first_id"),
+    hashed = (
+        docs.select(
+            "doc_id",
+            F.expr(f"doc_id div {GROWTH_BATCH}").alias("batch"),
+            F.md5(F.coalesce(F.col("text"), F.lit(""))).alias("h"),
+        )
+        .localCheckpoint(eager=True)
     )
-    per_batch = hashed.groupBy("batch").agg(
-        F.count("*").cast("long").alias("n_docs"),
-        F.sum(F.when(F.col("doc_id") == F.col("first_id"), 1).otherwise(0))
-        .cast("long")
-        .alias("n_new"),
+    n_docs = hashed.groupBy("batch").agg(
+        F.count("*").cast("long").alias("n_docs")
+    )
+    n_new = (
+        hashed.groupBy("h")
+        .agg(F.min("doc_id").alias("first_id"))
+        .select(F.expr(f"first_id div {GROWTH_BATCH}").alias("batch"))
+        .groupBy("batch")
+        .agg(F.count("*").cast("long").alias("n_new"))
+    )
+    per_batch = n_docs.join(n_new, "batch", "left").select(
+        "batch",
+        "n_docs",
+        F.coalesce("n_new", F.lit(0)).cast("long").alias("n_new"),
     )
     wb = Window.orderBy("batch").rowsBetween(Window.unboundedPreceding, 0)
     return (

@@ -60,6 +60,24 @@ def merge(jsonl: str, out: str) -> None:
     print(f"merged {len(queries)} rows (sf={sf}) -> {out}")
 
 
+def _duck_guarded(con, sql: str):
+    """Run the oracle with an optional wall-clock cap (BVD_DUCK_TIMEOUT_S):
+    a timer thread interrupts the connection so a recursive-CTE blowup at
+    sf20 lands as this query's error row instead of stalling the sweep.
+    The spark absolute measured just before is kept by --merge."""
+    import threading
+
+    cap = float(os.environ.get("BVD_DUCK_TIMEOUT_S", "0") or 0)
+    if not cap:
+        return con.execute(sql).fetchall()
+    timer = threading.Timer(cap, con.interrupt)
+    timer.start()
+    try:
+        return con.execute(sql).fetchall()
+    finally:
+        timer.cancel()
+
+
 def main() -> None:
     if sys.argv[1] == "--merge":
         merge(sys.argv[2], sys.argv[3])
@@ -105,15 +123,26 @@ def main() -> None:
         for i, name in enumerate(todo):
             q = registry[name]
             rec: dict = {"name": name, "sf": sf}
+            skip_oracle = name in {
+                s for s in os.environ.get("BVD_SKIP_ORACLE", "").split(",") if s
+            }
             try:
                 q.fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
                 t0 = time.time()
                 q.fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
                 rec["spark_sec"] = round(time.time() - t0, 3)
-                if q.oracle:
-                    con.execute(q.oracle).fetchall()
+                if skip_oracle:
+                    # comparator known-infeasible at this scale (e.g. the
+                    # DuckDB list-typed kmeans CTEs OOM-kill the process
+                    # at sf20, outside memory_limit's accounting): keep
+                    # the spark absolute, record why the ratio is absent
+                    rec["duckdb_sec"] = None
+                    rec["ratio"] = None
+                    rec["err"] = "comparator skipped: BVD_SKIP_ORACLE"
+                elif q.oracle:
+                    _duck_guarded(con, q.oracle)  # warm
                     t0 = time.time()
-                    con.execute(q.oracle).fetchall()
+                    _duck_guarded(con, q.oracle)
                     rec["duckdb_sec"] = round(time.time() - t0, 3)
                     rec["ratio"] = round(rec["spark_sec"] / rec["duckdb_sec"], 2)
                 else:

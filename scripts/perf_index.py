@@ -74,15 +74,47 @@ _INFEAS = (
     "PERF.md r4/r6/r7 kill notes; sf20 spark-only absolutes in "
     "PERF_sf20_batch*_r7.json",
 )
-_SCAN = (
-    "scan-floor",
+_CPU = (
+    "single-node-cpu-floor",
     "Plan audited (all-broadcast star, pushed filters, pruned columns — "
-    "the 1000-executor shape); the residual gap is the single-machine "
-    "parquet scan + JVM row-processing constant factor, demonstrated by "
-    "measuring the bare scan of the same columns, which alone exceeds "
-    "the comparator's whole-query time.",
-    "scan-floor receipts in PERF_INDEX.json scan_floor_receipts "
-    "(r8); VERDICT r7 standing ruling",
+    "the 1000-executor shape). The r8 receipts REFUTED the r7 'parquet "
+    "scan floor' wording: the bare scan of each query's own columns is "
+    "0.03-0.09 s, 1-2% of Spark's query time and BELOW the comparator's "
+    "whole query. The residual gap is the single-machine JVM "
+    "aggregation/join row-processing constant factor vs an in-process "
+    "vectorized OLAP engine — it parallelizes away with executors "
+    "(the plans are the distributed shape), it cannot be planned away "
+    "on one machine.",
+    "SCAN_FLOOR_RECEIPTS.json (r8, embedded below); VERDICT r7 ruling "
+    "as amended by the r8 receipts",
+)
+_KMEANS_ORACLE = (
+    "comparator-infeasible",
+    "The DEFINITIONAL DuckDB oracle (list-typed k-means/PQ CTE chains "
+    "over 400k x 64-dim vectors) exceeds container memory at sf20 — "
+    "two observed OOM kills at 93/82 GB RSS, outside memory_limit's "
+    "accounting — or a 300 s interrupt. Parity holds at sf0.01-sf1; "
+    "Spark absolutes are committed and grow SUBLINEARLY across the "
+    "20x sf1->sf20 scale-up (e.g. pq_codes 6.2->9.9 s, kmeans_ivf "
+    "4.1->7.9 s): the crossover against the comparator happened "
+    "between sf1 and sf20.",
+    "PERF_sf20_weak_r8.json comparator_err rows + dmesg OOM receipts "
+    "in PERF.md r8; sf1 ratios in PERF_sf1_r8.json",
+)
+_RL_SKEW = (
+    "skew-insurance",
+    "The registered plan is the +n/-n difference stream chosen for the "
+    "rate limiter's OPERATING regime (hot abusive keys): on skew5m "
+    "(one user = 50% of 5M events) the definitional bounded RANGE "
+    "frame pins a core >30 min per micro-batch (Spark re-aggregates "
+    "the in-frame buffer per row) while the diff stream finishes in "
+    "21.8 s value-exact. The uniform-data premium vs DuckDB's "
+    "segment-tree sliding window (20x at sf20, 11.4 s absolute) is "
+    "the measured price of that insurance — same trade as "
+    "rel_interval_coalesce_sharded, here taken as the MAIN plan "
+    "because hot keys are the query's own contract.",
+    "tests/test_rate_limit_skew.py + STREAM_STATE_skew5m_r8_ratelimit"
+    ".json + PERF.md r8 jstack receipt; PERF_sf20_weak_r8.json",
 )
 _SKEW = (
     "skew-insurance",
@@ -108,13 +140,44 @@ ADJUDICATIONS: dict[str, tuple[str, str, str]] = {
     "mm_phash_neardup": _INFEAS,
     "corpus_boilerplate_profile": _INFEAS,
     "emb_hard_negative_mining": _INFEAS,
-    # single-scan TPC-H class (receipts: scan-floor bake-offs)
-    "rel_q1_pricing_summary": _SCAN,
-    "rel_q3_shipping_priority": _SCAN,
-    "rel_q5_region_revenue": _SCAN,
-    "sim_cosine_topk": _SCAN,
+    # single-scan TPC-H class (receipts: r8 scan-floor bake-offs —
+    # which moved the ruling from 'scan floor' to 'cpu floor')
+    "rel_q1_pricing_summary": _CPU,
+    "rel_q3_shipping_priority": _CPU,
+    "rel_q5_region_revenue": _CPU,
+    "sim_cosine_topk": _CPU,
     # skew-insurance variant
     "rel_interval_coalesce_sharded": _SKEW,
+    # skew-proof main plan with a measured uniform premium (r8)
+    "rel_rate_limit_audit": _RL_SKEW,
+    # definitional kmeans/PQ oracles OOM-kill the container at sf20 (r8)
+    "emb_cluster_purity": _KMEANS_ORACLE,
+    "emb_outlier_detection": _KMEANS_ORACLE,
+    "emb_pq_codes": _KMEANS_ORACLE,
+    "sim_ivf_nprobe_recall": _KMEANS_ORACLE,
+    "sim_ivf_pq_search": _KMEANS_ORACLE,
+    "sim_ivfpq_recall": _KMEANS_ORACLE,
+    "sim_kmeans_ivf": _KMEANS_ORACLE,
+    # comparator dies at sf20 while the Spark absolute is strong (r8)
+    "graph_assortativity": (
+        "comparator-infeasible",
+        "DuckDB cannot finish the 180M-edge MATERIALIZED edge build "
+        "within the 300 s cap at sf20; Spark completes in 5.9 s over "
+        "the shared bucketed edge table (the r4 62 s sf5 reading "
+        "predates that table). Ratios stand at sf5 (5.3x on the "
+        "pre-bucketing plan).",
+        "PERF_sf20_weak_r8.json; PERF_sf5_r4e.json",
+    ),
+    "rel_basket_lift": (
+        "comparator-infeasible",
+        "Catalog-wide pair co-occurrence: the pair domain approaches "
+        "|parts|^2-bounded mass (~630M pairs at sf20), DuckDB OOMs its "
+        "28 GB budget building the pair hash table; Spark completes in "
+        "61 s. Production basket analysis prunes to top-K items first "
+        "— the full-catalog form is the stress diagnostic.",
+        "PERF_sf20_weak_r8.json comparator_err row; sf1 ratio 5.2x in "
+        "PERF_sf1_r8.json",
+    ),
 }
 
 
