@@ -2591,10 +2591,18 @@ FROM sel{MMR_K} ORDER BY rank
     "break by vec_id, making the greedy path engine- and partitioning-"
     "deterministic. Scale shape: relevance top-k prunes the corpus to "
     f"{MMR_POOL} rows (TakeOrderedAndProject over one scan); the "
-    "greedy pass is {MMR_K} unrolled joins over a broadcast-sized "
-    "pool + pairwise-sim table, no collect — at 100 TB the pool cut "
-    "does all the work and the rerank cost is constant. First pick's "
-    "score is {MMR_W_REL}*rel by contract (empty selected set).",
+    "greedy pass runs as ONE grouped-pandas task over the tagged "
+    "union of the pool and its exact Spark-computed pairwise-cosine "
+    "grid (bounded at pool + pool^2 rows by construction) — greedy "
+    "selection is inherently sequential in k, and the r8 A/B showed "
+    "the previous unrolled-join form re-executed the growing "
+    "non-checkpointed selection subplan ~3x per step (the "
+    "reciprocal-NN duplicated-subtree class, ~81 duplicated tiny "
+    "stages at k=5: 5.5 s of pure scheduling at sf20, 2.2 s after). "
+    "At 100 TB the pool cut does all the work and the rerank cost "
+    "is constant. First pick's score is {MMR_W_REL}*rel by contract "
+    "(empty selected set); the pandas fold is pure int64 on the "
+    "same 1e-6 grid, so values are engine-exact.",
 )
 def sim_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, "embeddings", sf_dir)
@@ -2620,58 +2628,80 @@ def sim_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = pool.select(
         F.col("vec_id").alias("bb"), F.col("embedding").alias("eb")
     )
-    pairs = (
-        a.join(F.broadcast(b), F.col("aa") != F.col("bb"))
-        .select(
+    pairs = a.join(F.broadcast(b), F.col("aa") != F.col("bb")).select(
+        "aa",
+        "bb",
+        F.round(S.cosine_named("ea", "eb") * 1000000)
+        .cast("long")
+        .alias("sim_u6"),
+    )
+    # tagged union: 'p' rows carry (vec_id, rel), 's' rows the exact
+    # pairwise grid — one bounded group, one sequential greedy task
+    tagged = pool.select(
+        F.lit(0).alias("g"),
+        F.lit("p").alias("tag"),
+        F.col("vec_id").alias("aa"),
+        F.lit(None).cast("long").alias("bb"),
+        F.col("rel_u6").cast("long").alias("val"),
+    ).unionByName(
+        pairs.select(
+            F.lit(0).alias("g"),
+            F.lit("s").alias("tag"),
             "aa",
             "bb",
-            F.round(S.cosine_named("ea", "eb") * 1000000)
-            .cast("long")
-            .alias("sim_u6"),
-        )
-        .localCheckpoint(eager=True)
-    )
-    sel = (
-        pool.orderBy(F.desc("rel_u6"), F.asc("vec_id"))
-        .limit(1)
-        .select(
-            F.lit(1).cast("long").alias("rank"),
-            "vec_id",
-            "rel_u6",
-            (F.lit(MMR_W_REL) * F.col("rel_u6")).cast("long").alias(
-                "mmr_score_u6"
-            ),
+            F.col("sim_u6").alias("val"),
         )
     )
-    for k in range(2, MMR_K + 1):
-        mx = (
-            pairs.join(
-                sel.select(F.col("vec_id").alias("bb")), "bb", "left_semi"
-            )
-            .groupBy("aa")
-            .agg(F.max("sim_u6").alias("m"))
+
+    def greedy(pdf):
+        import pandas as pd
+
+        rel = {
+            int(r.aa): int(r.val)
+            for r in pdf[pdf["tag"] == "p"].itertuples()
+        }
+        sim: dict = {}
+        for r in pdf[pdf["tag"] == "s"].itertuples():
+            sim.setdefault(int(r.aa), {})[int(r.bb)] = int(r.val)
+        out = []
+        selected: list[int] = []
+        while rel and len(selected) < MMR_K:
+            if not selected:
+                cand = [
+                    (MMR_W_REL * rv, v, rv) for v, rv in rel.items()
+                ]
+            else:
+                # mirror the oracle's join: a candidate needs a pairs
+                # row to every already-selected vec (all-pairs grid, so
+                # this only excludes the degenerate pool-of-one case)
+                cand = [
+                    (
+                        MMR_W_REL * rv
+                        - MMR_W_DIV * max(sim[v][s] for s in selected),
+                        v,
+                        rv,
+                    )
+                    for v, rv in rel.items()
+                    if all(s in sim.get(v, {}) for s in selected)
+                ]
+            if not cand:
+                break
+            score, v, rv = max(cand, key=lambda t: (t[0], -t[1]))
+            out.append((len(selected) + 1, v, rv, score))
+            selected.append(v)
+            del rel[v]
+        return pd.DataFrame(
+            out, columns=["rank", "vec_id", "rel_u6", "mmr_score_u6"]
         )
-        best = (
-            pool.join(
-                sel.select("vec_id"), "vec_id", "left_anti"
-            )
-            .join(mx, F.col("vec_id") == F.col("aa"))
-            .select(
-                F.lit(k).cast("long").alias("rank"),
-                "vec_id",
-                "rel_u6",
-                (
-                    F.lit(MMR_W_REL) * F.col("rel_u6")
-                    - F.lit(MMR_W_DIV) * F.col("m")
-                )
-                .cast("long")
-                .alias("mmr_score_u6"),
-            )
-            .orderBy(F.desc("mmr_score_u6"), F.asc("vec_id"))
-            .limit(1)
+
+    return (
+        tagged.groupBy("g")
+        .applyInPandas(
+            greedy,
+            "rank long, vec_id long, rel_u6 long, mmr_score_u6 long",
         )
-        sel = sel.unionByName(best)
-    return sel.orderBy("rank")
+        .orderBy("rank")
+    )
 
 
 # --- hard-negative / hard-positive mining -------------------------------------

@@ -146,6 +146,11 @@ ADJUDICATIONS: dict[str, tuple[str, str, str]] = {
     "rel_q3_shipping_priority": _CPU,
     "rel_q5_region_revenue": _CPU,
     "sim_cosine_topk": _CPU,
+    # r8: scale-flat 3.0 s absolute (sf5 == sf20) over the full-corpus
+    # cosine scan; the r8 literal-query-vector alternative measured 4x
+    # WORSE (per-index array extraction), so the broadcast-join scan
+    # stands as the plan — array-expression row-processing floor
+    "sim_range_search": _CPU,
     # skew-insurance variant
     "rel_interval_coalesce_sharded": _SKEW,
     # skew-proof main plan with a measured uniform premium (r8)
@@ -158,6 +163,27 @@ ADJUDICATIONS: dict[str, tuple[str, str, str]] = {
     "sim_ivf_pq_search": _KMEANS_ORACLE,
     "sim_ivfpq_recall": _KMEANS_ORACLE,
     "sim_kmeans_ivf": _KMEANS_ORACLE,
+    # engine-surface certification row: the query EXISTS to exercise
+    # Spark 4.x's native WITH RECURSIVE operator (its docstring names
+    # graph_bom_explosion's binary-decomposition fold as the scale
+    # path for deep hierarchies — 2.31x / 7.2 s at sf20 after the r8
+    # rewrite); depth-linear native recursion over a depth-17 tree is
+    # 17 sequential frontier joins of driver-scheduled stages, the
+    # measured cost of certifying the operator itself
+    "graph_recursive_bom": (
+        "surface-certification",
+        "Certifies Spark 4.x native WITH RECURSIVE (anchor + step + "
+        "fixpoint + recursion guard conf) against DuckDB's native "
+        "recursion — the row's purpose is the ENGINE OPERATOR, not "
+        "the fastest plan for the semantics: the same closure's "
+        "production path is graph_bom_explosion's no-distinct binary-"
+        "decomposition fold, measured 2.31x/7.2 s at sf20 (r8 "
+        "rewrite, was 4.0x/20.8 s). Native recursion costs one "
+        "driver-scheduled frontier join per level (depth ~17 at "
+        "sf20's key range) — depth-linear scheduling floor.",
+        "PERF_sf20_weak_r8.json (both rows); graph_queries.py "
+        "docstrings; r8 bake-off in PERF.md",
+    ),
     # comparator dies at sf20 while the Spark absolute is strong (r8)
     "graph_assortativity": (
         "comparator-infeasible",

@@ -64,6 +64,9 @@ SPECS: dict[str, dict[str, list[str]]] = {
     "sim_cosine_topk": {
         "embeddings": ["vec_id", "embedding"],
     },
+    "sim_range_search": {
+        "embeddings": ["vec_id", "embedding"],
+    },
 }
 
 
