@@ -156,7 +156,16 @@ SELECT o_orderkey, o_custkey,
 FROM orders
 """,
     doc="RANGE frame: per-customer rolling 90-day spend — rangeBetween "
-    "over the epoch-seconds ordering key (90d = 7,776,000 s).",
+    "over the epoch-seconds ordering key (90d = 7,776,000 s). This row "
+    "certifies the bounded-RANGE-frame operator surface itself; exact "
+    "integer cents so the frame sum is engine-exact. Skew caveat "
+    "(r8): Spark evaluates bounded sliding frames by re-aggregating "
+    "the in-frame buffer per output row — O(rows x in-frame rows) on "
+    "a hot key. Safe here because TPC-H customers hold ~10 orders "
+    "(frames stay account-sized at any corpus scale); for a key whose "
+    "90-day frame can hold millions of rows, use the +x/-x "
+    "difference-stream shape rel_rate_limit_audit switched to in r8 "
+    "(jstack receipt in PERF.md r8).",
 )
 def rel_window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, "orders", sf_dir)
