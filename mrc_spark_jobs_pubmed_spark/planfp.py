@@ -1,0 +1,75 @@
+"""Physical-plan fingerprints for the perf evidence index (r9).
+
+VERDICT r8 "What's missing" item 2: perf datapoints did not invalidate
+on plan change — the gate checked index-vs-artifacts, not
+artifacts-vs-current-code, so replanning a query (or a shared helper
+that changes its plan) silently kept the old measured number. The fix
+is structural: every query's physical plan gets a normalized
+fingerprint, the fingerprint each datapoint was measured under is
+PINNED (PLAN_FP_PINS.json, maintained by scripts/plan_fp_snapshot.py),
+and a pytest gate recomputes current fingerprints and fails on any
+divergence — a replan now forces a re-measure instead of inheriting
+stale evidence.
+
+Normalization strips run-to-run noise so the fingerprint is stable
+across sessions but sensitive to plan-shape changes: expression ids
+(#123 grow monotonically per session), exchange/plan ids, file-index
+locations (absolute paths + partition counts), RDD scan ids (plans
+that localCheckpoint embed per-session RDD numbers), and whitespace.
+Node structure, operator choice, pushed filters, read schemas, and
+partitioning expressions all survive — exactly the things a replan
+changes.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+
+# order matters: line-level kills run before whitespace collapse
+_LINE_KILL = re.compile(
+    r"^\s*(Location:|CachedRDDName:|Checkpoint|\+\- Scan ExistingRDD).*$",
+    re.M,
+)
+_SUBS = (
+    (re.compile(r"#\d+"), "#"),
+    (re.compile(r"\[id=\d+\]"), "[id=]"),
+    (re.compile(r"plan_id=\d+"), "plan_id="),
+    (re.compile(r"RDD\[\d+\]"), "RDD[]"),
+    (re.compile(r"Scan ExistingRDD\[[^\]]*\]"), "Scan ExistingRDD[]"),
+    (re.compile(r"ExistingRDD\b[^\n]*"), "ExistingRDD"),
+    (re.compile(r"LogicalRDD\b[^\n]*"), "LogicalRDD"),
+    (re.compile(r"InMemoryFileIndex\([^)]*\)\S*"), "InMemoryFileIndex"),
+    (re.compile(r"file:/\S+"), "file:"),
+    (re.compile(r"\s+"), " "),
+)
+
+
+def normalize_plan(plan: str) -> str:
+    plan = _LINE_KILL.sub("", plan)
+    for rx, rep in _SUBS:
+        plan = rx.sub(rep, plan)
+    return plan.strip()
+
+
+def plan_fingerprint(df) -> str:
+    """16-hex-char fingerprint of a DataFrame's formatted physical plan."""
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    return hashlib.sha256(normalize_plan(plan).encode()).hexdigest()[:16]
+
+
+def fingerprint_registry(spark, sf_dir: str) -> dict[str, str]:
+    """Fingerprint every registered query's plan against sf_dir.
+
+    Uses the same fixed sf_dir on both the snapshot and the gate side —
+    fingerprints are only comparable at one scale (AQE thresholds and
+    file counts differ across scales).
+    """
+    from mrc_spark_jobs_pubmed_spark import plans
+
+    out: dict[str, str] = {}
+    for name, q in sorted(plans.all_queries().items()):
+        out[name] = plan_fingerprint(q.fn(spark, sf_dir))
+    return out

@@ -163,9 +163,10 @@ FROM orders
     "the in-frame buffer per output row — O(rows x in-frame rows) on "
     "a hot key. Safe here because TPC-H customers hold ~10 orders "
     "(frames stay account-sized at any corpus scale); for a key whose "
-    "90-day frame can hold millions of rows, use the +x/-x "
-    "difference-stream shape rel_rate_limit_audit switched to in r8 "
-    "(jstack receipt in PERF.md r8).",
+    "90-day frame can hold millions of rows, use the REGISTERED "
+    "escape hatch rel_window_range_frame_diff (same oracle, +x/-x "
+    "difference-stream plan, linear per row — skew A/B receipt "
+    "RANGE_FRAME_AB_r9.json; jstack receipt in PERF.md r8).",
 )
 def rel_window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, "orders", sf_dir)
@@ -183,6 +184,105 @@ def rel_window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("double")
             / 100.0
         ).alias("spend_90d"),
+    )
+
+
+@register(
+    "rel_window_range_frame_diff",
+    oracle="""
+SELECT o_orderkey, o_custkey,
+       sum(CAST(round(o_totalprice * 100) AS BIGINT)) OVER (
+         PARTITION BY o_custkey ORDER BY epoch(o_orderdate)
+         RANGE BETWEEN 7776000 PRECEDING AND CURRENT ROW) / 100.0
+         AS spend_90d
+FROM orders
+WHERE o_orderdate IS NOT NULL
+""",
+    doc="Hot-key escape hatch for rel_window_range_frame: the SAME "
+    "rolling-90-day-spend semantics (oracle is the identical RANGE-"
+    "frame SQL), computed WITHOUT a bounded sliding frame. Spark "
+    "re-aggregates a bounded frame's whole buffer per output row "
+    "(O(rows x in-frame rows) on a hot key — the r8 rate-limiter "
+    "probe pinned a core >30 min on one 2.5M-event key, jstack "
+    "receipt in PERF.md r8). Here each order's cents contribute +c "
+    "at its instant and -c at instant + 90d, and every order row "
+    "reads the per-customer running UNBOUNDED PRECEDING sum — the "
+    "one frame Spark evaluates incrementally in O(1)/row — ordered "
+    "(tm, pri): arrivals (0) before readouts (1) before expiries "
+    "(2), so a row expires strictly AFTER the boundary readout, "
+    "matching RANGE's inclusive lower bound. Integer cents, so the "
+    "running +-c sum equals the frame re-aggregation bit-for-bit. "
+    "Same-instant peers aggregate once per (cust, instant) before "
+    "the union, so peer rows all read the full peer-group sum, "
+    "exactly as RANGE peers do. Linear per key at any skew: the "
+    "skew A/B (RANGE_FRAME_AB_r9.json) shows the crossover vs the "
+    "bounded-frame plan on a hot-key fixture. Non-null contract: "
+    "RANGE treats null order dates as one peer group, the "
+    "difference stream cancels them — both sides filter them "
+    "explicitly so the equivalence is unconditional.",
+)
+def rel_window_range_frame_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w_s = 90 * 24 * 3600
+    orders = (
+        load_table(spark, "orders", sf_dir)
+        .where(F.col("o_orderdate").isNotNull())
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            F.unix_timestamp("o_orderdate").alias("t_s"),
+            F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        )
+    )
+    # same-instant peers contribute once, as one peer group
+    inst = orders.groupBy("o_custkey", "t_s").agg(
+        F.sum("cents").alias("c")
+    )
+    null_key = F.lit(None).cast("long")
+    diff = (
+        inst.select(
+            "o_custkey",
+            F.col("t_s").alias("tm"),
+            F.lit(0).alias("pri"),
+            F.col("c").alias("contrib"),
+            null_key.alias("o_orderkey"),
+        )
+        .unionByName(
+            orders.select(
+                "o_custkey",
+                F.col("t_s").alias("tm"),
+                F.lit(1).alias("pri"),
+                F.lit(0).cast("long").alias("contrib"),
+                "o_orderkey",
+            )
+        )
+        .unionByName(
+            inst.select(
+                "o_custkey",
+                (F.col("t_s") + w_s).alias("tm"),
+                F.lit(2).alias("pri"),
+                (-F.col("c")).alias("contrib"),
+                null_key.alias("o_orderkey"),
+            )
+        )
+    )
+    wrun = (
+        Window.partitionBy("o_custkey")
+        .orderBy("tm", "pri")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        diff.select(
+            "o_orderkey",
+            "o_custkey",
+            "pri",
+            F.sum("contrib").over(wrun).alias("cents_90d"),
+        )
+        .where(F.col("pri") == 1)
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            (F.col("cents_90d").cast("double") / 100.0).alias("spend_90d"),
+        )
     )
 
 

@@ -1973,6 +1973,7 @@ WITH seq AS (
                      AND CURRENT ROW
          ) AS win_n
   FROM events
+  WHERE ts IS NOT NULL
 )
 SELECT event_type,
        CAST(count(*) AS BIGINT) AS n_events,
@@ -2010,10 +2011,16 @@ ORDER BY event_type
     "evaluates in O(1) per row, keeping every operator linear and "
     "one sort per user partition, then the same tiny per-type "
     "rollup with map-side partials. Integer counts, so the running "
-    "+-n sum is exactly the per-frame re-aggregation's value.",
+    "+-n sum is exactly the per-frame re-aggregation's value. "
+    "Null-ts contract: a RANGE frame would treat null-key rows as "
+    "one peer group while the difference stream cancels them "
+    "(null + W = null), so both sides EXPLICITLY exclude null "
+    "timestamps (an undated event is meaningless to a trailing-"
+    "window limiter) — the oracle equivalence is unconditional, "
+    "not fixture-dependent (r8 ADVICE).",
 )
 def rel_rate_limit_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, "events", sf_dir)
+    ev = load_table(spark, "events", sf_dir).where(F.col("ts").isNotNull())
     w_us = RATE_WINDOW_S * 1_000_000
     # per (user, instant, type) event counts — readout granularity
     te = (

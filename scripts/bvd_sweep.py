@@ -64,18 +64,53 @@ def _duck_guarded(con, sql: str):
     """Run the oracle with an optional wall-clock cap (BVD_DUCK_TIMEOUT_S):
     a timer thread interrupts the connection so a recursive-CTE blowup at
     sf20 lands as this query's error row instead of stalling the sweep.
-    The spark absolute measured just before is kept by --merge."""
+    The spark absolute measured just before is kept by --merge.
+
+    The timer and the query race: the timer can fire after fetchall()
+    returns but before cancel(), leaving a pending interrupt that would
+    spuriously kill the NEXT oracle query on the shared connection (r8
+    ADVICE). The callback therefore checks a done-flag under a lock
+    before interrupting, and the finally block absorbs any interrupt
+    that landed post-return; an interrupt that escapes the try is
+    re-raised as TimeoutError only when the flag says OUR timer fired."""
     import threading
 
     cap = float(os.environ.get("BVD_DUCK_TIMEOUT_S", "0") or 0)
     if not cap:
         return con.execute(sql).fetchall()
-    timer = threading.Timer(cap, con.interrupt)
+    state = {"done": False, "fired": False}
+    lock = threading.Lock()
+
+    def _fire():
+        with lock:
+            if not state["done"]:
+                state["fired"] = True
+                con.interrupt()
+
+    timer = threading.Timer(cap, _fire)
     timer.start()
     try:
         return con.execute(sql).fetchall()
+    except Exception as e:  # noqa: BLE001 — classify before propagating
+        with lock:
+            state["done"] = True
+        if state["fired"]:
+            raise TimeoutError(
+                f"oracle exceeded BVD_DUCK_TIMEOUT_S={cap}s (interrupted)"
+            ) from e
+        raise
     finally:
+        with lock:
+            state["done"] = True
         timer.cancel()
+        if state["fired"]:
+            # interrupt may have landed after fetchall() returned (or was
+            # already consumed by the failing query) — absorb any pending
+            # interrupt so it cannot poison the next query on this con
+            try:
+                con.execute("SELECT 1").fetchall()
+            except Exception:  # noqa: BLE001 — the absorbed interrupt itself
+                pass
 
 
 def main() -> None:

@@ -167,9 +167,11 @@ ADJUDICATIONS: dict[str, tuple[str, str, str]] = {
     # Spark 4.x's native WITH RECURSIVE operator (its docstring names
     # graph_bom_explosion's binary-decomposition fold as the scale
     # path for deep hierarchies — 2.31x / 7.2 s at sf20 after the r8
-    # rewrite); depth-linear native recursion over a depth-17 tree is
-    # 17 sequential frontier joins of driver-scheduled stages, the
-    # measured cost of certifying the operator itself
+    # rewrite); depth-linear native recursion over the div-4 part
+    # tree (~log4(4M parts) ~ 11 levels at sf20, ~16 only at 100 TB
+    # key ranges per the plan docstring) is that many sequential
+    # frontier joins of driver-scheduled stages, the measured cost
+    # of certifying the operator itself
     "graph_recursive_bom": (
         "surface-certification",
         "Certifies Spark 4.x native WITH RECURSIVE (anchor + step + "
@@ -179,8 +181,10 @@ ADJUDICATIONS: dict[str, tuple[str, str, str]] = {
         "production path is graph_bom_explosion's no-distinct binary-"
         "decomposition fold, measured 2.31x/7.2 s at sf20 (r8 "
         "rewrite, was 4.0x/20.8 s). Native recursion costs one "
-        "driver-scheduled frontier join per level (depth ~17 at "
-        "sf20's key range) — depth-linear scheduling floor.",
+        "driver-scheduled frontier join per level — the div-4 part "
+        "tree is ~log4(4M parts) ~ 11 levels deep at sf20 (~16 only "
+        "at 100 TB key ranges, per the plan docstring) — a depth-"
+        "linear scheduling floor.",
         "PERF_sf20_weak_r8.json (both rows); graph_queries.py "
         "docstrings; r8 bake-off in PERF.md",
     ),

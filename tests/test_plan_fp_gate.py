@@ -1,0 +1,89 @@
+"""Plan-fingerprint gate (VERDICT r8 "What's missing" item 2).
+
+The perf index gate (test_perf_index_gate.py) checks the index against
+the PERF_*.json artifacts; nothing checked the artifacts against the
+CURRENT CODE — replanning a query (or a shared helper that changes its
+physical plan) silently kept every downstream datapoint. This gate
+closes that: every registered query's normalized plan fingerprint
+(mrc_spark_jobs_pubmed_spark/planfp.py) is recomputed and compared
+against the pinned measured-under fingerprint (PLAN_FP_PINS.json); any
+divergence means the plan changed since the datapoint was measured.
+The fix for a red gate is a RE-MEASURE (scripts/bvd_sweep.py →
+scripts/perf_index.py → scripts/plan_fp_snapshot.py), never a
+hand-edit of the pins: the snapshot script refuses to re-pin unless
+the datapoint itself changed.
+
+The live fingerprinting runs in a SUBPROCESS (plan_fp_snapshot.py
+--check) rather than the shared session fixture: a long test suite
+leaves session state behind (conf tweaks, cache-manager entries) that
+perturbs physical plans, so in-process fingerprints are test-order-
+dependent; the subprocess reproduces exactly the pristine environment
+the snapshot pinned under.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _pins() -> dict:
+    path = os.path.join(REPO, "PLAN_FP_PINS.json")
+    assert os.path.exists(path), (
+        "PLAN_FP_PINS.json missing — run scripts/plan_fp_snapshot.py"
+    )
+    return json.load(open(path))
+
+
+def test_every_datapoint_row_is_pinned():
+    """Cheap structural half (no spark): every perf-index row with a
+    datapoint has a pin certifying THAT datapoint."""
+    idx = json.load(open(os.path.join(REPO, "PERF_INDEX.json")))
+    pins = _pins()["pins"]
+    missing, drifted = [], []
+    for name, row in idx["rows"].items():
+        dp = row.get("datapoint")
+        if not dp:
+            continue
+        pin = pins.get(name)
+        if pin is None:
+            missing.append(name)
+        elif pin["datapoint"] != {
+            "source": dp.get("source"),
+            "spark_sec": dp.get("spark_sec"),
+        }:
+            drifted.append(name)
+    assert not missing, (
+        f"{len(missing)} datapoint rows lack a plan-fp pin: "
+        f"{sorted(missing)[:10]} — run scripts/plan_fp_snapshot.py"
+    )
+    assert not drifted, (
+        f"{len(drifted)} pins reference a superseded datapoint: "
+        f"{sorted(drifted)[:10]} — run scripts/plan_fp_snapshot.py"
+    )
+
+
+def test_pinned_fingerprints_match_current_plans():
+    """Expensive live half: recompute every fingerprint in a pristine
+    subprocess session and fail on any replanned-not-remeasured row."""
+    proc = subprocess.run(
+        [
+            sys.executable,
+            os.path.join(REPO, "scripts", "plan_fp_snapshot.py"),
+            "--check",
+        ],
+        cwd=REPO,
+        capture_output=True,
+        text=True,
+        timeout=1200,
+    )
+    assert proc.returncode == 0, (
+        "plan-fp check failed — queries were replanned since their perf "
+        "datapoint was measured (stale evidence); re-measure "
+        "(scripts/bvd_sweep.py), rebuild the index (scripts/perf_index.py), "
+        f"then refresh pins (scripts/plan_fp_snapshot.py):\n{proc.stdout}"
+    )
