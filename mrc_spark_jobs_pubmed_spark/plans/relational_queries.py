@@ -572,31 +572,100 @@ FROM t
 GROUP BY event_type
 """,
     doc="Statistical aggregate catalog incl. exact interpolated percentiles "
-    "(Spark `percentile` ≡ DuckDB `quantile_cont`). All moments run in "
+    "(≡ DuckDB `quantile_cont`). All moments run in "
     "exact integer 1e-4 units: avg is integer half-up division, the "
     "sample variance is the exact-integer identity "
     "(n·Σx² − (Σx)²)/(n(n−1)) with decimal/HUGEINT headroom before ONE "
     "deterministic double sqrt, and percentiles interpolate over the "
     "integer grid (interpolated values land on the 5e-6-dollar grid, "
     "inside any 6-dp comparison tolerance). No round() of an "
-    "order-dependent double accumulation anywhere.",
+    "order-dependent double accumulation anywhere. Scale shape "
+    "(replanned r9 — the sf20 decade-check caught the old form): "
+    "mixing countDistinct with percentile/moments in ONE aggregate "
+    "forces an Expand that replicates every event row through the "
+    "percentile buffers (9.4 s for the combined agg vs 0.9+1.6+1.5 s "
+    "for the pieces at sf20). The value domain is integer 1e-4 units "
+    "(~18k distinct), so moments AND exact interpolated percentiles "
+    "both derive from a tiny (type, value, count) HISTOGRAM — one "
+    "map-side-combined shuffle of the value domain, a cumulative-"
+    "count window over ~18k rows, and the Spark/DuckDB interpolation "
+    "formula lower + frac·(upper−lower) applied to the two covering "
+    "histogram rows; countDistinct(user) runs as its own un-expanded "
+    "partial-distinct pass; three 5-row results broadcast-join. "
+    "sf20 A/B: 10.1 -> ~3 s; every stage is key-domain bounded.",
 )
 def rel_agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, "events", sf_dir).withColumn(
         "u4", F.round(F.col("value") * 10000).cast("long")
     )
-    return (
-        ev.groupBy("event_type")
+    hist = ev.groupBy("event_type", "u4").agg(F.count("*").alias("c"))
+    mom = hist.groupBy("event_type").agg(
+        F.sum("c").alias("n"),
+        F.sum(F.col("u4") * F.col("c")).alias("_s1"),
+        F.sum(
+            (F.col("u4") * F.col("u4")).cast("decimal(38,0)") * F.col("c")
+        ).alias("_s2"),
+        F.min("u4").alias("_mn"),
+        F.max("u4").alias("_mx"),
+    )
+    wcum = (
+        Window.partitionBy("event_type")
+        .orderBy("u4")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    hc = (
+        hist.select("event_type", "u4", "c", F.sum("c").over(wcum).alias("cum"))
+        .withColumn("prev", F.col("cum") - F.col("c"))
+        .join(F.broadcast(mom.select("event_type", "n")), "event_type")
+    )
+
+    def _at(t):
+        # histogram row covering 0-based position k: prev <= k < cum
+        def at(k):
+            return F.max(
+                F.when((F.col("prev") <= k) & (k < F.col("cum")), F.col("u4"))
+            )
+
+        return at(F.floor(t).cast("long")), at(F.ceil(t).cast("long"))
+
+    def _interp(lo, hi, t):
+        # Spark Percentile / DuckDB quantile_cont interpolation:
+        # lower + (pos - floor(pos)) * (higher - lower)
+        return lo.cast("double") + (t - F.floor(t)) * (hi - lo).cast("double")
+
+    t50 = F.lit(0.5) * (F.col("n") - 1).cast("double")
+    t95 = F.lit(0.95) * (F.col("n") - 1).cast("double")
+    lo50, hi50 = _at(t50)
+    lo95, hi95 = _at(t95)
+    pcts = (
+        hc.groupBy("event_type")
         .agg(
-            F.count("*").alias("n"),
-            F.countDistinct("user_id").alias("n_users"),
-            F.sum("u4").alias("_s1"),
-            F.sum((F.col("u4") * F.col("u4")).cast("decimal(38,0)")).alias("_s2"),
-            F.min("u4").alias("_mn"),
-            F.max("u4").alias("_mx"),
-            F.expr("percentile(u4, 0.5)").alias("_p50"),
-            F.expr("percentile(u4, 0.95)").alias("_p95"),
+            F.first("n").alias("_pn"),
+            lo50.alias("_lo50"),
+            hi50.alias("_hi50"),
+            lo95.alias("_lo95"),
+            hi95.alias("_hi95"),
         )
+        .select(
+            "event_type",
+            _interp(
+                F.col("_lo50"),
+                F.col("_hi50"),
+                F.lit(0.5) * (F.col("_pn") - 1).cast("double"),
+            ).alias("_p50"),
+            _interp(
+                F.col("_lo95"),
+                F.col("_hi95"),
+                F.lit(0.95) * (F.col("_pn") - 1).cast("double"),
+            ).alias("_p95"),
+        )
+    )
+    users = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_users")
+    )
+    return (
+        mom.join(F.broadcast(pcts), "event_type")
+        .join(F.broadcast(users), "event_type")
         .select(
             "event_type",
             "n",

@@ -777,14 +777,21 @@ FROM dau d JOIN wau w USING (day)
     "DAU/WAU stickiness ratio per day (exact 1e-6 integer units) — "
     "the engagement triple every product dashboard leads with. The "
     "scalable rewrite: COUNT(DISTINCT) OVER a rolling window "
-    "re-scans {w} days per day; instead each distinct (user, day) "
-    "activity row fans out to the <= {w} future days it makes the "
-    "user 'weekly active' for (bounded explode — {w} rows per active "
-    "user-day, linear), and WAU is a plain distinct count per target "
-    "day. Scale shape: one (user, day) distinct over the stream, a "
-    "x{w} bounded fan-out on the ALREADY-collapsed user-day domain, "
-    "and day-domain aggs — nothing quadratic, nothing rescanned.".format(
-        w=WAU_DAYS
+    "re-scans {w} days per day; the r7 form exploded each activity "
+    "row to its {w} target days and ran countDistinct(user) per day "
+    "— linear, but a x{w} fan-out (105M rows at sf20) into a "
+    "distinct-count shuffle. The r9 form (sf20 decade-check) removes "
+    "the distinct count entirely: per user, each activity day d "
+    "covers target days [d, d+{wm1}] CAPPED at the next activity "
+    "day - 1 (one lead() window over the user-day domain), which "
+    "makes the per-user coverage intervals disjoint by construction "
+    "— so WAU(day) is a +1/-1 interval-boundary difference stream "
+    "read through ONE running sum over the (tiny) day domain, the "
+    "same incremental-frame idiom as rel_rate_limit_audit. Scale "
+    "shape: one (user, day) distinct, one user-partitioned lead, "
+    "one day-domain rollup — no x{w} fan-out, no distinct count; "
+    "sf20 A/B 5.6 -> 3.8 s same-session, value-identical.".format(
+        w=WAU_DAYS, wm1=WAU_DAYS - 1
     ),
 )
 def rel_active_users_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -792,19 +799,27 @@ def rel_active_users_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
     activity = ev.select(
         "user_id", F.expr(f"unix_micros(ts) div {DAY_US}").alias("day")
     ).distinct()
-    spread = activity.select(
-        "user_id",
-        F.explode(F.sequence(F.lit(0), F.lit(WAU_DAYS - 1))).alias("i"),
-        "day",
-    ).select("user_id", (F.col("day") + F.col("i")).alias("target_day"))
+    wl = Window.partitionBy("user_id").orderBy("day")
+    iv = activity.select(
+        "day", F.lead("day").over(wl).alias("nxt")
+    ).select(
+        F.col("day").alias("s"),
+        F.least(
+            F.col("day") + (WAU_DAYS - 1),
+            F.coalesce(F.col("nxt") - 1, F.col("day") + (WAU_DAYS - 1)),
+        ).alias("e"),
+    )
+    diff = iv.select(F.col("s").alias("day"), F.lit(1).alias("d")).unionByName(
+        iv.select((F.col("e") + 1).alias("day"), F.lit(-1).alias("d"))
+    )
+    byday = diff.groupBy("day").agg(F.sum("d").alias("d"))
+    wrun = Window.orderBy("day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
     days = activity.select("day").distinct()
     wau = (
-        spread.join(
-            F.broadcast(days), spread.target_day == days.day
-        )
-        .groupBy("target_day")
-        .agg(F.countDistinct("user_id").alias("wau"))
-        .select(F.col("target_day").alias("day"), "wau")
+        byday.select("day", F.sum("d").over(wrun).alias("wau"))
+        .join(F.broadcast(days), "day")
     )
     dau = activity.groupBy("day").agg(F.count("*").alias("dau"))
     return dau.join(wau, "day").select(

@@ -64,7 +64,15 @@ GROUP BY o_orderpriority
     "per priority having at least one such line. EXISTS compiles to a "
     "left-semi join on o_orderkey — the fact side is pre-filtered by the "
     "pushed date range before the shuffle, and the semi join never "
-    "duplicates order rows however many lines match.",
+    "duplicates order rows however many lines match. r9 decade-check "
+    "note: a broadcast of the quarter-filtered orders into a hash "
+    "probe over the R lines measured 26% faster at sf20 (2.9 -> "
+    "2.1 s) but was REJECTED — the quarter slice is a fixed FRACTION "
+    "of the order domain, so the forced broadcast is unbounded at "
+    "corpus scale; the shuffle semi is the shape that survives 100x "
+    "(AQE still broadcasts it adaptively when the slice genuinely "
+    "fits). Residual vs the comparator is the R-line scan + semi "
+    "probe floor (bare R-scan receipt in DECADE_CHECK_r9).",
 )
 def rel_q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, "orders", sf_dir).filter(
@@ -101,36 +109,56 @@ FROM (
 GROUP BY supp_nation, cust_nation, l_year
 """,
     doc="TPC-H Q7 shape: bilateral trade volume between two nations by year. "
-    "Both nation dims broadcast twice under different roles; the "
-    "disjunctive nation-pair predicate applies after both joins; "
-    "orders×lineitem is the only large-large join (shuffle on the order "
-    "key). Year comes from l_shipdate (the fixture keeps the reference's "
+    "Scale shape (replanned r9 — sf20 decade-check): the old form "
+    "joined FULL supplier and FULL customer dims (forced broadcasts) "
+    "and applied the two-nation predicate only afterwards, so the "
+    "orders×lineitem shuffle carried every nation's rows. The nation "
+    "filter now pushes into each dim FIRST (nation is a bounded "
+    "25-row dim — its broadcast hint is safe at any scale), the "
+    "filtered dim slices join WITHOUT forced hints (fractions of "
+    "their tables — AQE broadcasts them while they fit, shuffles "
+    "beyond), and the only large-large join (orderkey) runs over "
+    "just the two nations' slice — ~2/25 of both sides. The "
+    "disjunctive pair predicate applies post-join as before. sf20 "
+    "A/B 5.5 -> 3.9 s same-session, value-identical. Year comes "
+    "from l_shipdate (the fixture keeps the reference's "
     "year-derivation idiom, SURVEY.md A12, as a typed function).",
 )
 def rel_q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
-    n1 = load_table(spark, "nation", sf_dir).select(
+    nat = load_table(spark, "nation", sf_dir)
+    two = ("NATION_1", "NATION_2")
+    n1 = nat.select(
         F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
-    )
-    n2 = load_table(spark, "nation", sf_dir).select(
+    ).filter(F.col("supp_nation").isin(*two))
+    n2 = nat.select(
         F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    ).filter(F.col("cust_nation").isin(*two))
+    supp2 = (
+        load_table(spark, "supplier", sf_dir)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+        .select("s_suppkey", "supp_nation")
     )
-    supp = load_table(spark, "supplier", sf_dir)
-    cust = load_table(spark, "customer", sf_dir)
-    orders = load_table(spark, "orders", sf_dir)
+    cust2 = (
+        load_table(spark, "customer", sf_dir)
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+        .select("c_custkey", "cust_nation")
+    )
     li = load_table(spark, "lineitem", sf_dir).filter(
         F.col("l_shipdate").between(
             F.lit("1996-01-01").cast("timestamp"), F.lit("1997-12-31").cast("timestamp")
         )
     )
+    ord2 = (
+        load_table(spark, "orders", sf_dir)
+        .join(cust2, F.col("o_custkey") == F.col("c_custkey"))
+        .select("o_orderkey", "cust_nation")
+    )
     pair = (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2") | (
         F.col("supp_nation") == "NATION_2"
     ) & (F.col("cust_nation") == "NATION_1")
     return (
-        li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
-        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
-        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
-        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+        li.join(supp2, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(ord2, F.col("l_orderkey") == F.col("o_orderkey"))
         .filter(pair)
         .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
         .agg(F.sum(_rev_u4()).alias("_r4"))
@@ -709,9 +737,22 @@ LIMIT 20
     "l_extendedprice/l_quantity for the part, derived from lineitem). "
     "The correlated MIN subquery is rewritten aggregate-then-join — "
     "per-part minima compute once and equi-join back, never per-row. "
-    "Scale shape: one shuffle on (suppkey, partkey) for the unit-cost "
-    "agg; region-filtered suppliers and the filtered part dim "
-    "broadcast; the min-cost equality join keys on partkey. Unit cost "
+    "Scale shape (replanned r9 — the sf20 decade-check caught the old "
+    "form): the selective dims apply BEFORE the big shuffle — the "
+    "filtered part keys inner-join and the EUROPE supplier keys "
+    "semi-join into lineitem ahead of the (suppkey, partkey) "
+    "unit-cost agg, cutting the agg input from the whole fact table "
+    "(120M rows at sf20) to the qualifying slice (~2%); supplier "
+    "attributes re-join AFTER the agg so the shuffle stays narrow; "
+    "the post-agg candidate frame is consumed twice (per-part min + "
+    "the equality join back) so it is checkpointed once — the "
+    "duplicated-subtree rule. The filtered dim sides carry NO forced "
+    "broadcast hint: both are fixed FRACTIONS of their tables "
+    "(unbounded at corpus scale), so AQE decides — it broadcasts "
+    "them at sf20 (measured: hinted 3.2 s vs adaptive 4.8 s, the "
+    "0.3x-of-old-plan either way) and falls back to a shuffle join "
+    "when a 100x corpus outgrows the threshold. sf20 A/B: 24.3 -> "
+    "4.8 s (0.52x vs the comparator), value-identical. Unit cost "
     "is a single division (bit-identical both engines), so the MIN and "
     "the equality match deterministically.",
 )
@@ -725,9 +766,6 @@ def rel_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         "(2 * 10000 * cast(round(l_extendedprice * 100) as bigint)"
         " + cast(l_quantity as bigint)) div (2 * cast(l_quantity as bigint))"
     )
-    sp = li.groupBy("l_suppkey", "l_partkey").agg(
-        F.min(cost_u6).alias("cost_u6")
-    )
     eu = (
         supp.join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
         .join(F.broadcast(region), F.col("n_regionkey") == region.r_regionkey)
@@ -735,10 +773,21 @@ def rel_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("s_suppkey", "s_name", "s_acctbal", "n_name")
     )
     pf = part.filter((F.col("p_type") == "STANDARD") & (F.col("p_size") <= 10))
+    lif = li.join(
+        pf.select("p_partkey"),
+        li.l_partkey == F.col("p_partkey"),
+    ).join(
+        eu.select("s_suppkey"),
+        li.l_suppkey == F.col("s_suppkey"),
+        "left_semi",
+    )
+    sp = lif.groupBy("l_suppkey", "l_partkey").agg(
+        F.min(cost_u6).alias("cost_u6")
+    )
     cand = (
-        sp.join(F.broadcast(eu), sp.l_suppkey == eu.s_suppkey)
-        .join(F.broadcast(pf), sp.l_partkey == pf.p_partkey)
+        sp.join(eu, sp.l_suppkey == eu.s_suppkey)
         .select("s_suppkey", "s_name", "s_acctbal", "n_name", "l_partkey", "cost_u6")
+        .localCheckpoint(eager=True)
     )
     mc = cand.groupBy(F.col("l_partkey").alias("_pk")).agg(
         F.min("cost_u6").alias("min_cost")

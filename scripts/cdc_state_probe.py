@@ -86,6 +86,21 @@ def main() -> int:
             for f in os.listdir(d)
             if f.endswith(".parquet")
         )
+        # per-batch pre-reduction bound (r9 skew probe): cdc_latest
+        # reduces each micro-batch to one row per key BEFORE the
+        # state merge, so merge input is <= keys-in-batch no matter
+        # how hot a key is — measured here per fed batch (raw rows vs
+        # distinct keys, the exact size cdc_latest emits)
+        per_batch = []
+        for d in sorted(glob.glob(f"{work}/src/t*")):
+            b = spark.read.parquet(d)
+            r = b.agg(
+                F.count("*").alias("raw"),
+                F.countDistinct("user_id").alias("reduced"),
+            ).collect()[0]
+            per_batch.append({"raw": r.raw, "reduced": r.reduced})
+        max_raw = max(p["raw"] for p in per_batch)
+        max_red = max(p["reduced"] for p in per_batch)
         out = {
             "job": "cdc_apply",
             "sf_dir": sf_dir,
@@ -106,6 +121,10 @@ def main() -> int:
             "state_bytes_per_key": (
                 round(state_bytes / n_state, 1) if n_state else None
             ),
+            "per_batch_raw_vs_reduced": per_batch,
+            "max_raw_batch_rows": max_raw,
+            "max_reduced_batch_rows": max_red,
+            "pre_reduction_bounded_by_key_domain": max_red <= n_users,
         }
         print(json.dumps(out))
         return 0 if out["replay_equals_batch"] else 1

@@ -151,6 +151,147 @@ ADJUDICATIONS: dict[str, tuple[str, str, str]] = {
     # WORSE (per-index array extraction), so the broadcast-join scan
     # stands as the plan — array-expression row-processing floor
     "sim_range_search": _CPU,
+    # --- r9 decade-check rulings: the sf20 batch over the largest
+    # sf1-only fixed-overhead absolutes surfaced these as real >2x
+    # rows; each was replanned where a lever existed (A/B receipts)
+    # and carries a stage decomposition locating the residual
+    # (DECADE_FLOOR_RECEIPTS.json) plus a SCAN_FLOOR_RECEIPTS row
+    # where the tag demands one. Negative results are committed so
+    # losing experiments are not retried.
+    "rel_data_quality": (
+        "single-node-cpu-floor",
+        "Replanned r9 (one aggregate pass per table — was 3 scans of "
+        "documents; referential integrity as pre-aggregated "
+        "co-partitioned left joins — was a FORCED BROADCAST of 30M "
+        "parent keys, unbounded at corpus scale): 23.6 -> 13.4 s at "
+        "sf20. Residual located: the exact lineitem-vs-orders key "
+        "shuffle is 78% of runtime (10.2 of 13.0 s) while the bare "
+        "key scan is 0.63 s and the comparator's whole orphan check "
+        "is 0.94 s in-process — the one-machine exchange premium, "
+        "network-parallel on executors. Tagged-union single-shuffle "
+        "alternative measured no better (9.6 s, negative result).",
+        "DECADE_FLOOR_RECEIPTS.json; SCAN_FLOOR_RECEIPTS.json; "
+        "BVD_SWEEP_sf20_fo_r9.jsonl (before) / PERF_sf20_replan_r9"
+        ".json (after)",
+    ),
+    "rel_active_users_rolling": (
+        "single-node-cpu-floor",
+        "Replanned r9: lead-capped disjoint coverage intervals + "
+        "interval-boundary difference stream through one running sum "
+        "(the rel_rate_limit_audit idiom) replaces the x7 fan-out + "
+        "countDistinct (same-session A/B 5.59 -> 3.76 s, value-"
+        "identical). Residual: the (user, day) distinct (8.0M of 20M "
+        "rows) is 41% of runtime, the rest one user-partitioned lead "
+        "window + day-domain rollup — every stage key-domain bounded; "
+        "bare scan 0.4% of query.",
+        "DECADE_FLOOR_RECEIPTS.json; SCAN_FLOOR_RECEIPTS.json",
+    ),
+    "emb_matryoshka_recall": (
+        "single-node-cpu-floor",
+        "Replanned r9: both rankings score in ONE corpus scan "
+        "(full-dim + prefix-dim cosine in one projection, checkpointed "
+        "score frame, two TakeOrdered) — A/B 4.49 -> 2.37 s value-"
+        "identical. What remains IS the brute-force-cosine class "
+        "(sim_cosine_topk's standing cpu-floor ruling, x1 scan now "
+        "instead of x2); bare embedding scan 1% of query.",
+        "DECADE_FLOOR_RECEIPTS.json; SCAN_FLOOR_RECEIPTS.json",
+    ),
+    "rel_q4_order_priority": (
+        "single-node-cpu-floor",
+        "Quarter-filtered orders left-semi the R-flag lines — the "
+        "shape that survives 100x. Committed negative result: "
+        "broadcasting the quarter-filtered orders measured 26% faster "
+        "at sf20 but was REJECTED as a fixed fraction of the ORDER "
+        "FACT domain (unbounded broadcast at corpus scale; AQE still "
+        "broadcasts adaptively when the slice genuinely fits). Bare "
+        "scan 1.3% of query — the residual is the R-line scan + semi "
+        "shuffle on one machine.",
+        "DECADE_FLOOR_RECEIPTS.json; SCAN_FLOOR_RECEIPTS.json",
+    ),
+    "rel_q9_product_profit": (
+        "single-node-cpu-floor",
+        "Star join with the gear-filtered part dim and full "
+        "supplier/nation dims broadcast; the lineitem-vs-orders "
+        "exchange dominates. Committed negative result: SHUFFLE_HASH "
+        "on the orders join measured within noise of SMJ (5.0 vs "
+        "4.8 s) — the cost is the exchange itself, which is what "
+        "executors parallelize. Bare scans 1.8% of query.",
+        "DECADE_FLOOR_RECEIPTS.json; SCAN_FLOOR_RECEIPTS.json",
+    ),
+    "rel_scd2_point_in_time": (
+        "single-node-cpu-floor",
+        "Single user-sorted merge-stream (lag + carry windows share "
+        "one sort) — already the minimal-shuffle shape; 2.6x at "
+        "3.3 s absolute at sf20. Bare scan 0.8% of query; the "
+        "residual is the one-machine sort/row-processing constant.",
+        "DECADE_FLOOR_RECEIPTS.json; SCAN_FLOOR_RECEIPTS.json",
+    ),
+    "rel_multitouch_attribution": (
+        "single-node-cpu-floor",
+        "r8's replan (ONE left-outer range join, windows on one "
+        "shared exchange) stands; the r9 decomposition locates the "
+        "residual: the range join ALONE (1.64 s) exceeds the "
+        "comparator's whole query (1.44 s), the two purchase_id "
+        "windows add 0.8 s. Bare scan 0.6% of query — no further "
+        "plan lever on one machine.",
+        "DECADE_FLOOR_RECEIPTS.json; SCAN_FLOOR_RECEIPTS.json; "
+        "PERF.md r8 A/B",
+    ),
+    "sim_mmr_rerank": (
+        "single-node-cpu-floor",
+        "r8's grouped-pandas greedy replan stands; the r9 "
+        "decomposition closes the verdict's question: the pool cut "
+        "ALONE — the brute-force cosine + TakeOrdered that IS "
+        "sim_cosine_topk's adjudicated operator — is 52% of runtime "
+        "(2.62 of 5.07 s) and by itself exceeds the comparator's "
+        "whole query 4x, so no downstream change can close the "
+        "ratio; the remaining ~1.7 s is checkpoint + the "
+        "sequential-in-k greedy task.",
+        "WEAK_FLOOR_RECEIPTS_r9.json; DECADE_FLOOR_RECEIPTS.json; "
+        "SCAN_FLOOR_RECEIPTS.json",
+    ),
+    "graph_bom_explosion": (
+        "materialization-floor",
+        "r8's binary-decomposition fold stands (each tree path "
+        "produced exactly once, no per-round DISTINCT); the r9 "
+        "decomposition locates the residual 2.3x: the closure build "
+        "is 81% of runtime (6.2 of 7.7 s) — 44M closure rows "
+        "materialize through the two MANDATORY localCheckpoints (D "
+        "and P are multi-consumer frames; r8 proved lazy frames "
+        "re-execute the growing subplan 3x) while the comparator "
+        "builds the same closure in-process with no materialization. "
+        "Checkpoint write/read bandwidth scales out with executors "
+        "and local disks; the readout is 1.5 s.",
+        "WEAK_FLOOR_RECEIPTS_r9.json; DECADE_FLOOR_RECEIPTS.json; "
+        "PERF.md r8 A/B",
+    ),
+    "rel_queue_wait_lindley": (
+        "surface-certification",
+        "Definitional single-queue-per-type Lindley form: the "
+        "prefix-sum/prefix-min windows partition on event_type (5 "
+        "values), so the window stage runs on 5 of 32 cores — a "
+        "collapsed-domain parallelism bound, not a plan defect (the "
+        "comparator pays the same serial structure: 12-16 s for its "
+        "whole query). The production path for throughput is the "
+        "registered rel_queue_wait_lindley_sharded, measured-ok "
+        "0.72x at sf20 — the graph_recursive_bom precedent.",
+        "DECADE_FLOOR_RECEIPTS.json; PERF_bvd_sf20_r6.json (sharded "
+        "twin 0.72x); BVD_SWEEP_sf20_fo_r9.jsonl",
+    ),
+    "sim_brp_lsh_buckets": (
+        "assertion-oracle",
+        "The oracle is a PROPERTY ASSERTION (count + TRUE literals, "
+        "0.002 s by design — bucket ids of a seeded random projection "
+        "are not SQL-reproducible, the rel_approx_distinct pattern) "
+        "while the Spark side does the actual verification work "
+        "(spark.ml BRP-LSH bucketing + the centroid-identity "
+        "locality check over 2M x 64 components). The ratio is "
+        "structurally meaningless; the Spark absolute is committed "
+        "and grows SUBLINEARLY across the decade: 1.86 s at sf1 -> "
+        "8.1 s at sf20 (4.4x over 20x data).",
+        "DECADE_FLOOR_RECEIPTS.json; BVD_SWEEP_sf20_fo_r9.jsonl; "
+        "PERF_sf1_r8.json",
+    ),
     # skew-insurance variant
     "rel_interval_coalesce_sharded": _SKEW,
     # skew-proof main plan with a measured uniform premium (r8)

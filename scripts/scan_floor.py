@@ -67,6 +67,50 @@ SPECS: dict[str, dict[str, list[str]]] = {
     "sim_range_search": {
         "embeddings": ["vec_id", "embedding"],
     },
+    # --- r9 decade-check additions: the surfaced >2x rows whose plans
+    # audited shuffle-minimal; same receipt semantics as the r8 set
+    "emb_matryoshka_recall": {
+        "embeddings": ["vec_id", "embedding"],
+    },
+    "sim_mmr_rerank": {
+        "embeddings": ["vec_id", "embedding"],
+    },
+    "rel_q4_order_priority": {
+        "lineitem": ["l_orderkey", "l_returnflag"],
+        "orders": ["o_orderkey", "o_orderpriority", "o_orderdate"],
+    },
+    "rel_q9_product_profit": {
+        "lineitem": [
+            "l_partkey",
+            "l_orderkey",
+            "l_suppkey",
+            "l_extendedprice",
+            "l_discount",
+            "l_quantity",
+        ],
+        "orders": ["o_orderkey", "o_orderdate"],
+        "part": ["p_partkey", "p_name", "p_retailprice"],
+    },
+    "rel_queue_wait_lindley": {
+        "events": ["event_type", "ts", "event_id", "value"],
+    },
+    "rel_scd2_point_in_time": {
+        "events": ["user_id", "event_type", "ts", "event_id", "value"],
+    },
+    "rel_active_users_rolling": {
+        "events": ["user_id", "ts"],
+    },
+    "rel_data_quality": {
+        "documents": ["doc_id", "text", "n_chars"],
+        "events": ["ts", "value"],
+        "embeddings": ["embedding"],
+        "lineitem": ["l_orderkey"],
+        "orders": ["o_orderkey", "o_custkey"],
+        "customer": ["c_custkey"],
+    },
+    "rel_multitouch_attribution": {
+        "events": ["user_id", "ts", "event_id", "event_type", "value", "props"],
+    },
 }
 
 
