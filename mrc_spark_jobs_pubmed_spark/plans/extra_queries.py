@@ -1895,10 +1895,17 @@ GROUP BY decile
     "units — the 80/20 question ('what fraction of revenue do the top "
     "10% carry') behind account-tiering and risk-concentration "
     "analysis. Deterministic ntile tie-break on (spend, custkey); all "
-    "arithmetic exact integers. Scale shape: one custkey hash-agg "
-    "over orders, a customer-domain ntile (approx_percentile "
-    "cutpoints at 100 TB — the established idiom), and a 10-row "
-    "decile rollup with a trivial cumulative window.",
+    "arithmetic exact integers. Scale shape (replanned r9 — the sf20 "
+    "decade-check caught it): ntile() over an EMPTY partitionBy "
+    "collapses the whole customer domain into ONE window task after a "
+    "global sort — a single-core bottleneck at any cluster size. The "
+    "exact rank now computes distributed: repartitionByRange on the "
+    "ntile ordering (parallel range sort), per-range row_number, "
+    "range-level counts rolled into broadcast offsets (the classic "
+    "zipWithIndex idiom in pure DataFrame ops), global rank = offset "
+    "+ local row number, and ntile's first-buckets-larger allocation "
+    "applied as an exact integer CASE on (rank, n). sf20 A/B 7.7 -> "
+    "4.3 s value-identical, and every stage is parallel.",
 )
 def rel_revenue_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, "orders", sf_dir)
@@ -1907,11 +1914,34 @@ def rel_revenue_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("cents")
     )
-    ranked = spend.select(
-        "cents",
-        F.ntile(10)
-        .over(Window.orderBy(F.desc("cents"), F.asc("cust")))
-        .alias("decile"),
+    srt = spend.repartitionByRange(
+        64, F.desc("cents"), F.asc("cust")
+    ).withColumn("pid", F.spark_partition_id())
+    wloc = Window.partitionBy("pid").orderBy(F.desc("cents"), F.asc("cust"))
+    loc = srt.withColumn("lrn", F.row_number().over(wloc))
+    cnts = loc.groupBy("pid").agg(F.count("*").alias("c"))
+    woff = Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)
+    offs = cnts.select(
+        "pid", F.coalesce(F.sum("c").over(woff), F.lit(0)).alias("off")
+    )
+    ntot = cnts.agg(F.sum("c").cast("long").alias("n"))
+    # Spark/DuckDB ntile allocation: the first (n mod k) buckets hold
+    # (n div k + 1) rows; CASE is lazy, so the div-by-(n div 10) branch
+    # never evaluates when n < 10 (all ranks land in the first branch)
+    ranked = (
+        loc.join(F.broadcast(offs), "pid")
+        .withColumn("rank", (F.col("off") + F.col("lrn")).cast("long"))
+        .crossJoin(F.broadcast(ntot))
+        .withColumn(
+            "decile",
+            F.expr(
+                "CASE WHEN rank <= (n div 10 + 1) * (n % 10)"
+                " THEN (rank - 1) div (n div 10 + 1) + 1"
+                " ELSE (n % 10)"
+                "  + (rank - 1 - (n % 10) * (n div 10 + 1)) div (n div 10)"
+                "  + 1 END"
+            ),
+        )
     )
     tot = spend.agg(F.sum("cents").cast("long").alias("t"))
     per_decile = (

