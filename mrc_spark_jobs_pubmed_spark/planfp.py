@@ -19,6 +19,18 @@ that localCheckpoint embed per-session RDD numbers), and whitespace.
 Node structure, operator choice, pushed filters, read schemas, and
 partitioning expressions all survive — exactly the things a replan
 changes.
+
+Literal sensitivity (r10, ADVICE r9): `PushedFilters:` lines never
+render #id attribute refs — columns appear by source name — so every
+`#` there is literal text (EqualTo(p_brand,Brand#12)). Those lines are
+exempt from the attr-ref deletion, restoring full sensitivity to
+scan-level constant changes (dates, brands, thresholds). KNOWN REDUCED
+SENSITIVITY: a `word#digits` literal in a plan-BODY condition (a
+post-join filter constant that happens to contain '#') is syntactically
+indistinguishable from an attribute ref and still normalizes away; a
+constant-only replan of that narrow class fingerprints identically.
+Plain numeric/string body literals survive (the \\d+L rule keeps the
+digits, only stripping the resolution-state-dependent L suffix).
 """
 
 from __future__ import annotations
@@ -65,11 +77,23 @@ _SUBS = (
 )
 
 
+_PUSHED_LINE = re.compile(r"^\s*PushedFilters:")
+_WS = re.compile(r"\s+")
+
+
 def normalize_plan(plan: str) -> str:
     plan = _LINE_KILL.sub("", plan)
-    for rx, rep in _SUBS:
-        plan = rx.sub(rep, plan)
-    return plan.strip()
+    out: list[str] = []
+    for line in plan.splitlines():
+        if _PUSHED_LINE.match(line):
+            # no attribute refs render here — keep literals verbatim so
+            # a pushed-constant-only replan re-fingerprints (ADVICE r9)
+            out.append(_WS.sub(" ", line).strip())
+        else:
+            for rx, rep in _SUBS:
+                line = rx.sub(rep, line)
+            out.append(line.strip())
+    return _WS.sub(" ", " ".join(out)).strip()
 
 
 def plan_fingerprint(df) -> str:

@@ -18,13 +18,21 @@ Bootstrap (r9): queries with a datapoint but no pin get pinned to the
 CURRENT plan — the baseline assumption, stated in PERF.md r9, that
 standing datapoints were measured under standing plans.
 
-Usage: python scripts/plan_fp_snapshot.py [--check]
+Usage: python scripts/plan_fp_snapshot.py [--check|--rebase]
 Writes PLAN_FP_PINS.json; prints any stale (replanned-not-remeasured)
 rows and exits 1 if there are any, 0 otherwise. --check compares
 without writing (the pytest-gate mode: tests/test_plan_fp_gate.py runs
 it in a SUBPROCESS so fingerprints come from a pristine session — a
 17-minute test suite leaves session state behind that perturbs plans,
 so in-process fingerprinting is order-dependent).
+
+--rebase: NORMALIZER-CHANGE mode only. When planfp.normalize_plan
+itself changes, every fingerprint changes without any plan changing,
+so the normal policy would read 303 false "stale" rows. --rebase
+recomputes all pins under the new normalizer while KEEPING datapoint
+identities. It is only honest in a commit that touches the normalizer
+and NO query plan — run it in that same commit and say so in the
+commit message; using it to bless an actual replan defeats the gate.
 """
 
 from __future__ import annotations
@@ -86,6 +94,7 @@ def main() -> int:
         print("plan-fp check:", "FAIL" if rc else "OK")
         return rc
 
+    rebase = "--rebase" in sys.argv[1:]
     out: dict[str, dict] = {}
     pinned_new, kept, stale = [], [], []
     for name, row in sorted(idx["rows"].items()):
@@ -93,7 +102,7 @@ def main() -> int:
         if ident is None:
             continue  # no datapoint to protect (pure adjudication)
         old = pins.get(name)
-        if old is None or old.get("datapoint") != ident:
+        if rebase or old is None or old.get("datapoint") != ident:
             out[name] = {"fp": current[name], "datapoint": ident}
             pinned_new.append(name)
         else:

@@ -103,3 +103,25 @@ def test_pinned_fingerprints_match_current_plans():
             "(scripts/plan_fp_snapshot.py).\nfirst run:\n"
             f"{proc.stdout}\nretry:\n{retry.stdout}"
         )
+
+
+def test_normalizer_keeps_pushed_filter_literals():
+    """ADVICE r9: a replan that only changes a pushed filter constant
+    must change the fingerprint — PushedFilters lines are exempt from
+    the attr-ref deletion (no #id refs ever render there), while body
+    lines still normalize session-dependent attr ids away."""
+    from mrc_spark_jobs_pubmed_spark.planfp import normalize_plan
+
+    a = "PushedFilters: [EqualTo(p_brand,Brand#12), LessThan(p_size,10)]"
+    b = "PushedFilters: [EqualTo(p_brand,Brand#13), LessThan(p_size,10)]"
+    assert normalize_plan(a) != normalize_plan(b)
+    assert "Brand#12" in normalize_plan(a)
+
+    # body attr ids still strip: same expression, different session ids
+    x = "Condition : (p_size#123 <= 10)"
+    y = "Condition : (p_size#9981 <= 10)"
+    assert normalize_plan(x) == normalize_plan(y)
+    # plain numeric body literals survive (only the L suffix strips)
+    p = "Condition : (qty#5L > 250L)"
+    q = "Condition : (qty#6L > 251L)"
+    assert normalize_plan(p) != normalize_plan(q)
