@@ -24,9 +24,14 @@ Literal sensitivity (r10, ADVICE r9): `PushedFilters:` lines never
 render #id attribute refs — columns appear by source name — so every
 `#` there is literal text (EqualTo(p_brand,Brand#12)). Those lines are
 exempt from the attr-ref deletion, restoring full sensitivity to
-scan-level constant changes (dates, brands, thresholds). KNOWN REDUCED
-SENSITIVITY: a `word#digits` literal in a plan-BODY condition (a
-post-join filter constant that happens to contain '#') is syntactically
+scan-level constant changes (dates, brands, thresholds). One
+exception inside pushed lines: `ScalarSubquery#<exprId>` (a pushed
+predicate comparing against a scalar subquery) carries a session-
+order-dependent expression id — that id alone is masked to
+`ScalarSubquery#N` (r10: the verbatim form made rel_subqueries'
+fingerprint order-dependent). KNOWN REDUCED SENSITIVITY: a
+`word#digits` literal in a plan-BODY condition (a post-join filter
+constant that happens to contain '#') is syntactically
 indistinguishable from an attribute ref and still normalizes away; a
 constant-only replan of that narrow class fingerprints identically.
 Plain numeric/string body literals survive (the \\d+L rule keeps the
@@ -78,6 +83,11 @@ _SUBS = (
 
 
 _PUSHED_LINE = re.compile(r"^\s*PushedFilters:")
+# the only #id that renders inside a PushedFilters line: a pushed
+# scalar-subquery comparison ("GreaterThan(c_acctbal,ScalarSubquery#17)")
+# whose exprId depends on how many expressions the session allocated
+# before this plan — mask the id, keep the token
+_PUSHED_SUBQ = re.compile(r"\b([Ss]calar-?[Ss]ubquery)#\d+")
 _WS = re.compile(r"\s+")
 
 
@@ -87,7 +97,9 @@ def normalize_plan(plan: str) -> str:
     for line in plan.splitlines():
         if _PUSHED_LINE.match(line):
             # no attribute refs render here — keep literals verbatim so
-            # a pushed-constant-only replan re-fingerprints (ADVICE r9)
+            # a pushed-constant-only replan re-fingerprints (ADVICE r9);
+            # mask only the session-dependent scalar-subquery exprId
+            line = _PUSHED_SUBQ.sub(r"\1#N", line)
             out.append(_WS.sub(" ", line).strip())
         else:
             for rx, rep in _SUBS:

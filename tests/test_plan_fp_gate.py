@@ -125,3 +125,14 @@ def test_normalizer_keeps_pushed_filter_literals():
     p = "Condition : (qty#5L > 250L)"
     q = "Condition : (qty#6L > 251L)"
     assert normalize_plan(p) != normalize_plan(q)
+
+    # r10: the ONE #id that does render inside PushedFilters — a pushed
+    # scalar-subquery comparison — carries a session-order-dependent
+    # exprId; it is masked (not kept, not deleted) so the fingerprint is
+    # order-stable while the subquery's presence still fingerprints
+    s1 = "PushedFilters: [GreaterThan(c_acctbal,ScalarSubquery#17)]"
+    s2 = "PushedFilters: [GreaterThan(c_acctbal,ScalarSubquery#411)]"
+    s3 = "PushedFilters: [GreaterThan(c_acctbal,1000.5)]"
+    assert normalize_plan(s1) == normalize_plan(s2)
+    assert normalize_plan(s1) != normalize_plan(s3)
+    assert "ScalarSubquery#N" in normalize_plan(s1)
