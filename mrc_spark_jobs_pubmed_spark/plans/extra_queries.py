@@ -2627,7 +2627,7 @@ def rel_waterfall_bridge(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("o_orderdate") >= F.lit(BRIDGE_OLD[0]).cast("date"))
             & (F.col("o_orderdate") < F.lit(BRIDGE_NEW[1]).cast("date"))
         )
-        .join(F.broadcast(cust.select("c_custkey", "c_mktsegment")),
+        .join(cust.select("c_custkey", "c_mktsegment"),
               orders.o_custkey == F.col("c_custkey"))
         .select(
             F.col("c_mktsegment").alias("segment"),

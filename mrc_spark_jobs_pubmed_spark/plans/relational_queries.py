@@ -153,8 +153,24 @@ GROUP BY l_orderkey, o_orderdate, o_orderpriority
 ORDER BY revenue DESC, l_orderkey
 LIMIT 10
 """,
-    doc="TPC-H Q3 shape: filtered dim (customer) broadcast to orders, "
-    "result joined to lineitem, agg + deterministic top-10.",
+    doc="TPC-H Q3 shape: the customer join contributes only existence "
+    "(no customer column reaches the output and c_custkey is unique), "
+    "so it runs as a LEFT SEMI join — less payload than the inner "
+    "join, and the semi join's size estimate propagates the orders "
+    "side only, so the non-CBO planner sizes the orders slice "
+    "accurately instead of product-inflating a pre-joined build side "
+    "(which made it broadcast lineitem — the fact table). No forced "
+    "broadcasts: both sides grow with the corpus, so strategy is "
+    "size-gated — static/AQE broadcast while the dim side fits, "
+    "shuffle join beyond the 8 GiB cap (r10 broadcast-policy sweep; "
+    "the q2/q4/data_quality scale-safety standard). The revenue "
+    "aggregate runs BELOW the orders join (q18 agg-before-join "
+    "family: o_orderdate/o_orderpriority are functionally dependent "
+    "on the unique o_orderkey, so summing per l_orderkey first is "
+    "exact) — the join then moves one narrow row per order instead "
+    "of every lineitem row (sf20 bone-stock A/B 18.7 -> 11.7 s; at "
+    "bench sf both sides stay under the broadcast threshold and the "
+    "plan is unchanged in cost).",
 )
 def rel_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = load_table(spark, "customer", sf_dir).filter(F.col("c_mktsegment") == "BUILDING")
@@ -164,13 +180,14 @@ def rel_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, "lineitem", sf_dir).filter(
         F.col("l_shipdate") > F.lit("1995-03-15").cast("timestamp")
     )
+    osel = orders.join(
+        cust.select("c_custkey"),
+        orders.o_custkey == F.col("c_custkey"),
+        "left_semi",
+    ).select("o_orderkey", "o_orderdate", "o_orderpriority")
+    per_ord = li.groupBy("l_orderkey").agg(F.sum(_rev_u4()).alias("_r4"))
     return (
-        li.join(
-            F.broadcast(orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)),
-            li.l_orderkey == F.col("o_orderkey"),
-        )
-        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
-        .agg(F.sum(_rev_u4()).alias("_r4"))
+        per_ord.join(osel, per_ord.l_orderkey == osel.o_orderkey)
         .select(
             "l_orderkey",
             (F.expr("(_r4 + 50) div 100").cast("double") / 100.0).alias("revenue"),
@@ -197,8 +214,12 @@ WHERE r_name = 'ASIA'
   AND o_orderdate < TIMESTAMP '1998-01-01'
 GROUP BY n_name
 """,
-    doc="TPC-H Q5 shape: 6-table star join, all dimensions broadcast, one "
-    "shuffle for the final small agg.",
+    doc="TPC-H Q5 shape: 6-table star join. Only the bounded dims "
+    "(nation, region) carry broadcast hints; orders/customer/supplier "
+    "grow with the corpus, so their join strategy is AQE's call — "
+    "adaptive broadcast at bench scale, shuffle join beyond the 8 GiB "
+    "cap (r10 broadcast-policy sweep). One shuffle for the final small "
+    "agg.",
 )
 def rel_q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = load_table(spark, "customer", sf_dir)
@@ -211,10 +232,10 @@ def rel_q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     nation = load_table(spark, "nation", sf_dir)
     region = load_table(spark, "region", sf_dir).filter(F.col("r_name") == "ASIA")
     return (
-        li.join(F.broadcast(orders), li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), F.col("o_custkey") == cust.c_custkey)
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, F.col("o_custkey") == cust.c_custkey)
         .join(
-            F.broadcast(supp),
+            supp,
             (F.col("l_suppkey") == supp.s_suppkey)
             & (F.col("c_nationkey") == supp.s_nationkey),
         )
@@ -336,13 +357,23 @@ SELECT l_returnflag, l_linestatus,
 FROM lineitem
 GROUP BY ROLLUP (l_returnflag, l_linestatus)
 """,
-    doc="Hierarchical totals via rollup: (flag,status), (flag), () levels.",
+    doc="Hierarchical totals via rollup: (flag,status), (flag), () levels. "
+    "Two-level: the fact table aggregates ONCE at the finest grouping "
+    "(the ~8-row (flag,status) domain), and rollup's Expand runs over "
+    "that base instead of multiplying every fact row 3x through the "
+    "partial aggregate (r10 shape audit; sf20 A/B 2.72 -> 1.33 s, "
+    "value-identical). Exact: quantities are small integers stored as "
+    "doubles, so partial sums are exact in IEEE and re-aggregate "
+    "order-independently; counts re-aggregate as sums.",
 )
 def rel_rollup_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return (
+    base = (
         load_table(spark, "lineitem", sf_dir)
-        .rollup("l_returnflag", "l_linestatus")
-        .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"), F.count("*").alias("n"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(F.sum("l_quantity").alias("_s"), F.count("*").alias("_c"))
+    )
+    return base.rollup("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum("_s"), 2).alias("sum_qty"), F.sum("_c").alias("n")
     )
 
 
@@ -354,13 +385,20 @@ SELECT l_returnflag, l_linestatus,
 FROM lineitem
 GROUP BY CUBE (l_returnflag, l_linestatus)
 """,
-    doc="All grouping combinations via cube.",
+    doc="All grouping combinations via cube. Two-level: one fact pass "
+    "aggregates at the finest (flag,status) grouping, then cube's 4-way "
+    "Expand runs over the ~8-row base instead of 4x-ing every fact row "
+    "through the partial aggregate (r10 shape audit; sf20 A/B "
+    "3.51 -> 1.44 s, value-identical; exact integer-in-IEEE sums).",
 )
 def rel_cube_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return (
+    base = (
         load_table(spark, "lineitem", sf_dir)
-        .cube("l_returnflag", "l_linestatus")
-        .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(F.sum("l_quantity").alias("_s"))
+    )
+    return base.cube("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum("_s"), 2).alias("sum_qty")
     )
 
 
@@ -372,13 +410,21 @@ FROM lineitem
 GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
 """,
     doc="Explicit GROUPING SETS through the SQL surface (spark.sql over a "
-    "parquet path table — no temp-view state).",
+    "parquet path table — no temp-view state). Two-level: the inner "
+    "subquery aggregates once at (flag,status) so the grouping-sets "
+    "Expand doubles ~8 base rows, not every fact row (r10 shape audit; "
+    "sf20 A/B 1.89 -> 1.10 s, value-identical; counts re-aggregate "
+    "as sums).",
 )
 def rel_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         f"""
-        SELECT l_returnflag, l_linestatus, count(*) AS n
-        FROM parquet.`{sf_dir}/lineitem.parquet`
+        SELECT l_returnflag, l_linestatus, sum(c) AS n
+        FROM (
+          SELECT l_returnflag, l_linestatus, count(*) AS c
+          FROM parquet.`{sf_dir}/lineitem.parquet`
+          GROUP BY l_returnflag, l_linestatus
+        )
         GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
         """
     )
@@ -592,7 +638,12 @@ GROUP BY event_type
     "formula lower + frac·(upper−lower) applied to the two covering "
     "histogram rows; countDistinct(user) runs as its own un-expanded "
     "partial-distinct pass; three 5-row results broadcast-join. "
-    "sf20 A/B: 10.1 -> ~3 s; every stage is key-domain bounded.",
+    "sf20 A/B: 10.1 -> ~3 s; every stage is key-domain bounded. "
+    "NULL values: moments mirror the oracle exactly (count(*) "
+    "denominators, NULL-skipping sums) while the percentile walk "
+    "excludes NULL u4 rows and positions over the non-null count "
+    "(quantile_cont semantics; r9 ADVICE), NULL-extending groups "
+    "whose values are all NULL.",
 )
 def rel_agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, "events", sf_dir).withColumn(
@@ -613,10 +664,18 @@ def rel_agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("u4")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    # Percentiles must ignore NULL values (DuckDB quantile_cont / Spark
+    # percentile semantics): NULL u4 rows are excluded from the
+    # histogram walk and positions derive from the NON-NULL count —
+    # while mom's n above stays count(*) (the oracle's avg/sd divide by
+    # count(*)). r9 ADVICE: with NULLs present the old form let the
+    # NULL group sort first in wcum and indexed positions off count(*).
+    histnn = hist.filter(F.col("u4").isNotNull())
+    nn = histnn.groupBy("event_type").agg(F.sum("c").alias("n"))
     hc = (
-        hist.select("event_type", "u4", "c", F.sum("c").over(wcum).alias("cum"))
+        histnn.select("event_type", "u4", "c", F.sum("c").over(wcum).alias("cum"))
         .withColumn("prev", F.col("cum") - F.col("c"))
-        .join(F.broadcast(mom.select("event_type", "n")), "event_type")
+        .join(F.broadcast(nn), "event_type")
     )
 
     def _at(t):
@@ -664,7 +723,10 @@ def rel_agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("user_id").alias("n_users")
     )
     return (
-        mom.join(F.broadcast(pcts), "event_type")
+        # left join: a group whose values are ALL NULL has no histnn
+        # rows and therefore no pcts row — quantile_cont returns NULL
+        # there, so NULL-extend instead of dropping the group.
+        mom.join(F.broadcast(pcts), "event_type", "left")
         .join(F.broadcast(users), "event_type")
         .select(
             "event_type",
@@ -789,15 +851,24 @@ GROUP BY event_type
 def rel_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, "events", sf_dir)
     k = F.get_json_object("props", "$.k").cast("int")
+    # r10 shape audit: extract $.k ONCE in a projection below the
+    # aggregate instead of repeating get_json_object inside sum/count/
+    # max (the plan showed the parse expression three times in the
+    # partial agg; codegen subexpression elimination mostly hides it —
+    # sf20 A/B 3.36 -> 3.07 s — but the single-parse projection is
+    # strictly no worse and the honest shape). The residual ~3 s at
+    # sf20 is the per-row JSON parse itself (decomposition receipt in
+    # the perf index).
     # avg at 4dp by integer half-up division (sum/count of ints are
     # exact; no engine-level round of a computed double quotient).
     return (
-        ev.groupBy("event_type")
+        ev.select("event_type", k.alias("_k"))
+        .groupBy("event_type")
         .agg(
             F.count("*").alias("n"),
-            F.sum(k).alias("_sk"),
-            F.count(k).alias("_nk"),
-            F.max(k).alias("max_k"),
+            F.sum("_k").alias("_sk"),
+            F.count("_k").alias("_nk"),
+            F.max("_k").alias("max_k"),
         )
         .select(
             "event_type",
@@ -897,8 +968,9 @@ LIMIT 20
     "as aggregate-then-join — the per-order quantity agg runs once and "
     "feeds both the filter and the output column, instead of TPC-H's "
     "re-aggregation after an IN subquery. One shuffle on l_orderkey; "
-    "the surviving order keys are a tiny selective set, so both "
-    "upstream joins broadcast it.",
+    "the surviving order keys are a selective but corpus-growing set, "
+    "so its join strategy is AQE's call; only the 20-row top result "
+    "carries a broadcast hint.",
 )
 def rel_q18_big_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, "lineitem", sf_dir)
@@ -910,16 +982,19 @@ def rel_q18_big_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("qty") > 250)
         .select("l_orderkey", F.round("qty", 2).alias("total_qty"))
     )
-    # r9: top-20 hoists ABOVE the customer join — c_name is display-only,
+    # r9: top-20 hoists ABOVE the customer join — c_name is display-only
+    # (requires orders.o_custkey ⊆ customer.c_custkey, which the
+    # fixtures guarantee and rel_data_quality's orphan check asserts),
     # so TakeOrdered runs on the orders×big slice and the 3M-customer
     # dim joins 20 broadcast rows instead of SMJ-ing the whole slice
     # (sf20 A/B 10.5 -> 9.5 s; the remaining cost is the 120M-row qty
-    # aggregate, which defines the query). big's broadcast is the
-    # qty>250 extreme-order tail (457k rows at sf20) — distribution-
-    # bounded, with the SMJ fallback measured at +3.4 s if a corpus
-    # ever outgrows it.
+    # aggregate, which defines the query). r10: big (the qty>250 tail,
+    # 457k rows at sf20) is a lineitem-derived slice — linear in the
+    # corpus — so its forced broadcast is dropped per the q4 precedent;
+    # AQE broadcasts it adaptively while it fits and shuffle-joins
+    # beyond the 8 GiB cap.
     top = (
-        orders.join(F.broadcast(big), orders.o_orderkey == big.l_orderkey)
+        orders.join(big, orders.o_orderkey == big.l_orderkey)
         .select(
             "o_custkey", "o_orderkey", "o_orderdate", "o_totalprice", "total_qty"
         )
@@ -947,10 +1022,11 @@ GROUP BY p_brand, p_size
 """,
     doc="TPC-H Q16 shape (adapted to the fixture's partsupp-free schema): "
     "distinct-supplier count per (brand, size) with a NOT IN exclusion "
-    "list. The exclusion compiles to a broadcast left-anti join (the "
-    "excluded set is tiny at any scale: suppliers in arrears); the "
-    "filtered part dimension broadcasts; count(DISTINCT) is Spark's "
-    "two-phase expand+agg — the only shuffle in the plan.",
+    "list realized as a left-anti join. Both the exclusion set (a "
+    "supplier slice) and the filtered part dim grow with the corpus, so "
+    "neither carries a forced broadcast hint — AQE picks broadcast "
+    "while they fit (r10 broadcast-policy sweep); count(DISTINCT) is "
+    "Spark's two-phase expand+agg.",
 )
 def rel_q16_supplier_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, "lineitem", sf_dir)
@@ -959,8 +1035,8 @@ def rel_q16_supplier_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     bad_supp = load_table(spark, "supplier", sf_dir).filter(F.col("s_acctbal") < 0)
     return (
-        li.join(F.broadcast(bad_supp), li.l_suppkey == bad_supp.s_suppkey, "left_anti")
-        .join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(bad_supp, li.l_suppkey == bad_supp.s_suppkey, "left_anti")
+        .join(part, li.l_partkey == part.p_partkey)
         .groupBy("p_brand", "p_size")
         .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
     )

@@ -15,10 +15,15 @@ relational_queries.py's Q1/Q3/Q5/Q6/Q8/Q9/Q15/Q16/Q18, all 22 TPC-H
 query shapes are represented (partsupp-dependent ones derive the
 supplier↔part relation from lineitem; each query notes its adaptation).
 
-Scale notes: every dimension join broadcasts; fact-fact joins (orders ×
-lineitem) shuffle on the join key where both sides are large — AQE picks
-sort-merge vs shuffled-hash and handles skew; aggregates are partial+final
-map-side; top-k is TakeOrderedAndProject, never a global sort.
+Scale notes: only BOUNDED dims (nation, region, k-row aggregates, 1-row
+totals) carry broadcast hints; corpus-growing sides (customer, supplier,
+part, orders, fact slices) are left to AQE's adaptive strategy — it
+broadcasts them while they fit and shuffle-joins beyond the 8 GiB cap
+(r10 broadcast-policy sweep). Fact-fact joins (orders × lineitem)
+shuffle on the join key where both sides are large — AQE picks
+sort-merge vs shuffled-hash and handles skew; aggregates are
+partial+final map-side; top-k is TakeOrderedAndProject, never a global
+sort.
 """
 
 from __future__ import annotations
@@ -190,7 +195,9 @@ ORDER BY revenue DESC, c_custkey
 LIMIT 20
 """,
     doc="TPC-H Q10 shape: top-20 customers by revenue lost to returns in a "
-    "quarter. Customer and nation broadcast; grouping only on the key+name "
+    "quarter. Only bounded nation keeps a broadcast hint — the orders "
+    "slice and customer grow with the corpus, so AQE picks their join "
+    "strategy (r10 broadcast-policy sweep); grouping only on the key+name "
     "with any_value for the functionally-dependent columns keeps the "
     "grouping key narrow (less shuffle payload than TPC-H's 7-column "
     "GROUP BY); deterministic top-20 via (revenue DESC, custkey).",
@@ -204,8 +211,8 @@ def rel_q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     li = load_table(spark, "lineitem", sf_dir).filter(F.col("l_returnflag") == "R")
     return (
-        li.join(F.broadcast(orders), F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(nat), F.col("c_nationkey") == F.col("n_nationkey"))
         .groupBy("c_custkey", "c_name")
         .agg(
@@ -309,9 +316,11 @@ WHERE l_shipdate >= TIMESTAMP '1997-03-01'
 """,
     doc="TPC-H Q14 shape: percent of one month's revenue from PROMO parts "
     "(the fixture's p_type is the bare category, so equality replaces "
-    "LIKE 'PROMO%%'). Part broadcasts to the month-filtered lineitem; the "
-    "whole result is one row from two map-side-foldable sums — no "
-    "groupBy shuffle at all, just the final single-partition reduce.",
+    "LIKE 'PROMO%%'). Part joins the month-filtered lineitem with the "
+    "strategy left to AQE (part grows with the corpus — no forced "
+    "broadcast, r10 sweep); the whole result is one row from two "
+    "map-side-foldable sums — no groupBy shuffle at all, just the final "
+    "single-partition reduce.",
 )
 def rel_q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = load_table(spark, "part", sf_dir)
@@ -321,7 +330,7 @@ def rel_q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     promo = F.when(F.col("p_type") == "PROMO", _rev_u4()).otherwise(F.lit(0))
     return (
-        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        li.join(part, F.col("l_partkey") == F.col("p_partkey"))
         .agg(F.sum(promo).alias("_a"), F.sum(_rev_u4()).alias("_b"))
         # 4-dp percent via integer half-up division (decimal headroom for
         # the 2e6x numerator); one deterministic /1e4 at the end.
@@ -367,19 +376,23 @@ def rel_q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     # r9 (sf20 decade-check): the old form computed per-part averages
     # over the FULL fact table and applied the brand filter only at the
     # threshold join — the same missed-pushdown class as Q2. The
-    # selected part keys now broadcast into lineitem ONCE, the filtered
+    # selected part keys now join into lineitem ONCE, the filtered
     # slice (~0.4% of rows) is checkpointed because both the averages
     # and the final filter consume it, and the per-part averages
     # compute on the slice. sf20 A/B: 8.3 -> 2.6 s, value-identical.
+    # r10: both forced broadcasts dropped — the brand/size part-key
+    # slice and the per-part averages are fixed FRACTIONS of the part
+    # domain (unbounded at corpus scale, the q2 rationale); AQE
+    # broadcasts them adaptively while they fit.
     lif = li.join(
-        F.broadcast(part.select("p_partkey")),
+        part.select("p_partkey"),
         li.l_partkey == F.col("p_partkey"),
     ).localCheckpoint(eager=True)
     part_avg = lif.groupBy(F.col("l_partkey").alias("a_partkey")).agg(
         (0.5 * F.avg("l_quantity")).alias("qty_threshold")
     )
     return (
-        lif.join(F.broadcast(part_avg), lif.l_partkey == F.col("a_partkey"))
+        lif.join(part_avg, lif.l_partkey == F.col("a_partkey"))
         .filter(F.col("l_quantity") < F.col("qty_threshold"))
         .agg(F.sum(_cents("l_extendedprice")).alias("_c"))
         # cents/7 with integer half-up rounding, then one exact /100.0.
@@ -422,7 +435,7 @@ def rel_q19_disjunctive(spark: SparkSession, sf_dir: str) -> DataFrame:
         | (F.col("p_brand") == "Brand#17") & F.col("p_size").between(1, 15) & q.between(20, 30)
     )
     return (
-        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        li.join(part, F.col("l_partkey") == F.col("p_partkey"))
         .filter(cond)
         .agg(F.sum(_rev_u4()).alias("_r4"))
         .select(_u4_to_2dp("_r4").alias("revenue"))
@@ -554,11 +567,12 @@ FROM (
 GROUP BY o_year
 """,
     doc="TPC-H Q8 shape: one nation's share of a region's PROMO-part "
-    "market by year. Seven broadcast dimension joins around the single "
-    "lineitem x orders large join; the share is a conditional-sum/sum "
-    "ratio computed in the same aggregate pass (no second scan or "
-    "self-join). The selective p_type filter broadcasts a pruned part "
-    "dim, shrinking the fact stream before everything else. Volume is "
+    "market by year. Bounded nation/region dims carry broadcast hints; "
+    "part/supplier/customer grow with the corpus so AQE picks their "
+    "strategy (r10 sweep). The share is a conditional-sum/sum ratio "
+    "computed in the same aggregate pass (no second scan or "
+    "self-join); the selective p_type filter prunes the part dim, "
+    "shrinking the fact stream before everything else. Volume is "
     "exact integer 10^-4-dollar units and the 6-dp share is produced "
     "by integer half-up division (decimal intermediates headroom for "
     "2e6x sums) then one deterministic /1e6 — no engine-specific "
@@ -586,10 +600,10 @@ def rel_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     nation3 = F.when(F.col("supp_nation") == "NATION_3", volume).otherwise(F.lit(0))
     return (
-        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        li.join(part, F.col("l_partkey") == F.col("p_partkey"))
         .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
-        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(n1), F.col("c_nationkey") == F.col("n1_key"))
         .join(F.broadcast(region), F.col("n1_region") == F.col("r_regionkey"))
         .join(F.broadcast(n2), F.col("s_nationkey") == F.col("n2_key"))
@@ -631,8 +645,10 @@ GROUP BY n_name, o_year
 """,
     doc="TPC-H Q9 shape (adapted: the fixture has no partsupp, so unit "
     "cost is 0.6 x p_retailprice): profit on 'gear' parts by supplier "
-    "nation and order year. The LIKE filter prunes the broadcast part "
-    "dim; lineitem x orders is the one shuffled join; profit arithmetic "
+    "nation and order year. The LIKE filter prunes the part dim (join "
+    "strategy left to AQE — part and supplier grow with the corpus, "
+    "r10 sweep); lineitem x orders is the one always-shuffled join; "
+    "profit arithmetic "
     "runs rowwise in codegen before the (nation, year) agg whose "
     "domain is tiny. The per-row amount is rounded to exact integer "
     "cents before summing, making the aggregate independent of "
@@ -649,9 +665,9 @@ def rel_q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "p_retailprice"
     ) * F.col("l_quantity")
     return (
-        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        li.join(part, F.col("l_partkey") == F.col("p_partkey"))
         .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
         .join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
         .groupBy(F.col("n_name").alias("nation"), F.year("o_orderdate").alias("o_year"))
         .agg(
@@ -681,7 +697,8 @@ WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
     "l_suppkey); its max is a one-row broadcast gating the same "
     "aggregate — Spark reuses the exchange for both consumers "
     "(ReusedExchange) instead of scanning lineitem twice; the supplier "
-    "dim joins broadcast.",
+    "dim join strategy is AQE's call (supplier grows with the corpus — "
+    "no forced broadcast, r10 sweep).",
 )
 def rel_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, "lineitem", sf_dir).filter(
@@ -698,7 +715,7 @@ def rel_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         revenue.crossJoin(F.broadcast(top))
         .filter(F.col("total_revenue") == F.col("max_revenue"))
-        .join(F.broadcast(supp), F.col("supplier_no") == F.col("s_suppkey"))
+        .join(supp, F.col("supplier_no") == F.col("s_suppkey"))
         .select("s_suppkey", "s_name", "total_revenue")
     )
 
@@ -843,27 +860,44 @@ ORDER BY value_cents DESC, p_partkey
     "broadcast as one row, never re-aggregated per part. Exact BIGINT "
     "sums make both the per-part values and the global threshold "
     "summation-order-independent across engines. One shuffle on "
-    "l_partkey; all dimension joins broadcast.",
+    "l_partkey; the ASIA restriction reaches supplier as a LEFT SEMI "
+    "join against the bounded (≤25-row, broadcast-hinted) nation-in-"
+    "region key set — semantics identical to the inner joins "
+    "(s_nationkey hits exactly one nation) while the semi join's size "
+    "estimate propagates the supplier side only, so the non-CBO "
+    "planner sizes the dim accurately instead of product-inflating a "
+    "pre-joined build side (which made it broadcast lineitem). The "
+    "supplier slice itself carries no forced broadcast — size-gated "
+    "static/AQE strategy (r10 sweep).",
 )
 def rel_q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, "lineitem", sf_dir)
     supp = load_table(spark, "supplier", sf_dir)
     nation = load_table(spark, "nation", sf_dir)
     region = load_table(spark, "region", sf_dir)
-    dim = (
-        supp.join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
-        .join(F.broadcast(region), F.col("n_regionkey") == region.r_regionkey)
+    asia = (
+        nation.join(F.broadcast(region), F.col("n_regionkey") == region.r_regionkey)
         .filter(F.col("r_name") == "ASIA")
-        .select("s_suppkey")
+        .select("n_nationkey")
     )
+    dim = supp.join(
+        F.broadcast(asia), supp.s_nationkey == F.col("n_nationkey"), "left_semi"
+    ).select("s_suppkey")
     pv = (
-        li.join(F.broadcast(dim), li.l_suppkey == dim.s_suppkey)
+        li.join(dim, li.l_suppkey == dim.s_suppkey)
         .groupBy("l_partkey")
         .agg(
             F.sum(F.round(F.col("l_extendedprice") * 100).cast("long")).alias(
                 "value_cents"
             )
         )
+        # Two consumers (the threshold total and the final filter) and
+        # the static plan does NOT reuse the exchange — without this the
+        # whole lineitem scan + dim join + agg runs twice. pv is bounded
+        # by the part-key domain (one row per p_partkey), so the
+        # materialization is dim-sized, never fact-sized (q17
+        # localCheckpoint precedent; r10 A/B 0.73 -> ~0.5 s at sf0.1).
+        .localCheckpoint(eager=True)
     )
     tot = pv.agg(F.sum("value_cents").alias("total_cents"))
     return (
@@ -892,8 +926,9 @@ ORDER BY total_qty DESC, s_name
     doc="TPC-H Q20 shape (suppliers with excess supply; adapted: no "
     "partsupp availqty, so 'excess' := a supplier shipping more than a "
     "quantity threshold of PROMO parts in the year). The date range "
-    "pushes to the lineitem scan; part and the supplier→nation dim "
-    "broadcast; quantities are small integers stored as doubles, so "
+    "pushes to the lineitem scan; the part slice and supplier→nation "
+    "dim join with AQE-chosen strategy (both corpus-growing, r10 "
+    "sweep); quantities are small integers stored as doubles, so "
     "their sums are exact in IEEE and order-independent. One shuffle "
     "on the (supplier, nation) grouping key.",
 )
@@ -912,8 +947,8 @@ def rel_q20_excess_supply(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
             & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
         )
-        .join(F.broadcast(pf), li.l_partkey == pf.p_partkey)
-        .join(F.broadcast(dim), F.col("l_suppkey") == dim.s_suppkey)
+        .join(pf, li.l_partkey == pf.p_partkey)
+        .join(dim, F.col("l_suppkey") == dim.s_suppkey)
         .groupBy("s_name", "n_name")
         .agg(F.sum("l_quantity").cast("long").alias("total_qty"))
         .filter(F.col("total_qty") > 100)
@@ -990,7 +1025,7 @@ def rel_q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return (
-        base.join(F.broadcast(supp), F.col("l1.l_suppkey") == supp.s_suppkey)
+        base.join(supp, F.col("l1.l_suppkey") == supp.s_suppkey)
         .groupBy("s_name")
         .agg(F.count("*").alias("numwait"))
         .orderBy(F.desc("numwait"), F.asc("s_name"))

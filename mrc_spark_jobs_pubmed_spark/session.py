@@ -61,6 +61,27 @@ def get_session(
         # to micros. Harmless when the fixture is micros (the current one):
         # the flag only changes how ns columns surface.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # Runtime Bloom-filter join pre-filtering (SPARK-32268, guide
+        # §3.2): semantics-preserving — the filter only drops rows that
+        # provably cannot match, orders of magnitude fewer fact bytes
+        # shuffle when a selective dim/slice gates a fact scan. The
+        # 10 MB creation-side default almost never fires after the r10
+        # broadcast-policy sweep (the selective sides are fact slices
+        # above 10 MB at any real sf), so: creation side up to 256 MB
+        # (the filter itself stays <= maxNumBits/8 = 64 MB broadcast —
+        # executor-safe at any cluster size), application-side scan
+        # >= 1 GB (default 10 GB never engaged; at bench sf0.1 every
+        # scan is < 1 GB so local plans and plan-fp pins are untouched
+        # — the knob engages exactly where shuffle bytes dominate).
+        # sf20 same-session A/B (AB_r10_conf_sf20.json): q3 37->26 s,
+        # q10 5.2->4.2 s, q16 10->5.1 s, q5/q9/q18/q21 unchanged.
+        .config("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "256m")
+        .config(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "1g",
+        )
+        .config("spark.sql.optimizer.runtime.bloomFilter.maxNumItems", str(64 * 1024 * 1024))
+        .config("spark.sql.optimizer.runtime.bloomFilter.maxNumBits", str(512 * 1024 * 1024))
         # NO spark.sql.files.minPartitionNum floor (r5). The r4 floor
         # (2x cores) regressed small scans ~1.3-2.2x (TPC-H Q1 sf0.1:
         # 0.30 -> 0.44 s; even sf1: 0.26 -> 0.35 s, A/B median-of-3,

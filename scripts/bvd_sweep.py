@@ -88,13 +88,18 @@ def _duck_guarded(con, sql: str):
                 con.interrupt()
 
     timer = threading.Timer(cap, _fire)
+    t0 = time.time()
     timer.start()
     try:
         return con.execute(sql).fetchall()
     except Exception as e:  # noqa: BLE001 — classify before propagating
         with lock:
             state["done"] = True
-        if state["fired"]:
+        # r9 ADVICE: the timer can fire in the window between a GENUINE
+        # query error being raised and this except block taking the lock,
+        # which would mislabel the real error as a timeout. Classify as
+        # timeout only when the wall clock actually reached the cap.
+        if state["fired"] and time.time() - t0 >= cap:
             raise TimeoutError(
                 f"oracle exceeded BVD_DUCK_TIMEOUT_S={cap}s (interrupted)"
             ) from e

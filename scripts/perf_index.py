@@ -76,8 +76,12 @@ _INFEAS = (
 )
 _CPU = (
     "single-node-cpu-floor",
-    "Plan audited (all-broadcast star, pushed filters, pruned columns — "
-    "the 1000-executor shape). The r8 receipts REFUTED the r7 'parquet "
+    "Plan audited (pushed filters, pruned columns, bounded dims "
+    "broadcast-hinted, corpus-growing sides left to AQE's adaptive "
+    "strategy — the r10 broadcast-policy sweep removed every forced "
+    "broadcast of a fact slice or linearly-growing dim, so the shape "
+    "survives the 8 GiB broadcast cap at 100x). "
+    "The r8 receipts REFUTED the r7 'parquet "
     "scan floor' wording: the bare scan of each query's own columns is "
     "0.03-0.09 s, 1-2% of Spark's query time and BELOW the comparator's "
     "whole query. The residual gap is the single-machine JVM "

@@ -1,0 +1,280 @@
+"""Round-10 item-2 shape audits: same-session interleaved A/B variants.
+
+For each audited query this builds the CURRENT registered plan plus one
+or more candidate replans in ONE session, verifies the candidates are
+value-identical to the current plan (collect + canonical compare), then
+times all variants interleaved (noop sink, median of N rounds) so the
+numbers carry no cross-session drift.
+
+Variants per target (see OPTIMIZATION_r10.md for the audit notes):
+  rel_json_props      current | preproject (parse $.k ONCE below the agg)
+  rel_cube_sales      current | two-level ((flag,status) base, cube over ~8 rows)
+  rel_rollup_sales    current | two-level
+  rel_grouping_sets   current | two-level
+  rel_q14_promo_revenue  current | agg-before-join (per-partkey rev, then part)
+  rel_salted_agg      current | one-phase (the salting lever's price)
+  sim_batch_topk      full    | score-only (stage decomposition)
+  sim_rrf_fusion      full    | score-only (stage decomposition)
+
+Usage:
+  SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 \
+    python scripts/r10_shape_ab.py --out AB_r10_shapes_sf01.json [--runs 5] [TARGET...]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import math
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from mrc_spark_jobs_pubmed_spark import plans  # noqa: E402
+from mrc_spark_jobs_pubmed_spark.session import get_session  # noqa: E402
+from mrc_spark_jobs_pubmed_spark.sources.catalog import load_table  # noqa: E402
+
+
+def v_json_props_preproject(spark, sf_dir):
+    ev = load_table(spark, "events", sf_dir)
+    k = F.get_json_object("props", "$.k").cast("int")
+    pre = ev.select("event_type", k.alias("_k"))
+    return (
+        pre.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("_k").alias("_sk"),
+            F.count("_k").alias("_nk"),
+            F.max("_k").alias("max_k"),
+        )
+        .select(
+            "event_type",
+            "n",
+            (
+                F.expr("(20000 * _sk + _nk) div (2 * _nk)").cast("double")
+                / 10000.0
+            ).alias("avg_k"),
+            "max_k",
+        )
+    )
+
+
+def v_cube_two_level(spark, sf_dir):
+    li = load_table(spark, "lineitem", sf_dir)
+    base = li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum("l_quantity").alias("_s")
+    )
+    return base.cube("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum("_s"), 2).alias("sum_qty")
+    )
+
+
+def v_rollup_two_level(spark, sf_dir):
+    li = load_table(spark, "lineitem", sf_dir)
+    base = li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum("l_quantity").alias("_s"), F.count("*").alias("_c")
+    )
+    return base.rollup("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum("_s"), 2).alias("sum_qty"), F.sum("_c").alias("n")
+    )
+
+
+def v_grouping_sets_two_level(spark, sf_dir):
+    return spark.sql(
+        f"""
+        SELECT l_returnflag, l_linestatus, sum(c) AS n
+        FROM (
+          SELECT l_returnflag, l_linestatus, count(*) AS c
+          FROM parquet.`{sf_dir}/lineitem.parquet`
+          GROUP BY l_returnflag, l_linestatus
+        )
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+        """
+    )
+
+
+def v_q14_agg_before_join(spark, sf_dir):
+    from mrc_spark_jobs_pubmed_spark.plans.tpch_more_queries import (  # noqa: E501
+        _rev_u4,
+    )
+
+    part = load_table(spark, "part", sf_dir)
+    li = load_table(spark, "lineitem", sf_dir).filter(
+        (F.col("l_shipdate") >= F.lit("1997-03-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
+    )
+    per_part = li.groupBy("l_partkey").agg(F.sum(_rev_u4()).alias("_r"))
+    promo = F.when(F.col("p_type") == "PROMO", F.col("_r")).otherwise(F.lit(0))
+    return (
+        per_part.join(part, F.col("l_partkey") == F.col("p_partkey"))
+        .agg(F.sum(promo).alias("_a"), F.sum("_r").alias("_b"))
+        .select(
+            (
+                F.expr(
+                    "(2000000 * cast(_a as decimal(38,0)) + _b) div (2 * _b)"
+                ).cast("double")
+                / 10000.0
+            ).alias("promo_revenue")
+        )
+    )
+
+
+def v_salted_one_phase(spark, sf_dir):
+    li = load_table(spark, "lineitem", sf_dir)
+    return (
+        li.groupBy("l_returnflag")
+        .agg(F.array_sort(F.collect_set("l_linestatus")).alias("_s"))
+        .select(
+            "l_returnflag", F.concat_ws("|", "_s").alias("l_linestatus_set")
+        )
+    )
+
+
+def _batch_scored(spark, sf_dir, qn, excl):
+    from mrc_spark_jobs_pubmed_spark.operators import similarity as S
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    q = F.broadcast(
+        emb.where(F.col("vec_id") < qn).select(
+            F.col("vec_id").alias("qid"), F.col("embedding").alias("_qe")
+        )
+    )
+    return (
+        emb.where(F.col("vec_id") >= excl)
+        .join(q)
+        .select(
+            "qid",
+            "vec_id",
+            F.round(S.cosine_named("embedding", "_qe"), 6).alias("cosine"),
+        )
+    )
+
+
+def v_batch_topk_score_only(spark, sf_dir):
+    return _batch_scored(spark, sf_dir, 5, 5)
+
+
+def v_rrf_score_only(spark, sf_dir):
+    return _batch_scored(spark, sf_dir, 3, 3)
+
+
+VARIANTS = {
+    "rel_json_props": {"preproject": v_json_props_preproject},
+    "rel_cube_sales": {"two_level": v_cube_two_level},
+    "rel_rollup_sales": {"two_level": v_rollup_two_level},
+    "rel_grouping_sets": {"two_level": v_grouping_sets_two_level},
+    "rel_q14_promo_revenue": {"agg_before_join": v_q14_agg_before_join},
+    "rel_salted_agg": {"one_phase": v_salted_one_phase},
+    "sim_batch_topk": {"score_only": v_batch_topk_score_only},
+    "sim_rrf_fusion": {"score_only": v_rrf_score_only},
+}
+
+# decomposition-only variants compute a DIFFERENT (sub)result on
+# purpose — skip the value-identity check for them
+NO_VALUE_CHECK = {"score_only"}
+
+
+def _canon(df):
+    cols = sorted(df.columns)
+
+    def norm(v):
+        if isinstance(v, float):
+            return "nan" if math.isnan(v) else round(v, 6)
+        return v
+
+    rows = [tuple(norm(r[c]) for c in cols) for r in df.collect()]
+    return sorted(rows, key=repr)
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--out", required=True)
+    ap.add_argument("--runs", type=int, default=5)
+    ap.add_argument("--skip-check", action="store_true")
+    ap.add_argument("targets", nargs="*", default=None)
+    args = ap.parse_args()
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else None
+    extra = (
+        {"spark.sql.adaptive.advisoryPartitionSizeInBytes": "8m"}
+        if sf is not None and sf <= 0.5
+        else {}
+    )
+    spark = get_session(app_name="r10-shape-ab", extra_conf=extra)
+    registry = plans.all_queries()
+
+    targets = args.targets or list(VARIANTS)
+    out: dict[str, dict] = {}
+    for name in targets:
+        q = registry[name]
+        builders = {"current": lambda s, d, _q=q: _q.fn(s, d)}
+        builders.update(VARIANTS[name])
+
+        # value identity first (candidates must compute the same thing)
+        checks = {}
+        if not args.skip_check:
+            ref = _canon(q.fn(spark, sf_dir))
+            for vn, fn in builders.items():
+                if vn == "current" or vn in NO_VALUE_CHECK:
+                    continue
+                got = _canon(fn(spark, sf_dir))
+                checks[vn] = "identical" if got == ref else "MISMATCH"
+                if got != ref:
+                    print(f"{name}/{vn}: VALUE MISMATCH — not shippable",
+                          flush=True)
+
+        # warm every variant once, then interleave timed rounds
+        for vn, fn in builders.items():
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        samples: dict[str, list[float]] = {vn: [] for vn in builders}
+        for _ in range(args.runs):
+            for vn, fn in builders.items():
+                spark.sparkContext.setJobDescription(f"r10shape:{name}:{vn}")
+                t0 = time.time()
+                fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+                samples[vn].append(time.time() - t0)
+        spark.sparkContext.setJobDescription(None)
+        row = {}
+        for vn, ss in samples.items():
+            ss.sort()
+            mid = len(ss) // 2
+            med = ss[mid] if len(ss) % 2 else (ss[mid - 1] + ss[mid]) / 2
+            row[vn] = {
+                "median_sec": round(med, 3),
+                "samples": [round(x, 3) for x in ss],
+            }
+            if vn in checks:
+                row[vn]["values"] = checks[vn]
+        out[name] = row
+        print(
+            f"{name}: "
+            + ", ".join(f"{vn}={row[vn]['median_sec']}s" for vn in row),
+            flush=True,
+        )
+
+    with open(args.out, "w") as f:
+        json.dump(
+            {
+                "method": "same-session interleaved, median of "
+                f"{args.runs} rounds, noop sink",
+                "sf": sf,
+                "sf_dir": sf_dir,
+                "queries": out,
+            },
+            f,
+            indent=1,
+            sort_keys=True,
+        )
+        f.write("\n")
+    print(f"wrote {args.out}")
+
+
+if __name__ == "__main__":
+    main()

@@ -111,6 +111,38 @@ SPECS: dict[str, dict[str, list[str]]] = {
     "rel_multitouch_attribution": {
         "events": ["user_id", "ts", "event_id", "event_type", "value", "props"],
     },
+    # --- r10 shape-audit additions (sublinear-decade rows promoted to
+    # receipted adjudications; same semantics as the r8/r9 sets)
+    "rel_json_props": {
+        "events": ["event_type", "props"],
+    },
+    "sim_batch_topk": {
+        "embeddings": ["vec_id", "embedding"],
+    },
+    "sim_rrf_fusion": {
+        "embeddings": ["vec_id", "embedding"],
+    },
+    "rel_q14_promo_revenue": {
+        "lineitem": ["l_partkey", "l_extendedprice", "l_discount", "l_shipdate"],
+        "part": ["p_partkey", "p_type"],
+    },
+    "rel_q16_supplier_variety": {
+        "lineitem": ["l_partkey", "l_suppkey"],
+        "part": ["p_partkey", "p_brand", "p_size"],
+    },
+    "rel_q10_returned_items": {
+        "lineitem": [
+            "l_orderkey",
+            "l_extendedprice",
+            "l_discount",
+            "l_returnflag",
+        ],
+        "orders": ["o_orderkey", "o_custkey", "o_orderdate"],
+        "customer": ["c_custkey", "c_name"],
+    },
+    "rel_salted_agg": {
+        "lineitem": ["l_returnflag", "l_linestatus", "l_orderkey"],
+    },
 }
 
 

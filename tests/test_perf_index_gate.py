@@ -99,3 +99,34 @@ def test_scan_floor_rulings_have_receipts():
     receipts = json.load(open(path))
     missing = sorted(set(scan_queries) - set(receipts.get("receipts", {})))
     assert not missing, f"scan-floor ruling without a receipt row: {missing}"
+
+
+def test_all_receipt_bearing_kinds_have_receipts():
+    """r9 VERDICT item 3 (landed r10): the receipt requirement covers
+    EVERY receipt-bearing adjudication kind, not just cpu-floor — a
+    prose-only ruling must not be able to re-enter the index through
+    `materialization-floor` or `assertion-oracle`. materialization-floor
+    needs a measured stage decomposition (WEAK_FLOOR / DECADE_FLOOR);
+    assertion-oracle needs a measured decade datapoint (DECADE_FLOOR)."""
+    mod = _load_perf_index_module()
+
+    def _rows(fname):
+        path = os.path.join(REPO, fname)
+        return set(json.load(open(path)).get("receipts", {})) if os.path.exists(path) else set()
+
+    decomposed = _rows("WEAK_FLOOR_RECEIPTS_r9.json") | _rows("DECADE_FLOOR_RECEIPTS.json")
+    decade = _rows("DECADE_FLOOR_RECEIPTS.json")
+    required = {
+        "materialization-floor": decomposed,
+        "assertion-oracle": decade,
+    }
+    missing = sorted(
+        f"{n} ({tag})"
+        for n, (tag, _, _) in mod.ADJUDICATIONS.items()
+        if tag in required and n not in required[tag]
+    )
+    assert not missing, (
+        "receipt-bearing adjudication kinds without an embedded measured "
+        f"receipt row: {missing} — add the stage decomposition / decade "
+        "datapoint to the receipts file before the ruling may stand"
+    )

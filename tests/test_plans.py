@@ -232,12 +232,26 @@ def test_q13_counts_survive_outer_join(spark):
 
 
 def test_q17_aggregates_before_join(spark):
-    # the correlated-avg rewrite: per-part averages computed once, then
-    # brand-filtered and broadcast — lineitem must not shuffle for the
-    # final join
-    plan = _physical(spark, "rel_q17_small_qty_revenue")
-    assert "BroadcastHashJoin" in plan
-    assert "SortMergeJoin" not in plan
+    # the correlated-avg rewrite: per-part averages computed once over
+    # the brand-filtered slice, then joined back. r10 broadcast-policy
+    # sweep: the part-key slice and per-part averages are corpus-growing
+    # sides, so they carry NO forced broadcast hint — the static plan
+    # over the checkpointed (estimate-free) slice is SMJ with
+    # isFinalPlan=false and AQE converts to broadcast at runtime where
+    # the sides fit. Assert the EXECUTED (final AQE) plan: at test sf
+    # the threshold join must have become a broadcast join, i.e.
+    # lineitem did not shuffle for the final join.
+    df = plans.get("rel_q17_small_qty_revenue").fn(spark, SF)
+    df.collect()  # 1-row result; finalizes THIS df's AdaptiveSparkPlan
+    final = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    assert "isFinalPlan=true" in final
+    # explainString after execution prints the final plan then the
+    # initial (pre-AQE) one — judge only the final section
+    final_section = final.split("Initial Plan")[0]
+    assert "BroadcastHashJoin" in final_section
+    assert "SortMergeJoin" not in final_section
 
 
 def test_q19_disjunction_residuals_push_to_scans(spark):
