@@ -64,6 +64,128 @@ def v_json_props_preproject(spark, sf_dir):
     )
 
 
+def v_json_props_fanout(spark, sf_dir):
+    """Guide §2.5/§6: the JSON parse is CPU-heavy per-row work that runs
+    in the SCAN stage, so a compact events.parquet (225 MB snappy at
+    sf20 → 2 byte-range splits) pins 20M get_json_object calls to 2 of
+    32 cores. Round-robin fan-out of the two needed columns (project
+    before the exchange, §2.3) decouples parse parallelism from file
+    layout; volume-gated like load_table's documents/embeddings path so
+    tiny fixtures keep their exchange-free plan."""
+    from mrc_spark_jobs_pubmed_spark.sources import catalog
+
+    ev = load_table(spark, "events", sf_dir)
+    raw = ev.select("event_type", "props")
+    path = catalog.table_path(sf_dir, "events")
+    if catalog._scan_bytes(path) >= catalog.FAN_OUT_MIN_BYTES:
+        raw = catalog.fan_out(raw, cache_key=path + "#json")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return (
+        raw.select("event_type", k.alias("_k"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("_k").alias("_sk"),
+            F.count("_k").alias("_nk"),
+            F.max("_k").alias("max_k"),
+        )
+        .select(
+            "event_type",
+            "n",
+            (
+                F.expr("(20000 * _sk + _nk) div (2 * _nk)").cast("double")
+                / 10000.0
+            ).alias("avg_k"),
+            "max_k",
+        )
+    )
+
+
+def v_q21_agg_form(spark, sf_dir):
+    """Guide §2.3 'aggregate before you shuffle': the EXISTS/NOT-EXISTS
+    pair needs only per-order facts — the distinct-supplier count and,
+    when exactly one late supplier exists, WHO it is. Aggregating the
+    (orderkey, suppkey) pairs to one row per order replaces the semi
+    and anti joins of full pair tables with two narrow per-order
+    aggregates joined on their own grouping key (no extra exchange).
+    Exact: 'another supplier exists' == countDistinct(suppkey) > 1;
+    'no OTHER late supplier' == late countDistinct == 1, and the sole
+    late supplier is then min==max; each qualifying order contributes
+    exactly one (order, supplier) row in the original too."""
+    li = load_table(spark, "lineitem", sf_dir)
+    orders = load_table(spark, "orders", sf_dir)
+    supp = load_table(spark, "supplier", sf_dir)
+    la = (
+        li.filter(F.col("l_returnflag") == "R")
+        .groupBy("l_orderkey")
+        .agg(
+            F.countDistinct("l_suppkey").alias("_nlate"),
+            F.min("l_suppkey").alias("_sk"),
+        )
+        .filter(F.col("_nlate") == 1)
+    )
+    aa = (
+        li.groupBy("l_orderkey")
+        .agg(F.countDistinct("l_suppkey").alias("_nsupp"))
+        .filter(F.col("_nsupp") > 1)
+        .select("l_orderkey")
+    )
+    base = la.join(aa, "l_orderkey").join(
+        orders.filter(F.col("o_orderstatus") == "F").select("o_orderkey"),
+        F.col("l_orderkey") == F.col("o_orderkey"),
+        "left_semi",
+    )
+    return (
+        base.join(supp, F.col("_sk") == supp.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+        .orderBy(F.desc("numwait"), F.asc("s_name"))
+        .limit(20)
+    )
+
+
+def v_q21_agg_form2(spark, sf_dir):
+    """agg_form with the mixed countDistinct+min aggregate written as an
+    EXPLICIT two-level (distinct pairs, then per-order count/min): the
+    one-shot mixed form compiles to an Expand that doubles the R-pair
+    volume before the first exchange; the explicit form dedupes map-side
+    at pair granularity and aggregates per-order on the already-narrow
+    distinct stream."""
+    li = load_table(spark, "lineitem", sf_dir)
+    orders = load_table(spark, "orders", sf_dir)
+    supp = load_table(spark, "supplier", sf_dir)
+    late_pairs = (
+        li.filter(F.col("l_returnflag") == "R")
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+    )
+    la = (
+        late_pairs.groupBy("l_orderkey")
+        .agg(F.count("*").alias("_nlate"), F.min("l_suppkey").alias("_sk"))
+        .filter(F.col("_nlate") == 1)
+    )
+    aa = (
+        li.select("l_orderkey", "l_suppkey")
+        .distinct()
+        .groupBy("l_orderkey")
+        .agg(F.count("*").alias("_nsupp"))
+        .filter(F.col("_nsupp") > 1)
+        .select("l_orderkey")
+    )
+    base = la.join(aa, "l_orderkey").join(
+        orders.filter(F.col("o_orderstatus") == "F").select("o_orderkey"),
+        F.col("l_orderkey") == F.col("o_orderkey"),
+        "left_semi",
+    )
+    return (
+        base.join(supp, F.col("_sk") == supp.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+        .orderBy(F.desc("numwait"), F.asc("s_name"))
+        .limit(20)
+    )
+
+
 def v_cube_two_level(spark, sf_dir):
     li = load_table(spark, "lineitem", sf_dir)
     base = li.groupBy("l_returnflag", "l_linestatus").agg(
@@ -164,7 +286,17 @@ def v_rrf_score_only(spark, sf_dir):
 
 
 VARIANTS = {
-    "rel_json_props": {"preproject": v_json_props_preproject},
+    # preproject SHIPPED in the part-1 commit (current == preproject);
+    # the remaining candidate is the layout-decoupling fan-out
+    "rel_json_props": {"fanout": v_json_props_fanout},
+    "rel_q21_waiting_suppliers": {
+        "agg_form": v_q21_agg_form,
+        "agg_form2": v_q21_agg_form2,
+    },
+    # current-only probes (no candidate): time today's absolute
+    "rel_touch_attribution": {},
+    "rel_multitouch_attribution": {},
+    "rel_map_funcs": {},
     "rel_cube_sales": {"two_level": v_cube_two_level},
     "rel_rollup_sales": {"two_level": v_rollup_two_level},
     "rel_grouping_sets": {"two_level": v_grouping_sets_two_level},
