@@ -2301,6 +2301,13 @@ def sim_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- int8 clip-range calibration (per-dimension rank quantiles) -------------
 
 
+# Bucket width for the two-pass nearest-rank refine (q6 = 1e-6 units).
+# Unit-ish embedding components span q6 ∈ [-1e6, 1e6], so 2^14 gives
+# ≤ ~128 buckets/dim — the pass-A histogram is ≤ dims x 128 rows at ANY
+# corpus size, and pass B touches ~1/#buckets of the exploded rows.
+CLIP_BUCKET_W = 1 << 14
+
+
 @register(
     "emb_clip_calibration",
     oracle="""
@@ -2337,44 +2344,101 @@ GROUP BY dim
     "Percentiles are NEAREST-RANK (value at rank ceil(q*n), "
     "(q6, vec_id) total order) so the calibration table is exact "
     "BIGINT on any engine — interpolated quantiles float-diverge. "
-    "Scale shape: one posexplode projection (rows = 64n but 16 bytes "
-    "each), a window partitioned by dim (64 bounded sorts, "
-    "embarrassingly parallel), one 64-key hash-agg; at 100 TB the "
-    "same calibration runs on a deterministic hash-sample of vectors "
-    "with the identical plan.",
+    "Scale shape (r10 — the old plan shuffled ALL 64n exploded rows "
+    "into a window over |dims|=64 partitions and fully sorted each "
+    "just to read two order statistics): the value at rank k among "
+    "q6 values does not depend on tie order, so it comes from a "
+    "two-pass bucket-then-refine — pass A map-side-combines a "
+    "(dim, q6 div 2^14) bucket histogram (≤ dims x ~128 rows "
+    "shuffle), a cumulative count over that tiny table locates the "
+    "covering bucket and base rank for each target rank, and pass B "
+    "re-explodes, keeps ONLY covering-bucket rows via a bounded "
+    "(≤ 2·dims rows) broadcast semi-structure, and row_numbers "
+    "within (dim, target) to pick rank k − base. The fact rows "
+    "never shuffle in pass A (partial agg) and only ~1/#buckets of "
+    "them shuffle in pass B; at 100 TB the same calibration runs on "
+    "a deterministic hash-sample of vectors with the identical "
+    "plan.",
 )
 def emb_clip_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     emb = load_table(spark, "embeddings", sf_dir)
-    elems = emb.select(
-        "vec_id", F.posexplode("embedding").alias("pos0", "e")
-    ).select(
-        (F.col("pos0") + 1).alias("dim"),
-        "vec_id",
-        F.round(F.col("e").cast("double") * 1e6).cast("long").alias("q6"),
+
+    def elems() -> DataFrame:
+        # vec_id is dropped: it only tie-breaks ranks, and the value at
+        # rank k is invariant to tie order (§2.3 — narrower exchange).
+        return (
+            emb.select(F.posexplode("embedding").alias("pos0", "e"))
+            .select(
+                (F.col("pos0") + 1).alias("dim"),
+                F.round(F.col("e").cast("double") * 1e6)
+                .cast("long")
+                .alias("q6"),
+            )
+            .withColumn("b", F.expr(f"q6 div {CLIP_BUCKET_W}"))
+        )
+
+    # Pass A — bucket histogram. `div` truncates toward zero, which is
+    # still monotone non-decreasing in q6 (bucket 0 is double-wide
+    # around zero) — all the cumulative walk needs.
+    hist = elems().groupBy("dim", "b").agg(F.count("*").alias("c"))
+    wb = (
+        Window.partitionBy("dim")
+        .orderBy("b")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    wp = Window.partitionBy("dim")
-    ranked = elems.select(
-        "dim",
-        "q6",
-        F.row_number().over(wp.orderBy("q6", "vec_id")).alias("r"),
-        F.count("*").over(wp).alias("n"),
+    cum = (
+        hist.select("dim", "b", "c", F.sum("c").over(wb).alias("cum"))
+        .withColumn("base", F.col("cum") - F.col("c"))
+        .withColumn("n", F.max("cum").over(Window.partitionBy("dim")))
     )
-    lo = F.max(F.expr("CASE WHEN r <= (1 * n + 99) div 100 THEN q6 END"))
-    hi = F.max(F.expr("CASE WHEN r <= (99 * n + 99) div 100 THEN q6 END"))
-    return ranked.groupBy("dim").agg(
-        F.max("n").cast("long").alias("n_vecs"),
-        lo.cast("long").alias("p01_u6"),
-        hi.cast("long").alias("p99_u6"),
-        (hi - lo).cast("long").alias("clip_range_u6"),
-        F.expr("CAST((1 * max(n) + 99) div 100 - 1 AS LONG)").alias(
-            "n_clip_below"
-        ),
-        F.expr("CAST(max(n) - (99 * max(n) + 99) div 100 AS LONG)").alias(
-            "n_clip_above"
-        ),
-    ).withColumn("dim", F.col("dim").cast("long"))
+    # Covering bucket per (dim, target rank k): base < k <= cum.
+    covers = []
+    for tag, kexpr in (("lo", "(1 * n + 99) div 100"),
+                       ("hi", "(99 * n + 99) div 100")):
+        covers.append(
+            cum.withColumn("k", F.expr(kexpr))
+            .filter((F.col("base") < F.col("k")) & (F.col("k") <= F.col("cum")))
+            .select("dim", "b", "base", "k", "n", F.lit(tag).alias("tag"))
+        )
+    cover = covers[0].unionByName(covers[1])
+
+    # Pass B — refine: only covering-bucket rows (~64n/#buckets of the
+    # exploded rows) shuffle, ranked per (dim, target). Ties in q6 rank
+    # arbitrarily — the value at position k - base is unique anyway.
+    wr = Window.partitionBy("dim", "tag").orderBy("q6")
+    picked = (
+        elems()
+        .join(F.broadcast(cover), ["dim", "b"])
+        .withColumn("r", F.row_number().over(wr))
+        .filter(F.col("r") == F.col("k") - F.col("base"))
+    )
+    return (
+        picked.groupBy("dim")
+        .agg(
+            F.max("n").cast("long").alias("n_vecs"),
+            F.max(F.when(F.col("tag") == "lo", F.col("q6")))
+            .cast("long")
+            .alias("p01_u6"),
+            F.max(F.when(F.col("tag") == "hi", F.col("q6")))
+            .cast("long")
+            .alias("p99_u6"),
+        )
+        .select(
+            F.col("dim").cast("long").alias("dim"),
+            "n_vecs",
+            "p01_u6",
+            "p99_u6",
+            (F.col("p99_u6") - F.col("p01_u6")).alias("clip_range_u6"),
+            F.expr("CAST((1 * n_vecs + 99) div 100 - 1 AS LONG)").alias(
+                "n_clip_below"
+            ),
+            F.expr(
+                "CAST(n_vecs - (99 * n_vecs + 99) div 100 AS LONG)"
+            ).alias("n_clip_above"),
+        )
+    )
 
 
 # --- retrieval quality metrics (MRR / DCG / NDCG @ 10) ----------------------

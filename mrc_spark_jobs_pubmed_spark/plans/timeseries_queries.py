@@ -678,6 +678,14 @@ def rel_heartbeat_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- event-time disorder / late-data metrics --------------------------------
 
 LATE_WATERMARK_US = 10 * 60 * 1_000_000  # mirror of streaming WATERMARK
+# Carry-chunk width for the sharded running-max (event_id units). 2^22
+# ids/chunk keeps the chunk-domain table broadcast-small at any shipped
+# sf (sf20's 20 replica id-blocks -> ~100 (type, chunk) rows) while the
+# bench SFs' dense 0..1e5 ids collapse to one chunk (plan == the narrow
+# window there). At 100 TB the constant derives from the id-allocation
+# scheme the same way lindley_sharded's day does; the carries stay exact
+# at ANY width because running max is associative.
+OOO_CHUNK_IDS = 1 << 22
 
 
 @register(
@@ -712,32 +720,63 @@ GROUP BY event_type
     "data-loss budget the streaming family's `withWatermark` accepts, "
     "and max_disorder_us says what watermark would make it zero. All "
     "integer; the running max is a cumulative frame (O(n), the "
-    "gap-fill lesson — never a FOLLOWING frame). One shuffle on "
-    "event_type shared by window and agg; output is |types| rows.",
+    "gap-fill lesson — never a FOLLOWING frame). Scale shape (r10 — "
+    "the narrow plan windowed over |types|=5 partitions, five "
+    "single-threaded multi-M-row sorts at sf20, the revenue_pareto "
+    "class): the running max is prefix-ASSOCIATIVE, so the window "
+    "shards by (type, event_id div 2^22) exactly like "
+    "rel_queue_wait_lindley_sharded — a local exclusive prefix max "
+    "inside each chunk, a tiny chunk-domain carry table (per-chunk "
+    "max, running-max'd exclusively per type), and a broadcast "
+    "stitch: prev_max = greatest(carry, local prefix max), NULL for "
+    "the very first rows exactly as the empty narrow frame. One "
+    "fact shuffle on (type, chunk) with |types| x |chunks| "
+    "parallelism; the carry branch moves only map-side-combined "
+    "chunk rows; output is |types| rows.",
 )
 def rel_out_of_order_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, "events", sf_dir)
-    w = (
-        Window.partitionBy("event_type")
-        .orderBy("event_id")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
     seq = ev.select(
         "event_type",
         F.unix_micros("ts").alias("t_us"),
         "event_id",
-    ).withColumn("prev_max_us", F.max("t_us").over(w))
-    late = F.col("t_us") < F.col("prev_max_us") - F.lit(LATE_WATERMARK_US)
-    ooo = F.col("t_us") < F.col("prev_max_us")
-    return seq.groupBy("event_type").agg(
+    ).withColumn("chunk", F.expr(f"event_id div {OOO_CHUNK_IDS}"))
+    # Local exclusive prefix max inside each (type, chunk) shard — the
+    # chunk key is a monotone function of the ORDER key, so chunk order
+    # extends event_id order and the carries compose exactly.
+    wl = (
+        Window.partitionBy("event_type", "chunk")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    local = seq.withColumn("lm_excl", F.max("t_us").over(wl))
+    # Chunk-domain carries: per-chunk max (map-side combined — this
+    # branch shuffles |types| x |chunks| rows, not facts), then the
+    # exclusive running max over preceding chunks per type.
+    wc = (
+        Window.partitionBy("event_type")
+        .orderBy("chunk")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    chunks = (
+        seq.groupBy("event_type", "chunk")
+        .agg(F.max("t_us").alias("c_max"))
+        .withColumn("p_carry", F.max("c_max").over(wc))
+        .select("event_type", "chunk", "p_carry")
+    )
+    # greatest() skips NULLs: first chunk (p_carry NULL) falls back to
+    # the local prefix; first row of a later chunk (lm_excl NULL) falls
+    # back to the carry; the very first row of a type has both NULL and
+    # stays NULL — identically the narrow plan's empty frame.
+    stitched = local.join(F.broadcast(chunks), ["event_type", "chunk"])
+    prev_max = F.greatest(F.col("p_carry"), F.col("lm_excl"))
+    late = F.col("t_us") < prev_max - F.lit(LATE_WATERMARK_US)
+    ooo = F.col("t_us") < prev_max
+    return stitched.groupBy("event_type").agg(
         F.count("*").alias("n_events"),
         F.sum(F.when(ooo, 1).otherwise(0)).cast("long").alias("n_out_of_order"),
         F.sum(F.when(late, 1).otherwise(0)).cast("long").alias("n_late"),
-        F.max(
-            F.when(ooo, F.col("prev_max_us") - F.col("t_us")).otherwise(
-                F.lit(0)
-            )
-        )
+        F.max(F.when(ooo, prev_max - F.col("t_us")).otherwise(F.lit(0)))
         .cast("long")
         .alias("max_disorder_us"),
     )

@@ -285,7 +285,79 @@ def v_rrf_score_only(spark, sf_dir):
     return _batch_scored(spark, sf_dir, 3, 3)
 
 
+def v_ooo_narrow_window(spark, sf_dir):
+    """The pre-r10 shape: one cumulative-max window over |types|=5
+    partitions — five single-threaded multi-M-row sorts at sf20."""
+    from pyspark.sql import Window
+
+    from mrc_spark_jobs_pubmed_spark.plans.timeseries_queries import (
+        LATE_WATERMARK_US,
+    )
+
+    ev = load_table(spark, "events", sf_dir)
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    seq = ev.select(
+        "event_type",
+        F.unix_micros("ts").alias("t_us"),
+        "event_id",
+    ).withColumn("prev_max_us", F.max("t_us").over(w))
+    late = F.col("t_us") < F.col("prev_max_us") - F.lit(LATE_WATERMARK_US)
+    ooo = F.col("t_us") < F.col("prev_max_us")
+    return seq.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.sum(F.when(ooo, 1).otherwise(0)).cast("long").alias("n_out_of_order"),
+        F.sum(F.when(late, 1).otherwise(0)).cast("long").alias("n_late"),
+        F.max(
+            F.when(ooo, F.col("prev_max_us") - F.col("t_us")).otherwise(F.lit(0))
+        )
+        .cast("long")
+        .alias("max_disorder_us"),
+    )
+
+
+def v_clip_full_sort_window(spark, sf_dir):
+    """The pre-r10 shape: ALL 64n exploded rows shuffled into a
+    64-partition window and fully sorted to read two ranks."""
+    from pyspark.sql import Window
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    elems = emb.select(
+        "vec_id", F.posexplode("embedding").alias("pos0", "e")
+    ).select(
+        (F.col("pos0") + 1).alias("dim"),
+        "vec_id",
+        F.round(F.col("e").cast("double") * 1e6).cast("long").alias("q6"),
+    )
+    wp = Window.partitionBy("dim")
+    ranked = elems.select(
+        "dim",
+        "q6",
+        F.row_number().over(wp.orderBy("q6", "vec_id")).alias("r"),
+        F.count("*").over(wp).alias("n"),
+    )
+    lo = F.max(F.expr("CASE WHEN r <= (1 * n + 99) div 100 THEN q6 END"))
+    hi = F.max(F.expr("CASE WHEN r <= (99 * n + 99) div 100 THEN q6 END"))
+    return ranked.groupBy("dim").agg(
+        F.max("n").cast("long").alias("n_vecs"),
+        lo.cast("long").alias("p01_u6"),
+        hi.cast("long").alias("p99_u6"),
+        (hi - lo).cast("long").alias("clip_range_u6"),
+        F.expr("CAST((1 * max(n) + 99) div 100 - 1 AS LONG)").alias(
+            "n_clip_below"
+        ),
+        F.expr("CAST(max(n) - (99 * max(n) + 99) div 100 AS LONG)").alias(
+            "n_clip_above"
+        ),
+    ).withColumn("dim", F.col("dim").cast("long"))
+
+
 VARIANTS = {
+    "rel_out_of_order_metrics": {"narrow_window": v_ooo_narrow_window},
+    "emb_clip_calibration": {"full_sort_window": v_clip_full_sort_window},
     # preproject SHIPPED in the part-1 commit (current == preproject);
     # the remaining candidate is the layout-decoupling fan-out
     "rel_json_props": {"fanout": v_json_props_fanout},
