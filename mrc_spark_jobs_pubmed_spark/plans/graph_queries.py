@@ -643,15 +643,23 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("src", "dst")
             .localCheckpoint(eager=True)
         )
-    return g.agg(
-        F.countDistinct("src").alias("n_nodes"),
-        F.expr("count(*) div 2").alias("n_edges"),
-        F.countDistinct(
-            F.when(F.col("src") < _SUPP_OFFSET, F.col("src"))
-        ).alias("n_customers"),
-        F.countDistinct(
-            F.when(F.col("src") >= _SUPP_OFFSET, F.col("src"))
-        ).alias("n_suppliers"),
+    # One hash-agg to the node domain, then plain aggregates — NOT a
+    # multi-group count(DISTINCT CASE ...): RewriteDistinctAggregates
+    # assigns its Expand gid branches in exprId-state-dependent order,
+    # which rendered this plan two ways across sessions and flapped the
+    # plan-fp gate (r10); the dedup-first form is deterministic AND
+    # drops the 4x Expand row multiplication. sum(deg) counts each
+    # surviving edge row once == count(*) over g.
+    nodes = g.groupBy("src").agg(F.count("*").alias("deg"))
+    return nodes.agg(
+        F.count("*").alias("n_nodes"),
+        F.expr("sum(deg) div 2").alias("n_edges"),
+        F.count(F.when(F.col("src") < _SUPP_OFFSET, True)).alias(
+            "n_customers"
+        ),
+        F.count(F.when(F.col("src") >= _SUPP_OFFSET, True)).alias(
+            "n_suppliers"
+        ),
     )
 
 

@@ -61,6 +61,15 @@ def get_session(
         # to micros. Harmless when the fixture is micros (the current one):
         # the flag only changes how ns columns surface.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # Parquet writes default to zstd (guide §6): r10 A/B on events
+        # sf1 — 9.1 MB snappy vs 4.5 MB zstd at equal-or-faster write
+        # time (AB_r10_parquet_codec.json). Read paths are codec-
+        # agnostic, so bench/oracle results are unchanged; at 100 TB
+        # the halved output bytes are NIC/storage headroom. The SHUFFLE
+        # codec stays lz4: the same round's three-session bracket A/B
+        # (AB_r10_codec_sf20.json) measured zstd inside lz4's drift
+        # band on local[32] — decide that one on a real network.
+        .config("spark.sql.parquet.compression.codec", "zstd")
         # Runtime Bloom-filter join pre-filtering (SPARK-32268, guide
         # §3.2): semantics-preserving — the filter only drops rows that
         # provably cannot match, orders of magnitude fewer fact bytes
