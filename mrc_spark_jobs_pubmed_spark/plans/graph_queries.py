@@ -649,11 +649,13 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     # which rendered this plan two ways across sessions and flapped the
     # plan-fp gate (r10); the dedup-first form is deterministic AND
     # drops the 4x Expand row multiplication. sum(deg) counts each
-    # surviving edge row once == count(*) over g.
+    # surviving edge row once == count(*) over g — coalesced to 0 when
+    # the peel empties the core (sum over zero rows is NULL, count
+    # was 0; the sf0.001 fixture exercises exactly that).
     nodes = g.groupBy("src").agg(F.count("*").alias("deg"))
     return nodes.agg(
         F.count("*").alias("n_nodes"),
-        F.expr("sum(deg) div 2").alias("n_edges"),
+        F.expr("coalesce(sum(deg), 0) div 2").alias("n_edges"),
         F.count(F.when(F.col("src") < _SUPP_OFFSET, True)).alias(
             "n_customers"
         ),
