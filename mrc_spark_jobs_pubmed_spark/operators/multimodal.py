@@ -104,22 +104,56 @@ def decode_features(df: DataFrame, strict: bool = False) -> DataFrame:
 
     One Arrow batch of blobs per Python crossing; output schema fixed by
     DECODE_SCHEMA regardless of kernel.
+
+    r11 (guide §4.1/§4.2): the input is projected to the two columns the
+    kernel reads BEFORE the opaque crossing (kind/meta no longer ship to
+    Python — Spark cannot prune into a mapInPandas), and the per-batch
+    body is vectorized: the md5 calls remain per row (that is the priced
+    decode stand-in), but dims/features derive from ONE (n, 16) uint8
+    view of the concatenated digests instead of per-row dict/list
+    building. Values are bit-identical: round(b/255, 6) on float64 is
+    the same double the old per-element Python round produced, and the
+    float32 narrowing happens at the same place (Arrow column cast).
     """
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        if strict:  # surface the stub contract exactly as _decode_bytes
+            for pdf in batches:
+                for c in pdf["content"]:
+                    _decode_bytes(bytes(c), strict=True)
+            return
         for pdf in batches:
-            decoded = [_decode_bytes(bytes(c), strict) for c in pdf["content"]]
+            blobs = [bytes(c) for c in pdf["content"]]
+            n = len(blobs)
+            if n == 0:
+                yield pd.DataFrame(
+                    {
+                        "media_id": pdf["media_id"],
+                        "width": [],
+                        "height": [],
+                        "n_bytes": [],
+                        "features": [],
+                    }
+                )
+                continue
+            digests = b"".join(hashlib.md5(b).digest() for b in blobs)
+            h = np.frombuffer(digests, dtype=np.uint8).reshape(n, 16)
+            feats = np.round(h[:, :FEATURE_DIM].astype(np.float64) / 255.0, 6)
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
-                    "width": [d["width"] for d in decoded],
-                    "height": [d["height"] for d in decoded],
-                    "n_bytes": [len(bytes(c)) for c in pdf["content"]],
-                    "features": [d["features"] for d in decoded],
+                    "width": (16 + h[:, 0].astype(np.int32)),
+                    "height": (16 + h[:, 1].astype(np.int32)),
+                    "n_bytes": np.fromiter(
+                        (len(b) for b in blobs), dtype=np.int64, count=n
+                    ),
+                    "features": list(feats),
                 }
             )
 
-    return df.mapInPandas(run, DECODE_SCHEMA)
+    return df.select("media_id", "content").mapInPandas(run, DECODE_SCHEMA)
 
 
 def resize_media(df: DataFrame, width: int, height: int) -> DataFrame:
@@ -131,19 +165,63 @@ def resize_media(df: DataFrame, width: int, height: int) -> DataFrame:
     """
     target_len = width * height // 64 + 16
 
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            out = pdf.copy()
-            out["content"] = [
-                (bytes(c) * (target_len // max(len(bytes(c)), 1) + 1))[:target_len]
-                for c in pdf["content"]
-            ]
-            meta = pd.DataFrame(list(pdf["meta"]))
-            meta["width"], meta["height"] = width, height
-            out["meta"] = meta.to_dict("records")
-            yield out
+    # r11 (guide §4.2): the kernel is pure byte re-slicing, so it runs
+    # as mapInArrow on the columnar buffers — tile via binary_repeat
+    # (a new offsets walk over mostly the same data) and cut via
+    # binary_slice, never materializing per-row Python bytes objects;
+    # the meta struct update swaps two constant child arrays. The
+    # Python crossing (one Arrow batch per task) is unchanged — this
+    # changes only what happens inside the batch.
+    def run(batches):
+        import pyarrow as pa
+        import pyarrow.compute as pc
 
-    return df.mapInPandas(run, MEDIA_SCHEMA)
+        for batch in batches:
+            names = batch.schema.names
+            cols = {nm: batch.column(i) for i, nm in enumerate(names)}
+            content = cols["content"]
+            lens = pc.max_element_wise(
+                pc.cast(pc.binary_length(content), pa.int64()),
+                pa.scalar(1, pa.int64()),
+            )
+            reps = pc.add(
+                pc.divide(pa.scalar(target_len, pa.int64()), lens),
+                pa.scalar(1, pa.int64()),
+            )
+            resized = pc.binary_slice(
+                pc.binary_repeat(content, pc.cast(reps, pa.int32())),
+                0,
+                target_len,
+            )
+            meta = cols["meta"]
+            n = len(batch)
+            const_w = pa.array([width] * n, pa.int32())
+            const_h = pa.array([height] * n, pa.int32())
+            new_meta = pa.StructArray.from_arrays(
+                [
+                    const_w,
+                    const_h,
+                    meta.field("sample_rate"),
+                    meta.field("duration_ms"),
+                    meta.field("format"),
+                ],
+                names=[
+                    "width",
+                    "height",
+                    "sample_rate",
+                    "duration_ms",
+                    "format",
+                ],
+                mask=meta.is_null() if meta.null_count else None,
+            )
+            out = {nm: cols[nm] for nm in names}
+            out["content"] = resized
+            out["meta"] = new_meta
+            yield pa.RecordBatch.from_arrays(
+                [out[nm] for nm in names], names=names
+            )
+
+    return df.mapInArrow(run, MEDIA_SCHEMA)
 
 
 def sample_frames(df: DataFrame, every_ms: int = 250) -> DataFrame:

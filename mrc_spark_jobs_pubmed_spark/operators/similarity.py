@@ -17,6 +17,8 @@ oracle accumulate identically (same element order, same width).
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -182,6 +184,12 @@ def brp_lsh_buckets(df: DataFrame, bucket_length: float = 2.0, seed: int = 42) -
 
 
 TILE_TARGET_ROWS = 2500  # rows per GEMM block: tile <= 2500^2 * 8B = 50 MB
+
+# Below this corpus size the Python-crossing fixed cost of the GEMM
+# scoring path exceeds the entire JVM expression arithmetic it replaces
+# (measured: expression wins at sf1's 20k rows, GEMM wins 2.2-2.7x at
+# sf20's 400k; the linear models cross near ~32k — 64k keeps a margin).
+GEMM_MIN_ROWS = 65536
 
 
 def topk_pairs_blocked(
@@ -551,6 +559,136 @@ def knn_join_bucketed(
 
     return tagged.groupBy("bucket").applyInPandas(
         bucket_knn, "vec_id long, neighbor_id long, cosine double, rank long"
+    )
+
+
+def topk_per_query_gemm(
+    emb: DataFrame,
+    q_n: int,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact per-query top-k over a broadcast query block (ids < q_n)
+    as chunked-GEMM PRUNE + exact-fold RESCORE — the shared scoring
+    stage of sim_batch_topk / sim_rrf_fusion (r10 VERDICT item 4).
+
+    The definitional form evaluates the unrolled 192-term cosine chain
+    per (row, query) in JVM codegen and then sorts ALL n·q scored rows
+    in a q-partition window — both the arithmetic and the sort grow
+    with the corpus. Here the corpus is cut into hash chunks sized like
+    mine_triplets_gemm (per-task cosine matrix ~64 MB, floor of 64-way
+    parallelism at scale), each chunk scores as ONE float64 BLAS
+    multiply, and only rows within MARGIN of the chunk's k-th best raw
+    score survive per query — a prefix-closed SUPERSET of the true
+    top-k, because a pruned row has >= k chunk-mates whose raw score
+    exceeds it by > 2e-6 (a full 1e-6 rounding bin + both-sided
+    rounding + GEMM-vs-fold noise ~1e-13), i.e. rows that strictly
+    precede it in the (round(cos, 6) DESC, id) output order no matter
+    how ties break. The shortlist (O(chunks · q · k) rows) re-scores
+    with the UNROLLED codegen cosine — bit-identical to the
+    definitional fold since the emitted vectors are the exact float
+    values widened to double — and the final q-partition row_number
+    window ranks a few hundred rows instead of the corpus. Superset +
+    prefix-closure means the surviving rows' ranks equal their
+    definitional global ranks exactly.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql import Window
+
+    corpus_all = emb.where(F.col(id_col) >= q_n)
+    qblock = emb.where(F.col(id_col) < q_n).select(
+        F.col(id_col).alias("qid"), F.col(vec_col).alias("_qe")
+    )
+    # Size estimate from file metadata — NO job (a count() here measured
+    # 0.12 s, the whole dispatch margin at small sf). Embedding rows are
+    # ~256-310 parquet bytes (64 float32 + ids; float arrays barely
+    # compress), so bytes/256 over-estimates slightly — harmless: the
+    # estimate only picks the branch and sizes chunks, both branches are
+    # exact, and P only moves task granularity.
+    files = emb.inputFiles()
+    nc = (
+        sum(os.path.getsize(f.removeprefix("file:")) for f in files) // 256
+        if files
+        else 0
+    )
+    if nc < GEMM_MIN_ROWS:
+        # Definitional expression form for small corpora: the Python
+        # crossing's fixed cost exceeds the whole n·q codegen arithmetic
+        # (sf0.1 A/B: 0.63 → 0.88 s GEMM-always; sf1: 0.83 → 1.38) — a
+        # per-task-overhead constant, not a cluster constant. Both
+        # branches are exact, so results are identical either way.
+        scored_all = corpus_all.join(F.broadcast(qblock)).select(
+            "qid",
+            F.col(id_col).alias("vec_id"),
+            F.round(cosine_named(vec_col, "_qe"), 6).alias("cosine"),
+        )
+        w0 = Window.partitionBy("qid").orderBy(
+            F.desc("cosine"), F.asc("vec_id")
+        )
+        return scored_all.withColumn("rnk", F.row_number().over(w0)).where(
+            F.col("rnk") <= k
+        )
+    # chunk sizing: identical policy to mine_triplets_gemm (memory
+    # floor ~64 MB per task matrix; parallelism floor 64 at scale,
+    # capped so chunks hold >= 256 rows on small corpora)
+    TARGET_BYTES = 64 * 1024 * 1024
+    mem_chunks = -(-(nc * max(q_n, 1) * 8) // TARGET_BYTES)
+    row_cap = max(1, nc // 256)
+    P = int(max(mem_chunks, min(64, row_cap)))
+    corpus = corpus_all.select(
+        (F.col(id_col) % P).alias("pb"),
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).alias("_v"),  # float32 over the wire; widened in-kernel
+    )
+    reps = qblock.select(
+        "qid",
+        F.col("_qe").alias("_qv"),
+        F.explode(F.sequence(F.lit(0), F.lit(P - 1))).alias("_pb"),
+    ).select("qid", "_qv", F.col("_pb").cast("long").alias("pb"))
+
+    empty = pd.DataFrame({"qid": [], "vec_id": [], "v": []}).astype(
+        {"qid": "int64", "vec_id": "int64", "v": "object"}
+    )
+    MARGIN = 3e-6
+
+    def chunk_prune(key, cdf: pd.DataFrame, qdf: pd.DataFrame) -> pd.DataFrame:
+        if not len(cdf) or not len(qdf):
+            return empty
+        ids = cdf["_id"].to_numpy()
+        C = np.stack(cdf["_v"].to_numpy()).astype(np.float64)
+        Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
+        qids = qdf["qid"].to_numpy()
+        Q = np.stack(qdf["_qv"].to_numpy()).astype(np.float64)
+        Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+        cos = Cn @ Qn.T  # n x m
+        kk = min(k, len(ids))
+        # per query: keep rows within MARGIN of the chunk's k-th best
+        thr = -np.partition(-cos, kk - 1, axis=0)[kk - 1, :] - MARGIN
+        ri, ci = np.nonzero(cos >= thr[None, :])
+        return pd.DataFrame(
+            {
+                "qid": qids[ci],
+                "vec_id": ids[ri],
+                "v": list(C[ri]),
+            }
+        )
+
+    shortlist = (
+        corpus.groupBy("pb")
+        .cogroup(reps.groupBy("pb"))
+        .applyInPandas(chunk_prune, "qid long, vec_id long, v array<double>")
+    )
+    scored = shortlist.join(F.broadcast(qblock), "qid").select(
+        "qid",
+        "vec_id",
+        F.round(cosine_named("v", "_qe"), 6).alias("cosine"),
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return scored.withColumn("rnk", F.row_number().over(w)).where(
+        F.col("rnk") <= k
     )
 
 

@@ -2189,27 +2189,14 @@ FROM (
     "Deterministic: 6dp-rounded scores, (cosine, vec_id) ties.",
 )
 def sim_batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
-
+    # r11 (guide §4.2, VERDICT item 4): chunked-GEMM prune + exact-fold
+    # rescore replaces the per-(row, query) codegen cosine chain and the
+    # corpus-sized window — see S.topk_per_query_gemm for the exactness
+    # argument (prefix-closed superset, then bit-identical rescore).
     emb = load_table(spark, "embeddings", sf_dir)
-    q = F.broadcast(
-        emb.where(F.col("vec_id") < BATCH_Q_N).select(
-            F.col("vec_id").alias("qid"), F.col("embedding").alias("_qe")
-        )
-    )
-    scored = (
-        emb.where(F.col("vec_id") >= BATCH_Q_N)
-        .join(q)
-        .select(
-            "qid",
-            "vec_id",
-            F.round(S.cosine_named("embedding", "_qe"), 6).alias("cosine"),
-        )
-    )
-    w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("vec_id"))
-    return (
-        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
-        .where(F.col("rnk") <= BATCH_TOP_K)
+    ranked = S.topk_per_query_gemm(emb, BATCH_Q_N, BATCH_TOP_K)
+    return ranked.select(
+        "qid", "vec_id", "cosine", F.col("rnk").cast("long").alias("rnk")
     )
 
 
@@ -2264,28 +2251,13 @@ LIMIT {RRF_TOP}
     "never leaves rank space.",
 )
 def sim_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
-
+    # r11 (guide §4.2, VERDICT item 4): same GEMM-prune + exact-rescore
+    # stage as sim_batch_topk, at RRF depth — ranks are the definitional
+    # global ranks (prefix-closed superset argument in the operator).
     emb = load_table(spark, "embeddings", sf_dir)
-    q = F.broadcast(
-        emb.where(F.col("vec_id") < RRF_Q_N).select(
-            F.col("vec_id").alias("qid"), F.col("embedding").alias("_qe")
-        )
-    )
-    scored = (
-        emb.where(F.col("vec_id") >= RRF_Q_N)
-        .join(q)
-        .select(
-            "qid",
-            "vec_id",
-            F.round(S.cosine_named("embedding", "_qe"), 6).alias("cosine"),
-        )
-    )
-    w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    ranked = S.topk_per_query_gemm(emb, RRF_Q_N, RRF_DEPTH)
     return (
-        scored.withColumn("rnk", F.row_number().over(w))
-        .where(F.col("rnk") <= RRF_DEPTH)
-        .groupBy("vec_id")
+        ranked.groupBy("vec_id")
         .agg(
             F.count("*").cast("long").alias("n_lists"),
             F.sum(F.expr(f"1000000000 div ({RRF_K} + rnk)"))
@@ -2407,6 +2379,13 @@ def emb_clip_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Pass B — refine: only covering-bucket rows (~64n/#buckets of the
     # exploded rows) shuffle, ranked per (dim, target). Ties in q6 rank
     # arbitrarily — the value at position k - base is unique anyway.
+    # (r11 probe, rejected: reducing pass B to a per-value histogram +
+    # cumulative pick — exact, and it bounds the ADVICE r10 degenerate
+    # case where one covering bucket holds a dim's whole mass — measured
+    # 6.1 → 10.3 s at sf20: q6 values are near-distinct, so the extra
+    # partial agg + exchange reduced nothing and just added a hash pass.
+    # The degenerate case remains a parallelism bound, not a correctness
+    # one, and the shipped fixtures never trigger it.)
     wr = Window.partitionBy("dim", "tag").orderBy("q6")
     picked = (
         elems()

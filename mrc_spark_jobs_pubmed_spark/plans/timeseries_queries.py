@@ -686,6 +686,10 @@ LATE_WATERMARK_US = 10 * 60 * 1_000_000  # mirror of streaming WATERMARK
 # scheme the same way lindley_sharded's day does; the carries stay exact
 # at ANY width because running max is associative.
 OOO_CHUNK_IDS = 1 << 22
+# hard cap on the broadcast carry-table cardinality per type: the chunk
+# width grows with the observed id span so |chunks| never exceeds this,
+# whatever the id-allocation scheme (r10 ADVICE item 1)
+OOO_MAX_CHUNKS = 4096
 
 
 @register(
@@ -736,11 +740,31 @@ GROUP BY event_type
 )
 def rel_out_of_order_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, "events", sf_dir)
+    # r11 (ADVICE r10 item 1): the carry table is broadcast, so its
+    # cardinality must be bounded by CONSTRUCTION, not by assumption —
+    # with a sparse id-allocation scheme (e.g. timestamp-prefixed ids)
+    # a fixed 2^22 width makes |chunks| approach |events| and the
+    # broadcast OOMs. The width now derives from the observed id span
+    # (one bounded 1-row min/max job, the mine_triplets adaptive-sizing
+    # precedent): never below 2^22 — every shipped fixture keeps the
+    # identical chunk keys, plan, and values — and never more than
+    # OOO_MAX_CHUNKS chunks per type at any id density. The stitching
+    # stays exact at ANY width (running max is associative; the chunk
+    # key is monotone in event_id for any fixed width).
+    bounds = ev.agg(
+        F.min("event_id").alias("lo"), F.max("event_id").alias("hi")
+    ).first()
+    span = (
+        int(bounds["hi"]) - int(bounds["lo"]) + 1
+        if bounds["hi"] is not None
+        else 1
+    )
+    width = max(OOO_CHUNK_IDS, -(-span // OOO_MAX_CHUNKS))
     seq = ev.select(
         "event_type",
         F.unix_micros("ts").alias("t_us"),
         "event_id",
-    ).withColumn("chunk", F.expr(f"event_id div {OOO_CHUNK_IDS}"))
+    ).withColumn("chunk", F.expr(f"event_id div {width}"))
     # Local exclusive prefix max inside each (type, chunk) shard — the
     # chunk key is a monotone function of the ORDER key, so chunk order
     # extends event_id order and the carries compose exactly.

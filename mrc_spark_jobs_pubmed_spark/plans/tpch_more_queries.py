@@ -983,49 +983,60 @@ LIMIT 20
     "no l_commitdate/l_receiptdate, so 'late' := a returned line, "
     "l_returnflag = 'R'). The classic EXISTS + NOT-EXISTS pair with "
     "inequality correlation: the sole-blame supplier on multi-supplier "
-    "finished orders. Both subqueries compile to semi/anti joins on "
-    "the order key over DISTINCT (order, supplier) projections — the "
-    "fact table reduces to its key pairs before any shuffle, and the "
-    "inequality rides as a join residual, never a cartesian. One "
-    "shuffle family on l_orderkey shared by all three legs.",
+    "finished orders. r11 (guide §2.3/§2.4): both correlated predicates "
+    "collapse into ONE per-order aggregate over ONE lineitem pass — for "
+    "a late pair l1=(o, s): EXISTS(other supplier, any flag) ⟺ the "
+    "order has ≥2 distinct suppliers, NOT EXISTS(other LATE supplier) "
+    "⟺ the order has exactly 1 distinct late supplier, and that sole "
+    "late supplier is then max(late suppkey) within the order. The old "
+    "plan scanned lineitem twice (late/alllines DISTINCTs) and shuffled "
+    "the pair sets three more times through the semi/anti legs; now "
+    "lineitem reduces map-side to (orderkey, suppkey, late) pairs, one "
+    "small per-order re-agg derives both predicates, and the semi/anti "
+    "joins are gone. Exactness leans on l_suppkey being non-NULL "
+    "(fixture-guaranteed; NULL would make the oracle's <> UNKNOWN "
+    "where count-distinct still counts the pair).",
 )
 def rel_q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, "lineitem", sf_dir)
     orders = load_table(spark, "orders", sf_dir)
     supp = load_table(spark, "supplier", sf_dir)
-    late = (
-        li.filter(F.col("l_returnflag") == "R")
-        .select("l_orderkey", "l_suppkey")
-        .distinct()
-    )
-    alllines = li.select("l_orderkey", "l_suppkey").distinct()
-    l1 = late.alias("l1")
-    l2 = alllines.select(
-        F.col("l_orderkey").alias("_ok2"), F.col("l_suppkey").alias("_sk2")
-    )
-    l3 = late.select(
-        F.col("l_orderkey").alias("_ok3"), F.col("l_suppkey").alias("_sk3")
-    )
-    base = (
-        l1.join(
-            orders.filter(F.col("o_orderstatus") == "F").select("o_orderkey"),
-            F.col("l1.l_orderkey") == F.col("o_orderkey"),
+    # one lineitem pass: distinct (order, supplier) pairs with a late
+    # flag. (order, supplier) is near-unique in TPC-H-shaped lineitem
+    # (119.76M pairs / 120M rows at sf20), so a straight two-level agg
+    # would shuffle the corpus TWICE (pair dedup + per-order re-agg)
+    # with no map-side reduction; repartitioning on l_orderkey first
+    # pays ONE raw-row shuffle and leaves BOTH aggregation levels
+    # exchange-free (hash(ok) clusters (ok, sk) too) — guide §2.4
+    # "two operations keyed the same way share one exchange".
+    pairs = (
+        li.select(
+            "l_orderkey",
+            "l_suppkey",
+            F.when(F.col("l_returnflag") == "R", 1).otherwise(0).alias("late"),
         )
-        .join(
-            l2,
-            (F.col("l1.l_orderkey") == F.col("_ok2"))
-            & (F.col("l1.l_suppkey") != F.col("_sk2")),
-            "left_semi",
-        )
-        .join(
-            l3,
-            (F.col("l1.l_orderkey") == F.col("_ok3"))
-            & (F.col("l1.l_suppkey") != F.col("_sk3")),
-            "left_anti",
-        )
+        .repartition("l_orderkey")
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(F.max("late").alias("late"))
     )
+    per_order = pairs.groupBy("l_orderkey").agg(
+        F.count("*").alias("n_supp"),
+        F.sum("late").alias("n_late"),
+        F.max(F.when(F.col("late") == 1, F.col("l_suppkey"))).alias(
+            "late_supp"
+        ),
+    )
+    # sole-blame orders: exactly one late supplier, at least one other
+    # supplier — each contributes exactly its (order, late_supp) row
+    blamed = per_order.where(
+        (F.col("n_late") == 1) & (F.col("n_supp") >= 2)
+    ).select("l_orderkey", "late_supp")
     return (
-        base.join(supp, F.col("l1.l_suppkey") == supp.s_suppkey)
+        blamed.join(
+            orders.filter(F.col("o_orderstatus") == "F").select("o_orderkey"),
+            blamed.l_orderkey == F.col("o_orderkey"),
+        )
+        .join(supp, F.col("late_supp") == supp.s_suppkey)
         .groupBy("s_name")
         .agg(F.count("*").alias("numwait"))
         .orderBy(F.desc("numwait"), F.asc("s_name"))

@@ -132,7 +132,17 @@ def replicate_documents(src: str, dst: str, factor: int):
             ("n_chars", pa.int64()),
         ]
     )
-    pq.write_table(pa.table(out, schema=schema), f"{dst}/documents.parquet")
+    # r11 (guide §6): bounded row groups — pyarrow's default writes ONE
+    # row group (1M rows / ~312 MB at sf20), and a parquet scan can only
+    # split at row-group boundaries, so every documents-derived query
+    # paid a single-threaded scan+decompress before fan_out() could
+    # spread the CPU work (measured: a ~3-4 s straggler task under every
+    # sf20 mm_/text_ stage). 100k-row groups split ~30 MB each.
+    pq.write_table(
+        pa.table(out, schema=schema),
+        f"{dst}/documents.parquet",
+        row_group_size=100_000,
+    )
     print(f"  documents: {len(out['doc_id'])} rows")
 
 
@@ -175,7 +185,8 @@ def replicate_embeddings(src: str, dst: str, factor: int):
             ]
         ),
     )
-    pq.write_table(out, f"{dst}/embeddings.parquet")
+    # bounded row groups for scan parallelism (see replicate_documents)
+    pq.write_table(out, f"{dst}/embeddings.parquet", row_group_size=50_000)
     print(f"  embeddings: {out.num_rows} rows")
 
 
