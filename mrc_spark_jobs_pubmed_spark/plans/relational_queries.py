@@ -969,8 +969,18 @@ LIMIT 20
     "feeds both the filter and the output column, instead of TPC-H's "
     "re-aggregation after an IN subquery. One shuffle on l_orderkey; "
     "the surviving order keys are a selective but corpus-growing set, "
-    "so its join strategy is AQE's call; only the 20-row top result "
-    "carries a broadcast hint.",
+    "so it is never force-broadcast; only the 20-row top result "
+    "carries a broadcast hint. r11: the orders join carries a "
+    "SHUFFLE_HASH hint instead of SMJ — the build side (the qty>250 "
+    "tail) is a scale-invariant ~1.5% of the probe side's bytes per "
+    "partition, so the hash build is partition-bounded at any corpus "
+    "size, and skipping the orders-side sort wins ~8% at sf20 "
+    "(AB_r11_q18_sf20.json: 7.66→7.04 s; a hand-rolled bitmap Bloom "
+    "pre-filter measured the same 7.0 s with far more plan, and the "
+    "automatic runtime Bloom cannot fire — the creation side is an "
+    "aggregate, not a selective scan filter; `might_contain` is not "
+    "SQL-registered in Spark 4.1, probed UNRESOLVED_ROUTINE). The "
+    "residual is the 120M-row qty aggregate that defines the query.",
 )
 def rel_q18_big_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, "lineitem", sf_dir)
@@ -994,7 +1004,7 @@ def rel_q18_big_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     # AQE broadcasts it adaptively while it fits and shuffle-joins
     # beyond the 8 GiB cap.
     top = (
-        orders.join(big, orders.o_orderkey == big.l_orderkey)
+        orders.join(big.hint("shuffle_hash"), orders.o_orderkey == big.l_orderkey)
         .select(
             "o_custkey", "o_orderkey", "o_orderdate", "o_totalprice", "total_qty"
         )

@@ -995,7 +995,18 @@ LIMIT 20
     "small per-order re-agg derives both predicates, and the semi/anti "
     "joins are gone. Exactness leans on l_suppkey being non-NULL "
     "(fixture-guaranteed; NULL would make the oracle's <> UNKNOWN "
-    "where count-distinct still counts the pair).",
+    "where count-distinct still counts the pair). r11 part 2: the "
+    "o_orderstatus='F' restriction moves BELOW the aggregate — the "
+    "EXISTS predicates are intra-order, so left-semi-joining lineitem "
+    "against the F-order keys first is exact, halves the bytes "
+    "entering the heavy shuffle, and replaces the post-aggregate "
+    "orders join outright. The key set is a fixed ~half of orders "
+    "(corpus-growing, never force-broadcast); SHUFFLE_HASH builds it "
+    "per-partition (partition-bounded at any scale) and both "
+    "aggregate levels stay exchange-free on the semi join's "
+    "hash(l_orderkey) output partitioning. sf20 same-session A/B "
+    "(AB_r11_q21_sf20.json): 13.0 → 6.7 s, values identical; the "
+    "pairs-aggregate stage alone was 11.1 s of the 13.0.",
 )
 def rel_q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, "lineitem", sf_dir)
@@ -1005,17 +1016,29 @@ def rel_q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     # flag. (order, supplier) is near-unique in TPC-H-shaped lineitem
     # (119.76M pairs / 120M rows at sf20), so a straight two-level agg
     # would shuffle the corpus TWICE (pair dedup + per-order re-agg)
-    # with no map-side reduction; repartitioning on l_orderkey first
-    # pays ONE raw-row shuffle and leaves BOTH aggregation levels
-    # exchange-free (hash(ok) clusters (ok, sk) too) — guide §2.4
-    # "two operations keyed the same way share one exchange".
+    # with no map-side reduction. The F-status restriction is applied
+    # FIRST, as a left-semi join of lineitem against the F-order keys:
+    # the sole-blame predicates below are intra-order, so dropping
+    # non-F orders' lines before the aggregate is exact (~halves the
+    # shuffled bytes) and makes the post-aggregate orders join
+    # redundant. SHUFFLE_HASH on the key set: a fixed ~half of orders
+    # per partition (partition-bounded at any corpus size — never a
+    # forced broadcast), and no 120M-row SMJ sort. The semi join's
+    # hash(l_orderkey) output partitioning leaves BOTH aggregation
+    # levels exchange-free (hash(ok) clusters (ok, sk) too) — guide
+    # §2.4 "two operations keyed the same way share one exchange".
+    ok_f = (
+        orders.filter(F.col("o_orderstatus") == "F")
+        .select("o_orderkey")
+        .hint("shuffle_hash")
+    )
     pairs = (
         li.select(
             "l_orderkey",
             "l_suppkey",
             F.when(F.col("l_returnflag") == "R", 1).otherwise(0).alias("late"),
         )
-        .repartition("l_orderkey")
+        .join(ok_f, F.col("l_orderkey") == F.col("o_orderkey"), "left_semi")
         .groupBy("l_orderkey", "l_suppkey")
         .agg(F.max("late").alias("late"))
     )
@@ -1030,13 +1053,9 @@ def rel_q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     # supplier — each contributes exactly its (order, late_supp) row
     blamed = per_order.where(
         (F.col("n_late") == 1) & (F.col("n_supp") >= 2)
-    ).select("l_orderkey", "late_supp")
+    ).select("late_supp")
     return (
-        blamed.join(
-            orders.filter(F.col("o_orderstatus") == "F").select("o_orderkey"),
-            blamed.l_orderkey == F.col("o_orderkey"),
-        )
-        .join(supp, F.col("late_supp") == supp.s_suppkey)
+        blamed.join(supp, F.col("late_supp") == supp.s_suppkey)
         .groupBy("s_name")
         .agg(F.count("*").alias("numwait"))
         .orderBy(F.desc("numwait"), F.asc("s_name"))
