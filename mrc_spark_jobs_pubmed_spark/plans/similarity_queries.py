@@ -2424,6 +2424,10 @@ def emb_clip_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 RM_Q_N = 10  # held-out query vectors
 RM_K = 10  # evaluation depth
+# GEMM dispatch floor for sim_retrieval_metrics (higher than the
+# helper's 65536: only RM_Q_N=10 queries amortize the Python crossing;
+# same-session crossover bracket in AB_r11_rm_sf1.json / _sf20.json)
+RM_GEMM_MIN_ROWS = 1 << 20
 # DCG rank discounts as 1e9-unit integer literals: W[r] = round(1e9 /
 # log2(r+1)). Freezing the libm call into the plan text keeps both
 # engines on the identical constant — no runtime transcendental.
@@ -2498,32 +2502,72 @@ FROM per_q p JOIN lab l ON l.label = p.qlabel
     "broadcast.",
 )
 def sim_retrieval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os as _os
+
     from pyspark.sql import Window
 
     emb = load_table(spark, "embeddings", sf_dir)
-    q = F.broadcast(
-        emb.where(F.col("vec_id") < RM_Q_N).select(
-            F.col("vec_id").alias("qid"),
-            F.col("embedding").alias("_qe"),
-            F.col("label").alias("qlabel"),
-        )
-    )
     corpus = emb.where(F.col("vec_id") >= RM_Q_N)
     lab = corpus.groupBy("label").agg(
         F.count("*").cast("long").alias("n_relevant")
     )
-    scored = corpus.join(q).select(
-        "qid",
-        "qlabel",
-        "vec_id",
-        "label",
-        F.round(S.cosine_named("embedding", "_qe"), 6).alias("cosine"),
+    # r11 (guide §4.2, the r9 negative result located the cost in the
+    # query-cosine arithmetic itself): above the GEMM threshold the
+    # per-query top-k comes from the shared chunked-GEMM prune +
+    # exact-fold rescore stage (S.topk_per_query_gemm — definitional
+    # rows and ranks, see its exactness argument), and labels re-attach
+    # to the ≤ RM_Q_N·RM_K ranked rows via broadcast joins against the
+    # label projection (column-pruned scan; the 64-float vectors are
+    # not re-read). Below the threshold the definitional inline form
+    # keeps label in the single scan — the extra label joins cost more
+    # than they save at small n (sf0.01 A/B: 0.94 vs 1.31 s), same
+    # size-dispatch policy and metadata-only estimate as the helper.
+    # sf20 same-session A/B (AB_r11_rm_sf20.json, values identical):
+    # 7.36 → 1.97 s. Threshold: at RM_Q_N=10 the crossing amortizes
+    # over 2.5-10x less arithmetic per row than batch_topk's 25-100
+    # queries, so the helper's 65536 floor is too eager here —
+    # same-session crossover bracket (AB_r11_rm_sf1.json): inline wins
+    # at 200k rows (sf1 1.22 vs 1.61 s), GEMM wins at 4M (sf20 1.97 vs
+    # 7.36 s); 2^20 sits at the bracket's geometric middle.
+    files = emb.inputFiles()
+    nc = (
+        sum(_os.path.getsize(f.removeprefix("file:")) for f in files) // 256
+        if files
+        else 0
     )
-    w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    if nc >= RM_GEMM_MIN_ROWS:
+        ranked = S.topk_per_query_gemm(emb, RM_Q_N, RM_K)
+        qlab = emb.where(F.col("vec_id") < RM_Q_N).select(
+            F.col("vec_id").alias("_qid"), F.col("label").alias("qlabel")
+        )
+        tagged = F.broadcast(
+            ranked.join(F.broadcast(qlab), ranked.qid == F.col("_qid")).drop(
+                "_qid"
+            )
+        ).join(corpus.select("vec_id", "label"), "vec_id")
+    else:
+        q = F.broadcast(
+            emb.where(F.col("vec_id") < RM_Q_N).select(
+                F.col("vec_id").alias("qid"),
+                F.col("embedding").alias("_qe"),
+                F.col("label").alias("qlabel"),
+            )
+        )
+        scored = corpus.join(q).select(
+            "qid",
+            "qlabel",
+            "vec_id",
+            "label",
+            F.round(S.cosine_named("embedding", "_qe"), 6).alias("cosine"),
+        )
+        w = Window.partitionBy("qid").orderBy(
+            F.desc("cosine"), F.asc("vec_id")
+        )
+        tagged = scored.withColumn("rnk", F.row_number().over(w)).where(
+            F.col("rnk") <= RM_K
+        )
     per_q = (
-        scored.withColumn("rnk", F.row_number().over(w))
-        .where(F.col("rnk") <= RM_K)
-        .groupBy("qid", "qlabel")
+        tagged.groupBy("qid", "qlabel")
         .agg(
             F.sum(F.expr("CASE WHEN label = qlabel THEN 1 ELSE 0 END"))
             .cast("long")

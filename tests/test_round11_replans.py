@@ -233,3 +233,27 @@ def test_resize_media_tiling_and_empty_match_reference(spark):
         assert bytes(out[i]["content"]) == ref, i
         assert out[i]["meta"]["width"] == 64 and out[i]["meta"]["height"] == 48
         assert out[i]["meta"]["format"] == "mock"
+
+
+def test_retrieval_metrics_gemm_branch_matches_inline_branch(spark, monkeypatch):
+    # sim_retrieval_metrics dispatches on RM_GEMM_MIN_ROWS (r11): above
+    # it the per-query top-k comes from the shared GEMM stage with
+    # labels re-attached by broadcast joins; below it the definitional
+    # inline window keeps label in the single scan. The dispatch is
+    # only sound because both branches produce identical metric rows —
+    # pin that on the real sf0.001 fixture (exercises ties, label
+    # joins, and the n_relevant side identically through both paths).
+    from mrc_spark_jobs_pubmed_spark.plans import similarity_queries as SQ
+
+    sf_dir = "/root/testdata/sf0.001"
+
+    monkeypatch.setattr(SQ, "RM_GEMM_MIN_ROWS", 0)
+    gemm = sorted(
+        tuple(r) for r in SQ.sim_retrieval_metrics(spark, sf_dir).collect()
+    )
+    monkeypatch.setattr(SQ, "RM_GEMM_MIN_ROWS", 10**18)
+    inline = sorted(
+        tuple(r) for r in SQ.sim_retrieval_metrics(spark, sf_dir).collect()
+    )
+    assert gemm == inline
+    assert len(gemm) > 0
